@@ -1,0 +1,106 @@
+"""Sources & sinks (SURVEY.md §2.1).
+
+The reference reads local text files line-by-line and hand-parses CSV
+(S1/S2 — e.g. HotItemsAnalysis/HotItems.scala:41-47); here the batch path
+is columnar parquet scans (vectorized, predicate-pushdown, column-pruned)
+and the CSV path is a schema'd ``spark.read.csv`` — no per-row Python.
+
+At 100 TB the parquet readers below are the whole ballgame: every query
+module selects only the columns it needs *before* any shuffle so pruning
+and pushdown reach the scan (verify with ``df.explain`` → ``ReadSchema`` /
+``PushedFilters``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .session import apply_runtime_confs
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: testdata columns stored as parquet INT64 TIMESTAMP(NANOS) — Spark 4
+#: rejects nano timestamps unless read as raw longs
+#: (``spark.sql.legacy.parquet.nanosAsLong``); we convert to micros
+#: TimestampType at scan time with floor division, matching DuckDB's
+#: nanos→micros truncation so both engines see identical instants.
+_NANO_TS_COLS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one driver testdata table (S1 analog)."""
+    apply_runtime_confs(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c, t in df.dtypes:
+        if c in _NANO_TS_COLS.get(name, ()) and t == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif t == "timestamp_ntz":
+            # naive parquet timestamps == UTC instants (session tz is pinned
+            # to UTC); normalize to TimestampType so downstream epoch math
+            # (cast to long/double) is legal and engine-consistent
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def read_csv_events(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    ts_col: str = "ts",
+    epoch_unit: str = "s",
+    sep: str = ",",
+) -> DataFrame:
+    """Schema'd CSV reader replacing the reference's manual
+    ``split(",") + toLong`` parsers (S2 — HotItems.scala:43-47,
+    OrderTimeout.scala:35-39 …).
+
+    Reference files carry epoch seconds (or ms) in the timestamp column;
+    we land them as ``TimestampType`` at read time (the reference multiplies
+    to ms at watermark assignment instead — HotItems.scala:49).
+    """
+    raw_schema = StructType(
+        [f if f.name != ts_col else type(f)(f.name, _long(), True) for f in schema.fields]  # type: ignore[arg-type]
+    )
+    df = spark.read.csv(path, schema=raw_schema, sep=sep, mode="PERMISSIVE")
+    factor = {"s": 1, "ms": 1000}[epoch_unit]
+    return df.withColumn(ts_col, F.timestamp_seconds(F.col(ts_col) / factor))
+
+
+def _long():
+    from pyspark.sql.types import LongType
+
+    return LongType()
+
+
+def read_apache_log(spark: SparkSession, path: str) -> DataFrame:
+    """Space-separated apache.log parser (NetworkFlow.scala:44-55) with the
+    ``dd/MM/yyyy:HH:mm:ss`` date format (NetworkFlow.scala:51-52)."""
+    from .schemas import APACHE_LOG
+
+    raw = spark.read.text(path)
+    parts = F.split(F.col("value"), " ")
+    return raw.select(
+        parts.getItem(0).alias("ip"),
+        parts.getItem(1).alias("user_id"),
+        F.to_timestamp(parts.getItem(3), "dd/MM/yyyy:HH:mm:ss").alias("event_time"),
+        parts.getItem(5).alias("method"),
+        parts.getItem(6).alias("url"),
+    ).select(*[f.name for f in APACHE_LOG.fields])
+
+
+def write_console(df: DataFrame, n: int = 20) -> None:
+    """S5 print-sink analog for batch."""
+    df.show(n, truncate=False)

@@ -1,0 +1,96 @@
+"""Sequential-pattern detection & stateful filters (SURVEY.md §2.8 F1-F4).
+
+Reference semantics reproduced:
+
+- **consecutive login failures** (LoginFailDetect — 3 implementations:
+  ListState+timer LoginFailOne.scala:62-106, last-fail compare
+  LoginFailTwo.scala:60-91, CEP strict ``fail next fail within 2s``
+  LoginFailWithCep.scala:56-60).  The strict-contiguity pattern over a
+  keyed stream is exactly "this row and the previous row for the same
+  user are both fails, Δt ≤ gap" — a ``lag()`` window function.  One
+  shuffle on user_id; sort is per-user within partitions (no global
+  sort), which holds at 100 TB because per-user history is tiny.
+- **click-fraud blacklist** (AdAnalysisByProvinceBlack.scala:69-109):
+  per (user, ad, day) pass rows until the count crosses a threshold,
+  emit exactly one warning on first exceed, drop the rest, reset at
+  midnight (processing-time timer :81-84).  Batch-exact formulation:
+  ``row_number`` per (user, ad, epoch-day) in event order — rows with
+  rn ≤ threshold pass, the rn == threshold+1 row is the warning.
+  The midnight reset is the epoch-day component of the partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DAY = 86400
+
+
+def consecutive_fail_alerts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    fail_value: str = "fail",
+    max_gap_seconds: int = 2,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """F3/F4 — emit a warning per (fail, fail) adjacent pair within gap.
+
+    Success rows participate in ``lag`` (they reset the pattern —
+    LoginFailTwo.scala:87-88) and are then filtered out.  *tiebreak_col*
+    pins a total event order under equal timestamps.
+    """
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak_col).asc()] if tiebreak_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev_type = F.lag(F.col(type_col)).over(w)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    return (
+        df.select(user_col, type_col, ts_col, *( [tiebreak_col] if tiebreak_col else [] ))
+        .withColumn("prev_type", prev_type)
+        .withColumn("prev_ts", prev_ts)
+        .filter(
+            (F.col(type_col) == fail_value)
+            & (F.col("prev_type") == fail_value)
+            & (F.col(ts_col).cast("double") - F.col("prev_ts").cast("double") <= F.lit(float(max_gap_seconds)))
+        )
+        .select(
+            F.col(user_col),
+            F.col("prev_ts").cast("long").alias("first_fail_ts"),
+            F.col(ts_col).cast("long").alias("last_fail_ts"),
+            F.lit("login fail 2 times in a short time").alias("warning_msg"),
+        )
+    )
+
+
+def blacklist_filter(
+    df: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "ad_id",
+    ts_col: str = "ts",
+    threshold: int = 100,
+    tiebreak_col: str | None = None,
+):
+    """F1 — returns ``(passed, warnings)`` DataFrames.
+
+    *passed* keeps each (user, item, day)'s first *threshold* rows in
+    event order (identical to the reference's pass-through-until-exceed
+    streaming behavior); *warnings* carries one row per offending
+    (user, item, day) — the first row past the threshold
+    (AdAnalysisByProvinceBlack.scala:86-95 emits once, guarded by
+    ``isSentState``).
+    """
+    day = (F.col(ts_col).cast("long") / _DAY).cast("long").alias("day")
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak_col).asc()] if tiebreak_col else [])
+    base = df.withColumn("day", day)
+    w = Window.partitionBy(user_col, item_col, "day").orderBy(*order)
+    ranked = base.withColumn("rn", F.row_number().over(w))
+    passed = ranked.filter(F.col("rn") <= threshold).drop("rn", "day")
+    warnings = ranked.filter(F.col("rn") == threshold + 1).select(
+        F.col(user_col),
+        F.col(item_col),
+        F.col("day"),
+        F.lit(f"Click over {threshold} times today").alias("warning_msg"),
+    )
+    return passed, warnings

@@ -1,0 +1,545 @@
+"""Named query registry — the reference's 17 jobs (SURVEY.md §0/§2) plus
+scale extensions, each wired to the driver's testdata tables and paired
+with an ANSI-SQL oracle twin executed by DuckDB over the same parquet.
+
+Column mapping onto testdata (FIXTURES.md): the ``events`` table plays
+the reference's UserBehavior / AdClickLog / LoginLog / marketing streams —
+``event_type='view'`` is "pv", ``event_type='error'`` is a login "fail",
+``event_id % K`` is an item/ad surrogate, ``user_id % 25 → nation`` is a
+province, ``user_id % 6`` is an app-install channel.  ``orders``/
+``lineitem`` play the order-create/pay streams.  Window sizes/slides are
+data-appropriate constants (the testdata spans 30 days; the reference's
+5 s slides suit its minutes-long fixtures) — the *operators* accept any
+size/slide.
+
+Every query aliases identical column names on the Spark and SQL sides,
+emits window bounds / timestamps as epoch-second BIGINTs (Spark
+``cast(ts as long)`` floors; the oracles use ``floor(epoch(ts))`` to
+match), and computes monetary aggregates over DECIMAL(18,2) before a
+final cast to DOUBLE so both engines produce bit-identical values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.distinct import windowed_distinct_count
+from ..operators.joins import interval_join, tx_match_full_outer
+from ..operators.patterns import blacklist_filter, consecutive_fail_alerts
+from ..operators.sessions import sessionize
+from ..operators.timeout import create_pay_status
+from ..operators.windows import sliding_window_count, topn_per_window, tumbling_window_count
+
+HOUR, DAY = 3600, 86400
+
+#: app-install channel surrogate (AppMarketingByChannel.scala:57-63 picks
+#: uniformly from 6 channels) — same CASE text on both engines.
+CHANNEL_CASE = (
+    "CASE user_id % 6 WHEN 0 THEN 'AppStore' WHEN 1 THEN 'XiaomiStore' "
+    "WHEN 2 THEN 'HuaweiStore' WHEN 3 THEN 'weibo' WHEN 4 THEN 'wechat' "
+    "ELSE 'tieba' END"
+)
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    """A named query: Spark plan builder + optional DuckDB oracle SQL."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def _q(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QueryDef(fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def _sliding_sql(src: str, size: int, slide: int, keys: str, extra_cols: str = "") -> str:
+    """DuckDB twin of Spark's epoch-aligned sliding ``window()``: each row
+    expands to the ``size/slide`` window starts covering its timestamp."""
+    key_list = f", {keys}" if keys else ""
+    return f"""
+WITH __e AS ({src}),
+__w AS (
+  SELECT *, unnest(generate_series(
+      CAST(floor(__tse/{slide})*{slide} AS BIGINT) - {size} + {slide},
+      CAST(floor(__tse/{slide})*{slide} AS BIGINT),
+      {slide})) AS ws
+  FROM __e)
+SELECT ws, ws + {size} AS we{key_list}, count(*) AS cnt{extra_cols}
+FROM __w GROUP BY ALL
+"""
+
+
+def _tumbling_sql(src: str, size: int, keys: str, agg: str = "count(*) AS cnt") -> str:
+    key_list = f", {keys}" if keys else ""
+    return f"""
+WITH __e AS ({src})
+SELECT CAST(floor(__tse/{size})*{size} AS BIGINT) AS ws,
+       CAST(floor(__tse/{size})*{size} AS BIGINT) + {size} AS we{key_list},
+       {agg}
+FROM __e GROUP BY ALL
+"""
+
+
+# =====================================================================
+# Reference parity — NetworkFlowAnalysis / HotItemsAnalysis
+# =====================================================================
+
+
+@_q(
+    "page_view_count",
+    _tumbling_sql("SELECT epoch(ts) AS __tse FROM events WHERE event_type = 'view'", HOUR, ""),
+    "PageView.scala:27-42 — hourly 'pv' count (W5/A4).",
+)
+def page_view_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_window_count(ev.filter(F.col("event_type") == "view"), "ts", "1 hour")
+
+
+@_q(
+    "hot_items_topn",
+    f"""
+WITH __c AS ({_sliding_sql(
+        "SELECT event_id % 50 AS item_id, epoch(ts) AS __tse FROM events WHERE event_type = 'view'",
+        HOUR, 300, "item_id")}),
+__r AS (SELECT *, row_number() OVER (PARTITION BY ws ORDER BY cnt DESC, item_id) AS rnk FROM __c)
+SELECT ws, we, item_id, cnt, rnk FROM __r WHERE rnk <= 3
+""",
+    "HotItems.scala:32-67 — top-3 items per sliding 1h/5m window (W1/A1/A2/K1).",
+)
+def hot_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pv = ev.filter(F.col("event_type") == "view").withColumn("item_id", F.pmod("event_id", F.lit(50)))
+    counts = sliding_window_count(pv, "ts", "1 hour", "5 minutes", keys=["item_id"])
+    return topn_per_window(counts, 3, tiebreak_cols=["item_id"], rank_alias="rnk")
+
+
+@_q(
+    "top_urls",
+    f"""
+WITH __c AS ({_sliding_sql(
+        "SELECT concat('/page/', CAST(CAST(regexp_extract(props, '[0-9]+') AS INT) % 20 AS VARCHAR)) AS url,"
+        " epoch(ts) AS __tse FROM events",
+        6 * HOUR, HOUR, "url")}),
+__r AS (SELECT *, row_number() OVER (PARTITION BY ws ORDER BY cnt DESC, url) AS rnk FROM __c)
+SELECT ws, we, url, cnt, rnk FROM __r WHERE rnk <= 5
+""",
+    "NetworkFlow.scala:36-73 — top-5 URLs per sliding window (W2/K2).",
+)
+def top_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("/page/"),
+        (F.regexp_extract("props", "[0-9]+", 0).cast("int") % 20).cast("string"),
+    )
+    counts = sliding_window_count(ev.withColumn("url", url), "ts", "6 hours", "1 hour", keys=["url"])
+    return topn_per_window(counts, 5, tiebreak_cols=["url"], rank_alias="rnk")
+
+
+@_q(
+    "unique_visitors",
+    _tumbling_sql(
+        "SELECT user_id, epoch(ts) AS __tse FROM events WHERE event_type = 'view'",
+        HOUR,
+        "",
+        "count(DISTINCT user_id) AS uv",
+    ),
+    "UniqueVisitor.scala:24-49 — exact hourly UV (W6/A5).",
+)
+def unique_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_distinct_count(ev.filter(F.col("event_type") == "view"), "ts", "1 hour", "user_id")
+
+
+@_q(
+    "unique_visitors_approx",
+    None,  # HLL++ sketch — not SQL-reproducible; tolerance-tested in tests/
+    "UvWithBloomFilter/UvByBloomFilterWithoutRedis — approx hourly UV (A6/A7) via HLL++.",
+)
+def unique_visitors_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_distinct_count(
+        ev.filter(F.col("event_type") == "view"), "ts", "1 hour", "user_id", approx=True, rsd=0.01
+    )
+
+
+# =====================================================================
+# Reference parity — MarketAnalysis
+# =====================================================================
+
+
+@_q(
+    "ad_clicks_by_province",
+    _sliding_sql(
+        "SELECT n_name AS province, epoch(ts) AS __tse FROM events "
+        "JOIN nation ON (user_id % 25) = n_nationkey WHERE event_type = 'click'",
+        HOUR,
+        600,
+        "province",
+    ),
+    "AdStatisticsByGeo.scala:26-47 — ad clicks per province per sliding window (W3/A3).",
+)
+def ad_clicks_by_province(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    nation = load_table(spark, sf_dir, "nation")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("nk", F.pmod("user_id", F.lit(25)).cast("int"))
+        .join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("province"), "ts")
+    )
+    return sliding_window_count(clicks, "ts", "1 hour", "10 minutes", keys=["province"])
+
+
+@_q(
+    "ad_blacklist_warnings",
+    """
+WITH __e AS (SELECT user_id, event_id % 2 AS ad_id,
+                    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) AS day, ts, event_id
+             FROM events),
+__r AS (SELECT *, row_number() OVER (PARTITION BY user_id, ad_id, day ORDER BY ts, event_id) AS rn FROM __e)
+SELECT user_id, ad_id, day, 'Click over 1 times today' AS warning_msg FROM __r WHERE rn = 2
+""",
+    "AdAnalysisByProvinceBlack.scala:69-109 — first-exceed blacklist warning (F1).",
+)
+def ad_blacklist_warnings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("ad_id", F.pmod("event_id", F.lit(2)))
+    _, warnings = blacklist_filter(ev, threshold=1, tiebreak_col="event_id")
+    return warnings
+
+
+@_q(
+    "ad_blacklist_passed",
+    """
+WITH __e AS (SELECT user_id, event_id % 2 AS ad_id,
+                    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) AS day, ts, event_id
+             FROM events),
+__r AS (SELECT *, row_number() OVER (PARTITION BY user_id, ad_id, day ORDER BY ts, event_id) AS rn FROM __e)
+SELECT event_id, user_id, ad_id FROM __r WHERE rn <= 1
+""",
+    "AdAnalysisByProvinceBlack — rows that pass the blacklist filter (F1 main output).",
+)
+def ad_blacklist_passed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("ad_id", F.pmod("event_id", F.lit(2)))
+    passed, _ = blacklist_filter(ev, threshold=1, tiebreak_col="event_id")
+    return passed.select("event_id", "user_id", "ad_id")
+
+
+@_q(
+    "app_marketing_by_channel",
+    _sliding_sql(
+        f"SELECT {CHANNEL_CASE} AS channel, event_type AS behavior, epoch(ts) AS __tse "
+        "FROM events WHERE event_type <> 'error'",
+        DAY,
+        6 * HOUR,
+        "channel, behavior",
+    ),
+    "AppMarketingByChannel.scala:23-99 — installs per (channel, behavior) per sliding window (W4).",
+)
+def app_marketing_by_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.filter(F.col("event_type") != "error")  # UNINSTALL analog (AppMarketingByChannel.scala:88)
+        .withColumn("channel", F.expr(CHANNEL_CASE))
+        .withColumnRenamed("event_type", "behavior")
+    )
+    return sliding_window_count(base, "ts", "1 day", "6 hours", keys=["channel", "behavior"])
+
+
+@_q(
+    "app_marketing_total",
+    _sliding_sql(
+        "SELECT epoch(ts) AS __tse FROM events WHERE event_type <> 'error'",
+        DAY,
+        6 * HOUR,
+        "",
+    ),
+    "AppMarketingStatistics.scala:21-55 — channel-less total per sliding window.",
+)
+def app_marketing_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_window_count(ev.filter(F.col("event_type") != "error"), "ts", "1 day", "6 hours")
+
+
+# =====================================================================
+# Reference parity — LoginFailDetect / OrderTimeoutDetect
+# =====================================================================
+
+
+@_q(
+    "login_fail_detect",
+    """
+WITH __l AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER w AS prev_type,
+         lag(ts) OVER w AS prev_ts
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id,
+       CAST(floor(epoch(prev_ts)) AS BIGINT) AS first_fail_ts,
+       CAST(floor(epoch(ts)) AS BIGINT) AS last_fail_ts,
+       'login fail 2 times in a short time' AS warning_msg
+FROM __l
+WHERE event_type = 'error' AND prev_type = 'error'
+  AND epoch(ts) - epoch(prev_ts) <= 3600.0
+""",
+    "LoginFailTwo.scala:60-91 / LoginFailWithCep.scala:56-60 — consecutive fails within gap (F2-F4).",
+)
+def login_fail_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return consecutive_fail_alerts(
+        ev, fail_value="error", max_gap_seconds=3600, tiebreak_col="event_id"
+    )
+
+
+@_q(
+    "order_fulfillment_status",
+    """
+WITH __oe AS (
+  SELECT o_orderkey AS order_id, 'create' AS event_type, epoch(o_orderdate) AS tse FROM orders
+  UNION ALL
+  SELECT l_orderkey, 'pay', epoch(l_shipdate) FROM lineitem),
+__a AS (
+  SELECT order_id,
+         min(CASE WHEN event_type = 'create' THEN tse END) AS create_d,
+         min(CASE WHEN event_type = 'pay' THEN tse END) AS pay_d
+  FROM __oe GROUP BY order_id)
+SELECT order_id,
+       CAST(floor(create_d) AS BIGINT) AS create_ts,
+       CAST(floor(pay_d) AS BIGINT) AS pay_ts,
+       CASE WHEN create_d IS NULL AND pay_d IS NOT NULL THEN 'already payed but not found created log'
+            WHEN pay_d IS NULL THEN 'order timeout'
+            WHEN pay_d - create_d <= 2592000.0 THEN 'pay successfully'
+            ELSE 'payed but already timeout' END AS status
+FROM __a
+""",
+    "OrderTimeout.scala:58-143 / OrderTimeoutWithOutCep — create→pay timeout 4-case analysis "
+    "(F5/F6); orders=create, first lineitem shipment=pay, 30-day deadline.",
+)
+def order_fulfillment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    oe = orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.lit("create").alias("event_type"),
+        F.col("o_orderdate").alias("ts"),
+    ).unionByName(
+        lineitem.select(
+            F.col("l_orderkey").alias("order_id"),
+            F.lit("pay").alias("event_type"),
+            F.col("l_shipdate").alias("ts"),
+        )
+    )
+    return create_pay_status(oe, timeout_seconds=30 * DAY)
+
+
+@_q(
+    "tx_match",
+    """
+WITH __p AS (
+  SELECT concat(user_id, '-', CAST(floor(floor(epoch(ts))/86400) AS BIGINT)) AS tx_id,
+         min(ts) AS mts
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+__r AS (
+  SELECT concat(user_id, '-', CAST(floor(floor(epoch(ts))/86400) AS BIGINT)) AS tx_id,
+         min(ts) AS mts
+  FROM events WHERE event_type = 'click' GROUP BY 1)
+SELECT coalesce(__p.tx_id, __r.tx_id) AS tx_id,
+       CAST(floor(epoch(__p.mts)) AS BIGINT) AS pay_ts,
+       CAST(floor(epoch(__r.mts)) AS BIGINT) AS receipt_ts,
+       CASE WHEN __p.tx_id IS NOT NULL AND __r.tx_id IS NOT NULL THEN 'matched'
+            WHEN __r.tx_id IS NULL THEN 'unmatched-pays'
+            ELSE 'unmatched-receipts' END AS status
+FROM __p FULL OUTER JOIN __r ON __p.tx_id = __r.tx_id
+""",
+    "OrderPayTxMatch.scala:23-126 — two-stream full-outer reconciliation (J2); pays=first daily "
+    "purchase per user, receipts=first daily click.",
+)
+def tx_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.col("ts").cast("long") / DAY).cast("long")
+    tx = F.concat_ws("-", F.col("user_id"), day)
+
+    def first_daily(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .withColumn("tx_id", tx)
+            .groupBy("tx_id")
+            .agg(F.min("ts").alias("ts"))
+        )
+
+    return tx_match_full_outer(first_daily("purchase"), first_daily("click"))
+
+
+@_q(
+    "interval_join_shipments",
+    """
+SELECT o_orderkey AS order_id, l_linenumber AS line_no,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_ts,
+       CAST(floor(epoch(l_shipdate)) AS BIGINT) AS ship_ts
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+ AND epoch(l_shipdate) >= epoch(o_orderdate)
+ AND epoch(l_shipdate) <= epoch(o_orderdate) + 2592000.0
+""",
+    "OrderPayTxMatchWithJoin.scala:54-57 — event-time interval join (J1): shipment within "
+    "[order, order+30d].",
+)
+def interval_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    j = interval_join(
+        orders.select(F.col("o_orderkey").alias("k"), F.col("o_orderdate").alias("ts")),
+        lineitem.select(F.col("l_orderkey").alias("k"), "l_linenumber", F.col("l_shipdate").alias("ts")),
+        key="k",
+        lower_seconds=0,
+        upper_seconds=30 * DAY,
+    )
+    return j.select(
+        F.col("l.k").alias("order_id"),
+        F.col("r.l_linenumber").alias("line_no"),
+        F.col("l.ts").cast("long").alias("order_ts"),
+        F.col("r.ts").cast("long").alias("ship_ts"),
+    )
+
+
+# =====================================================================
+# Extensions — sessionization & TPC-H-style analytics (scale workload)
+# =====================================================================
+
+
+@_q(
+    "sessionize_users",
+    """
+WITH __f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS is_start
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+__g AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM __f)
+SELECT user_id, session_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
+       count(*) AS n_events
+FROM __g GROUP BY user_id, session_id
+""",
+    "Extension (north star): 30-min-gap sessionization per user (gaps-and-islands).",
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, gap_seconds=1800, tiebreak_col="event_id")
+
+
+def _dec(c: str):
+    return F.col(c).cast("decimal(18,2)")
+
+
+_REVENUE_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
+
+
+def _revenue():
+    # Column construction needs an active session — build lazily per query.
+    return _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+
+
+@_q(
+    "pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    "Extension: TPC-H Q1-style pricing summary — scan-heavy agg benchmark anchor.",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).alias("sq"),
+        F.sum(_dec("l_extendedprice")).alias("sbp"),
+        F.sum(_revenue()).alias("sdp"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sq").cast("double").alias("sum_qty"),
+        F.col("sbp").cast("double").alias("sum_base_price"),
+        F.col("sdp").cast("double").alias("sum_disc_price"),
+        (F.col("sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sbp").cast("double") / F.col("count_order")).alias("avg_price"),
+        F.col("count_order"),
+    )
+
+
+@_q(
+    "region_revenue",
+    f"""
+SELECT r_name, CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue, count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    "Extension: TPC-H Q5-style revenue per region — broadcast-dim join chain.",
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, o, c, n, r = (
+        load_table(spark, sf_dir, t) for t in ("lineitem", "orders", "customer", "nation", "region")
+    )
+    joined = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("r_name").agg(
+        F.sum(_revenue()).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+@_q(
+    "top_revenue_customers",
+    f"""
+WITH __rev AS (
+  SELECT c_custkey, c_name, SUM({_REVENUE_SQL}) AS rev_d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_name)
+SELECT c_custkey, c_name, CAST(rev_d AS DOUBLE) AS revenue
+FROM __rev ORDER BY rev_d DESC, c_custkey LIMIT 10
+""",
+    "Extension: TPC-H Q10-style top-10 customers by revenue — global top-K "
+    "(TakeOrderedAndProject, no full sort).",
+)
+def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, o, c = (load_table(spark, sf_dir, t) for t in ("lineitem", "orders", "customer"))
+    rev = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(_revenue()).alias("rev_d"))
+    )
+    return (
+        rev.orderBy(F.col("rev_d").desc(), F.col("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", F.col("rev_d").cast("double").alias("revenue"))
+    )

@@ -1,0 +1,86 @@
+"""Shared test fixtures: one local SparkSession + a DuckDB oracle-compare
+helper mirroring the driver's t2 check (row count + schema-insensitive
+column order + order-insensitive value comparison)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flinkecuserbehavioranalysis_spark.schemas import TESTDATA_TABLES
+from flinkecuserbehavioranalysis_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # round to 9 significant digits so engine-identical doubles match
+        # even if a repr differs in the last ulp
+        return float(f"{v:.9g}")
+    if isinstance(v, int):
+        return v
+    try:  # Decimal → float
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return float(f"{float(v):.9g}")
+    except Exception:
+        pass
+    return str(v)
+
+
+def normalized_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    # sort by repr — total order even with None/mixed-type cells
+    return sorted((tuple(_norm_cell(r[i]) for i in idx) for r in rows), key=repr)
+
+
+def assert_matches_oracle(spark, ddb, qdef, sf_dir=SF_DIR, min_rows=1):
+    """Run the Spark query and its DuckDB oracle; assert equal results."""
+    sdf = qdef.fn(spark, sf_dir)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+    res = ddb.execute(qdef.oracle)
+    d_cols = [d[0].lower() for d in res.description]
+    d_rows = res.fetchall()
+    assert sorted(s_cols) == sorted(d_cols), f"columns differ: {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}"
+    assert len(s_rows) >= min_rows, f"degenerate result: {len(s_rows)} rows"
+    sn, dn = normalized_rows(s_cols, s_rows), normalized_rows(d_cols, d_rows)
+    if sn != dn:
+        diff_s = [r for r in sn if r not in dn][:5]
+        diff_d = [r for r in dn if r not in sn][:5]
+        raise AssertionError(
+            f"value mismatch: {len([r for r in sn if r not in dn])} spark-only rows; "
+            f"spark sample {diff_s}; duckdb sample {diff_d}"
+        )
