@@ -1,0 +1,182 @@
+"""Document deduplication family (extension — training-data pipeline).
+
+Not present in the reference (its only distinct-like operator is UV
+counting, SURVEY.md §2.3); these are the operators a 100 TB corpus
+pipeline needs.  All hashing is md5-based so results are engine-portable
+(the DuckDB oracle computes the identical signatures) and every step is
+pure DataFrame algebra — shuffles on (shingle), (band key) or
+(fingerprint), never a driver-side loop:
+
+- **exact**: group by text hash, keep min doc_id.  One shuffle on the
+  128-bit fingerprint — at 100 TB use this, never pairwise compare.
+- **MinHash + LSH**: shingle → k md5 min-hashes → band keys → candidate
+  pairs join on (band_idx, band_key).  The band join is the scale path:
+  candidate generation is linear in corpus size + output pairs, versus
+  the quadratic all-pairs join.
+- **n-gram Jaccard**: exact pairwise similarity via an inverted-index
+  join on shingles (common-shingle counting), used as ground truth for
+  MinHash and for final verification of LSH candidates.
+- **SimHash**: 16-bit sign-sum signature per doc; near-dup docs share
+  buckets.  Signature computation is one shuffle (explode tokens +
+  groupBy doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HEX_ODD = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def _shingle_expr(text_col: str, n: int) -> str:
+    """Word n-gram shingles as a SQL expression (empty array if < n words).
+
+    The DuckDB oracle uses the equivalent
+    ``list_transform(range(1, len(ws)-(n-2)), i -> ws[i] || ' ' || ...)``.
+    """
+    ws = f"split({text_col}, ' ')"
+    return (
+        f"CASE WHEN size({ws}) >= {n} THEN "
+        f"transform(sequence(0, size({ws}) - {n}), i -> concat_ws(' ', slice({ws}, i+1, {n}))) "
+        f"ELSE array() END"
+    )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct (doc, word-n-gram) pairs — the base relation for MinHash
+    and Jaccard."""
+    return (
+        docs.select(F.col(id_col), F.explode(F.expr(_shingle_expr(text_col, n))).alias("sh"))
+        .distinct()
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: one surviving doc per distinct text.
+
+    Returns (fingerprint, keep_id, n_dups).  Hash-groupBy — the only
+    sane exact strategy at corpus scale."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 12,
+) -> DataFrame:
+    """k md5 min-hash values per doc (hex-string min ≡ uniform min-hash).
+
+    Seed-prefixed md5 keeps the k hash families independent; string min
+    over hex digests is order-isomorphic to integer min over the digest
+    value, so no bigint conversion is needed (and the oracle matches
+    byte-for-byte)."""
+    sh = shingles(docs, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}") for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 of *bands* band keys.
+
+    Returns (doc_a, doc_b) with doc_a < doc_b.  The pair join shuffles
+    on (band_idx, band_key) — bucket sizes are the skew knob: more rows
+    per band → fewer, higher-precision candidates."""
+    rows = k // bands
+    sig = minhash_signatures(docs, id_col, text_col, n, k)
+    band_keys = [
+        F.md5(F.concat_ws("", *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    sig_b = sig.select(F.col(id_col), *band_keys)
+    stack_args = ", ".join(f"{b}, b{b}" for b in range(bands))
+    long = sig_b.select(
+        F.col(id_col), F.expr(f"stack({bands}, {stack_args}) as (band_idx, band_key)")
+    )
+    a, b = long.alias("a"), long.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets, via inverted-index
+    join (pairs sharing ≥1 shingle), |A∩B| counting, then
+    |A∩B| / (|A|+|B|-|A∩B|).
+
+    Returns (doc_a, doc_b, jaccard) with jaccard rounded to 6 dp for
+    engine-portable comparison.  Quadratic in per-shingle document
+    frequency — at 100 TB run it only on MinHash candidates (compose:
+    ``minhash_candidates`` → semi-join → this)."""
+    sh = shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("szb"))
+    jac = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 6
+            ),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """16-bit SimHash: per token, md5 hex digit b's parity votes ±1 on
+    bit b; the signature is the sign vector.  Returns (doc_id, simhash)
+    with simhash as a '0'/'1' string (MSB-first).  Token multiplicity
+    weights votes (standard SimHash)."""
+    toks = docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    h = F.md5(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.substring(h, b + 1, 1).isin(*_HEX_ODD), F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    bit_cols = [F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
+    return agg.select(F.col(id_col), F.concat(*bit_cols).alias("simhash"))

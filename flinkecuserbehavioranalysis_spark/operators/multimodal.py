@@ -1,0 +1,78 @@
+"""Multimodal column plumbing (extension — training-data pipeline).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata.
+The Spark-side machinery here is real and tested — schema, Arrow batch
+shape, ``mapInPandas`` partition flow — while the actual media decode is
+STUBBED (no image/audio libs in this container): ``decode_meta`` runs a
+deterministic fake decoder, and ``decode_image`` raises
+``NotImplementedError`` where a real pillow/ffmpeg call would go.
+
+At 100 TB: binary payloads ride the columnar scan (parquet keeps them
+out of unrelated queries via column pruning); the decode UDF receives
+Arrow batches, so tune ``spark.sql.execution.arrow.maxRecordsPerBatch``
+down when payloads are large to bound executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+#: output schema of the decode stage
+DECODE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+    ]
+)
+
+
+def attach_binary(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary payload column (UTF-8 bytes of the
+    text stand in for image bytes — deterministic fake)."""
+    return docs.select(F.col(id_col), F.encode(F.col(text_col), "UTF-8").alias("payload"))
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int]:  # pragma: no cover - stub
+    """Real decoder hook.  STUB: image libraries are not available in
+    this environment; swap in PIL/libvips here in production."""
+    raise NotImplementedError("media decode requires an image library; use decode_meta's fake")
+
+
+def _fake_decode(n_bytes: pd.Series) -> pd.DataFrame:
+    # deterministic fake decode: metadata as pure functions of payload size
+    return pd.DataFrame(
+        {
+            "n_bytes": n_bytes.astype("int64"),
+            "width": (n_bytes % 640 + 1).astype("int32"),
+            "height": ((n_bytes * 7) % 480 + 1).astype("int32"),
+            "channels": pd.Series([3] * len(n_bytes), dtype="int32"),
+        }
+    )
+
+
+def decode_meta(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched "decode": binary payload → typed metadata via
+    ``mapInPandas`` (the real decoder would slot into ``_fake_decode``).
+    Partition-parallel, no shuffle — decode is a map stage."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            out = _fake_decode(n_bytes)
+            out.insert(0, "doc_id", pdf[id_col].astype("int64"))
+            yield out
+
+    return with_payload.mapInPandas(decode_batches, DECODE_META_SCHEMA)

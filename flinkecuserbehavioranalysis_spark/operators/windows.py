@@ -93,6 +93,7 @@ def topn_per_window(
     order = [F.col(order_col).desc()] + [F.col(c).asc() for c in tiebreak_cols]
     w = Window.partitionBy(*[F.col(c) for c in partition_cols]).orderBy(*order)
     return (
-        counts.withColumn(rank_alias, F.row_number().over(w))
+        # cast → long: DuckDB/ANSI row_number is BIGINT, Spark's is INT
+        counts.withColumn(rank_alias, F.row_number().over(w).cast("long"))
         .filter(F.col(rank_alias) <= n)
     )

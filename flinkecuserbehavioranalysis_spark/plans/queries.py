@@ -429,7 +429,7 @@ __g AS (
   SELECT user_id, ts,
          sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
   FROM __f)
-SELECT user_id, session_id,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
        CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
        count(*) AS n_events
@@ -543,3 +543,245 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("c_custkey", "c_name", F.col("rev_d").cast("double").alias("revenue"))
     )
+
+
+# =====================================================================
+# Extensions — training-data pipeline: dedup / similarity / text /
+# multimodal (operators in operators/dedup.py, similarity.py, text.py,
+# multimodal.py).  Oracles compute identical md5-based signatures.
+# =====================================================================
+
+from ..operators.dedup import (  # noqa: E402
+    exact_dedup,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..operators.multimodal import attach_binary, decode_meta  # noqa: E402
+from ..operators.similarity import brute_force_topk, bucketed_neardup_pairs  # noqa: E402
+from ..operators.text import (  # noqa: E402
+    BPE_TOKEN_PATTERN,
+    LANG_ID_CASE,
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+
+#: shared DuckDB shingle CTE (word trigrams, distinct per doc) — the twin
+#: of operators.dedup.shingles
+_SHINGLE_CTE = """
+__w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+__sh AS (SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(ws) - 1),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+         FROM __w)
+"""
+
+_MINHASH_K, _MINHASH_BANDS = 12, 4
+
+
+def _minhash_oracle() -> str:
+    rows = _MINHASH_K // _MINHASH_BANDS
+    sig_cols = ", ".join(
+        f"min(md5('{i}|' || sh)) AS h{i}" for i in range(_MINHASH_K)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_key FROM __sig".format(
+            b=b, expr=" || ".join(f"h{b * rows + r}" for r in range(rows))
+        )
+        for b in range(_MINHASH_BANDS)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+__sig AS (SELECT doc_id, {sig_cols} FROM __sh GROUP BY doc_id),
+__b AS ({band_selects})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM __b a JOIN __b b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+@_q(
+    "dedup_exact",
+    """
+SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+    "Extension: exact dedup — one representative per distinct text (hash-groupBy).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    "Extension: MinHash(k=12)+LSH(4 bands) near-dup candidate pairs over word trigrams.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_candidates(
+        load_table(spark, sf_dir, "documents"), k=_MINHASH_K, bands=_MINHASH_BANDS
+    )
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_SHINGLE_CTE},
+__sz AS (SELECT doc_id, count(*) AS sz FROM __sh GROUP BY doc_id),
+__c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM __sh a JOIN __sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(common * 1.0 / (x.sz + y.sz - common), 6) AS jaccard
+FROM __c JOIN __sz x ON doc_a = x.doc_id JOIN __sz y ON doc_b = y.doc_id
+WHERE round(common * 1.0 / (x.sz + y.sz - common), 6) >= 0.8
+""",
+    "Extension: exact n-gram Jaccard near-dup pairs (inverted-index join), threshold 0.8.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ", ".join(
+        "sum(CASE WHEN substring(md5(tok), {p}, 1) IN ('1','3','5','7','9','b','d','f') "
+        "THEN 1 ELSE -1 END) AS v{b}".format(p=b + 1, b=b)
+        for b in range(bits)
+    )
+    sig = " || ".join(f"CASE WHEN v{b} > 0 THEN '1' ELSE '0' END" for b in range(bits))
+    return f"""
+WITH __t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+__v AS (SELECT doc_id, {votes} FROM __t GROUP BY doc_id)
+SELECT doc_id, {sig} AS simhash FROM __v
+"""
+
+
+@_q(
+    "dedup_simhash",
+    _simhash_oracle(),
+    "Extension: 16-bit SimHash signature per document (md5-parity sign-sum).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+_COS_SQL = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@_q(
+    "ann_brute_force_topk",
+    f"""
+WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+__q AS (SELECT vec_id AS q_id, v AS qv FROM __e WHERE vec_id < 5),
+__s AS (SELECT q_id, e.vec_id AS neighbor_id,
+               {_COS_SQL.format(a='qv', b='e.v')} AS cos
+        FROM __e e, __q WHERE e.vec_id <> q_id),
+__r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM __s)
+SELECT q_id, neighbor_id, cos, rnk FROM __r WHERE rnk <= 10
+""",
+    "Extension: exact cosine top-10 neighbors for query vectors (broadcast scan baseline).",
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@_q(
+    "ann_bucketed_neardup",
+    f"""
+WITH __e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS bucket,
+       {_COS_SQL.format(a='a.v', b='b.v')} AS cos
+FROM __e a JOIN __e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= 0.35
+""",
+    "Extension: IVF-style near-dup pairs — cosine ≥ 0.35 within coarse (label) buckets.",
+)
+def ann_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bucketed_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@_q(
+    "text_token_stats",
+    f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens_ws,
+       len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS n_tokens_bpe
+FROM documents
+""",
+    "Extension: whitespace + BPE-ish regex token counts per document.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_quality",
+    f"""
+WITH __s AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) AS n_chars,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ({', '.join("'" + w + "'" for w in STOPWORDS)}))) AS n_stop
+  FROM documents)
+SELECT doc_id, n_words, n_chars,
+       round((n_chars - (n_words - 1)) * 1.0 / n_words, 6) AS avg_word_len,
+       round(n_stop * 1.0 / n_words, 6) AS stopword_ratio,
+       CASE WHEN n_words >= 5 AND n_words <= 1000
+                 AND n_stop * 1.0 / n_words <= 0.5
+                 AND (n_chars - (n_words - 1)) * 1.0 / n_words >= 2.0
+                 AND (n_chars - (n_words - 1)) * 1.0 / n_words <= 12.0
+            THEN 'ok' ELSE 'low' END AS quality
+FROM __s
+""",
+    "Extension: doc quality signals (length / word shape / stopword ratio) + keep flag.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_lang_id",
+    f"SELECT doc_id, lang, {LANG_ID_CASE} AS lang_guess FROM documents",
+    "Extension: marker-token language-ID heuristic vs labeled lang.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_fingerprint",
+    """
+SELECT doc_id, md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fingerprint
+FROM documents
+""",
+    "Extension: normalized content fingerprint (lowercase, collapse spaces, md5).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "multimodal_decode_meta",
+    """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+       CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels
+FROM documents
+""",
+    "Extension: multimodal binary-column plumbing — mapInPandas 'decode' producing typed "
+    "metadata (decode itself is a deterministic stub; see operators/multimodal.py).",
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_meta(attach_binary(docs))
