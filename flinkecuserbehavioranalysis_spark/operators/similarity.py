@@ -52,17 +52,25 @@ def brute_force_topk(
     desc with neighbor_id tiebreak; self-matches excluded."""
     from pyspark.sql import Window
 
+    # norms are precomputed per vector, not per pair — at corpus scale the
+    # pair count dwarfs the vector count, so this is a 3x flop reduction
+    # (sqrt(dot(x,x)) is the same double either way → oracle still matches)
     q = queries.select(
-        F.col(query_id_col).alias("q_id"), _as_double(vec_col).alias("q_vec")
-    )
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v_vec"))
+        F.col(query_id_col).alias("q_id"),
+        _as_double(vec_col).alias("q_vec"),
+    ).withColumn("q_norm", F.sqrt(dot(F.col("q_vec"), F.col("q_vec"))))
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v_vec")
+    ).withColumn("v_norm", F.sqrt(dot(F.col("v_vec"), F.col("v_vec"))))
     scored = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("q_id"))
         .select(
             "q_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("v_vec")), 6).alias("cos"),
+            F.round(
+                dot(F.col("q_vec"), F.col("v_vec")) / (F.col("q_norm") * F.col("v_norm")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -87,11 +95,13 @@ def bucketed_neardup_pairs(
     is O(n²); bucketed is Σ_b |b|² with |b| ≪ n.  Recall is bounded by
     bucket quality — pair with a multi-probe assignment for higher
     recall at the same cost shape."""
-    side = lambda tag: vectors.select(  # noqa: E731
-        F.col(id_col).alias(f"vec_{tag}"),
-        F.col(bucket_col).alias(f"bucket_{tag}"),
-        _as_double(vec_col).alias(f"v_{tag}"),
-    )
+    def side(tag: str) -> DataFrame:
+        return vectors.select(
+            F.col(id_col).alias(f"vec_{tag}"),
+            F.col(bucket_col).alias(f"bucket_{tag}"),
+            _as_double(vec_col).alias(f"v_{tag}"),
+        ).withColumn(f"norm_{tag}", F.sqrt(dot(F.col(f"v_{tag}"), F.col(f"v_{tag}"))))
+
     a, b = side("a"), side("b")
     return (
         a.join(
@@ -102,7 +112,9 @@ def bucketed_neardup_pairs(
             "vec_a",
             "vec_b",
             F.col("bucket_a").alias("bucket"),
-            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos"),
+            F.round(
+                dot(F.col("v_a"), F.col("v_b")) / (F.col("norm_a") * F.col("norm_b")), 6
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -1,0 +1,164 @@
+"""Structured Streaming twins of the batch operators (SURVEY.md §2.4-2.6).
+
+The reference is a streaming system; these jobs reproduce its event-time
+discipline on Structured Streaming:
+
+- ``withWatermark`` replaces Flink's watermark assigners (T2/T3 — the
+  bounded-out-of-orderness contract is identical: rows later than
+  max(event time) − delay are dropped, SURVEY.md §2.5);
+- windowed aggregations carry their state in the state store keyed by
+  (window, keys) — the same O(windows × keys) state the reference's
+  incremental ``AggregateFunction`` holds (HotItems.scala:70-84);
+- per-window top-N is not a pure streaming aggregation (rank needs the
+  window's full key set), so the rank runs in ``foreachBatch`` over the
+  append-mode windowed counts — the micro-batch analog of the
+  reference's "buffer until windowEnd + ε then sort" timer pattern
+  (TopNHotItems, HotItems.scala:108-167);
+- sessionization uses the native ``session_window`` (merging session
+  state), the streaming-correct form of the batch gaps-and-islands.
+
+Bounded replays (``run_bounded``) drive any of these to completion on a
+finite file source with ``availableNow`` — that is how the tests prove
+streaming/batch equivalence.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import apply_runtime_confs
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "events",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-replay stream over a testdata parquet table (the streaming
+    analog of the reference's readTextFile replays, S1)."""
+    apply_runtime_confs(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    static = spark.read.parquet(path)
+    # the file source streams a *directory*; testdata tables are single
+    # files, so expose each through a symlink view dir (read-only data
+    # stays untouched)
+    view_dir = os.path.join(
+        "/tmp/spark_graft_stream_views", os.path.basename(os.path.normpath(sf_dir)), table
+    )
+    os.makedirs(view_dir, exist_ok=True)
+    link = os.path.join(view_dir, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(view_dir)
+    for c, t in df.dtypes:
+        if c == "ts" and t == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def streaming_windowed_count(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    size: str = "1 hour",
+    slide: str | None = None,
+    keys: Sequence[str] = (),
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Watermarked windowed count — the streaming twin of
+    ``operators.windows.windowed_count`` (same output columns)."""
+    wm = stream.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), size, slide) if slide else F.window(F.col(ts_col), size)
+    return (
+        wm.groupBy(win.alias("w"), *[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").cast("long").alias("ws"),
+            F.col("w.end").cast("long").alias("we"),
+            *[F.col(k) for k in keys],
+            F.col("cnt"),
+        )
+    )
+
+
+def streaming_session_window(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Native merging session windows (extension op; batch twin is
+    ``operators.sessions.sessionize``).  Emits (key, session_start,
+    session_end_last, n_events) — end is the last event time, matching
+    the batch formulation rather than Spark's end+gap convention."""
+    wm = stream.withWatermark(ts_col, watermark)
+    return (
+        wm.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max(ts_col).alias("last_ts"))
+        .select(
+            F.col(key_col),
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("last_ts").cast("long").alias("session_end"),
+            F.col("n_events"),
+        )
+    )
+
+
+def streaming_topn_foreach_batch(
+    counts: DataFrame,
+    n: int,
+    key_cols: Sequence[str],
+    sink: list,
+) -> Callable[[DataFrame, int], None]:
+    """Returns a foreachBatch fn ranking each appended batch of closed
+    windows (append mode emits a window exactly once, after watermark
+    passes its end — so per-batch ranking sees each window complete,
+    like the reference's timer at windowEnd+100ms)."""
+    from ..operators.windows import topn_per_window
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        ranked = topn_per_window(batch_df, n, tiebreak_cols=list(key_cols), rank_alias="rnk")
+        sink.extend(ranked.collect())
+
+    return process
+
+
+def run_bounded(
+    out: DataFrame,
+    output_mode: str = "append",
+    foreach_batch: Callable | None = None,
+    timeout: int = 120,
+) -> list:
+    """Execute a streaming plan to completion on its bounded source
+    (``availableNow`` trigger) and return collected rows (memory sink)
+    or [] when *foreach_batch* handles its own output."""
+    if foreach_batch is not None:
+        q = (
+            out.writeStream.outputMode(output_mode)
+            .foreachBatch(foreach_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout)
+        return []
+    name = f"mem_{abs(hash(out.schema.json())) % 10**8}_{id(out)}"
+    q = (
+        out.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return out.sparkSession.sql(f"SELECT * FROM {name}").collect()

@@ -1,0 +1,167 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(SURVEY.md §2.8 — the Flink ``KeyedProcessFunction`` surface).
+
+These are the streaming twins of the batch formulations in
+``operators.patterns`` / ``operators.timeout``; keyed state plays the
+role of Flink's ``ValueState``/``ListState`` and the timeout conf plays
+the timers:
+
+- **login-fail** (LoginFailTwo.scala:60-91): state = last event per
+  user; a fail arriving ≤ gap after a stored fail emits a warning;
+  success clears — identical to the reference's one-slot ListState.
+- **order timeout** (OrderTimeout.scala:58-143): state = (create_ts,
+  pay_ts); emit on the pairing event, or on event-time timeout at
+  create_ts + deadline (``GroupStateTimeout.EventTimeTimeout`` — fired
+  by watermark advance, exactly Flink's event-time timer discipline).
+
+Rows inside a micro-batch are sorted by (ts, tiebreak) per key before
+state transitions — Flink gets this ordering from per-key FIFO delivery;
+Spark micro-batches need the explicit sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+LOGIN_WARNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("first_fail_ts", LongType()),
+        StructField("last_fail_ts", LongType()),
+        StructField("warning_msg", StringType()),
+    ]
+)
+_LOGIN_STATE = StructType(
+    [StructField("last_type", StringType()), StructField("last_ts", DoubleType())]
+)
+
+ORDER_RESULT_SCHEMA = StructType(
+    [
+        StructField("order_id", LongType()),
+        StructField("create_ts", LongType()),
+        StructField("pay_ts", LongType()),
+        StructField("status", StringType()),
+    ]
+)
+_ORDER_STATE = StructType(
+    [StructField("create_ts", DoubleType()), StructField("pay_ts", DoubleType())]
+)
+
+
+def streaming_login_fail(
+    events: DataFrame,
+    fail_value: str = "error",
+    max_gap_seconds: float = 3600.0,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of ``operators.patterns.consecutive_fail_alerts``.
+    Input columns: user_id, event_type, ts (+ event_id tiebreak)."""
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last_type, last_ts = state.get if state.exists else (None, None)
+        out: list[tuple[int, int, int, str]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"] if "event_id" in pdf else ["ts"])
+            for _, row in pdf.iterrows():
+                ts = row["ts"].timestamp()
+                if row["event_type"] == fail_value:
+                    if last_type == fail_value and ts - last_ts <= max_gap_seconds:
+                        out.append(
+                            (
+                                int(user_id),
+                                int(last_ts),
+                                int(ts),
+                                "login fail 2 times in a short time",
+                            )
+                        )
+                    last_type, last_ts = fail_value, ts
+                else:
+                    last_type, last_ts = "success", ts
+        state.update((last_type, last_ts))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "first_fail_ts", "last_fail_ts", "warning_msg"]
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, LOGIN_WARNING_SCHEMA, _LOGIN_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def streaming_order_timeout(
+    order_events: DataFrame,
+    timeout_seconds: float = 900.0,
+    watermark: str = "5 seconds",
+) -> DataFrame:
+    """Streaming twin of ``operators.timeout.create_pay_status``.
+    Input columns: order_id, event_type ('create'|'pay'), ts."""
+    from ..operators.timeout import PAID_AFTER_TIMEOUT, PAID_NO_CREATE, PAY_OK, TIMEOUT
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (order_id,) = key
+        if state.hasTimedOut:
+            create_ts, pay_ts = state.get
+            status = TIMEOUT if pay_ts is None else PAID_NO_CREATE
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    (
+                        int(order_id),
+                        None if create_ts is None else int(create_ts),
+                        None if pay_ts is None else int(pay_ts),
+                        status,
+                    )
+                ],
+                columns=["order_id", "create_ts", "pay_ts", "status"],
+            )
+            return
+        create_ts, pay_ts = state.get if state.exists else (None, None)
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("ts").iterrows():
+                ts = row["ts"].timestamp()
+                if row["event_type"] == "create":
+                    create_ts = ts if create_ts is None else min(create_ts, ts)
+                else:
+                    pay_ts = ts if pay_ts is None else min(pay_ts, ts)
+        if create_ts is not None and pay_ts is not None:
+            status = PAY_OK if pay_ts - create_ts <= timeout_seconds else PAID_AFTER_TIMEOUT
+            state.remove()
+            yield pd.DataFrame(
+                [(int(order_id), int(create_ts), int(pay_ts), status)],
+                columns=["order_id", "create_ts", "pay_ts", "status"],
+            )
+        else:
+            # one pending side — arm the event-time timer (Flink:
+            # OrderTimeout.scala:90-92 create+15min / :116-123 pay-alone)
+            state.update((create_ts, pay_ts))
+            anchor = create_ts if create_ts is not None else pay_ts
+            state.setTimeoutTimestamp(int((anchor + timeout_seconds) * 1000))
+
+    return (
+        order_events.withWatermark("ts", watermark)
+        .groupBy("order_id")
+        .applyInPandasWithState(
+            fn, ORDER_RESULT_SCHEMA, _ORDER_STATE, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )

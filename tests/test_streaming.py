@@ -1,0 +1,184 @@
+"""Streaming twins must agree with their batch formulations on a bounded
+replay (availableNow trigger over the same parquet)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flinkecuserbehavioranalysis_spark.io import load_table
+from flinkecuserbehavioranalysis_spark.operators.patterns import consecutive_fail_alerts
+from flinkecuserbehavioranalysis_spark.operators.sessions import sessionize
+from flinkecuserbehavioranalysis_spark.operators.windows import (
+    topn_per_window,
+    windowed_count,
+)
+from flinkecuserbehavioranalysis_spark.sources.generator import marketing_behavior_stream
+from flinkecuserbehavioranalysis_spark.streaming.jobs import (
+    read_events_stream,
+    run_bounded,
+    streaming_session_window,
+    streaming_topn_foreach_batch,
+    streaming_windowed_count,
+)
+from flinkecuserbehavioranalysis_spark.streaming.stateful import (
+    streaming_login_fail,
+    streaming_order_timeout,
+)
+
+from conftest import SF_DIR
+
+import pyspark.sql.functions as F
+
+
+def _rows(rows, cols):
+    return sorted(tuple(r[c] for c in cols) for r in rows)
+
+
+def _max_ts(spark, predicate=None):
+    """Final watermark of a bounded replay (delay 0) = max event time of
+    the rows actually flowing through the watermark node."""
+    df = load_table(spark, SF_DIR, "events")
+    if predicate is not None:
+        df = df.filter(predicate)
+    return df.agg(F.max(F.col("ts").cast("double")).alias("m")).collect()[0]["m"]
+
+
+def test_streaming_windowed_count_matches_batch(spark):
+    stream = read_events_stream(spark, SF_DIR).filter(F.col("event_type") == "view")
+    out = streaming_windowed_count(stream, size="1 hour")
+    got = run_bounded(out, output_mode="append")
+    # append mode emits a window once the watermark passes its end; the
+    # final window is still open at end-of-replay, exactly like a Flink
+    # window whose watermark never reached windowEnd
+    wm = _max_ts(spark, F.col("event_type") == "view")
+    batch = windowed_count(
+        load_table(spark, SF_DIR, "events").filter(F.col("event_type") == "view"), "ts", "1 hour"
+    ).filter(F.col("we") <= wm).collect()
+    assert _rows(got, ["ws", "we", "cnt"]) == _rows(batch, ["ws", "we", "cnt"])
+    assert len(got) > 0
+
+
+def test_streaming_sliding_count_matches_batch(spark):
+    stream = read_events_stream(spark, SF_DIR)
+    out = streaming_windowed_count(stream, size="1 day", slide="6 hours", keys=["event_type"])
+    got = run_bounded(out, output_mode="append")
+    wm = _max_ts(spark)
+    batch = windowed_count(
+        load_table(spark, SF_DIR, "events"), "ts", "1 day", "6 hours", keys=["event_type"]
+    ).filter(F.col("we") <= wm).collect()
+    assert _rows(got, ["ws", "we", "event_type", "cnt"]) == _rows(
+        batch, ["ws", "we", "event_type", "cnt"]
+    )
+
+
+def test_streaming_session_window_matches_batch(spark):
+    stream = read_events_stream(spark, SF_DIR)
+    got = run_bounded(streaming_session_window(stream, gap="30 minutes"))
+    wm = _max_ts(spark)
+    batch = sessionize(load_table(spark, SF_DIR, "events"), gap_seconds=1800, tiebreak_col="event_id")
+    b = (
+        batch.groupBy("user_id", "session_start", "session_end")
+        .agg(F.sum("n_events").alias("n"))
+        .filter(F.col("session_end") + 1800 <= wm)  # session closes at last_ts+gap
+    )
+    got_closed = [r for r in got if r["session_end"] + 1800 <= wm]
+    assert _rows(got_closed, ["user_id", "session_start", "session_end", "n_events"]) == _rows(
+        b.collect(), ["user_id", "session_start", "session_end", "n"]
+    )
+    assert len(got_closed) > 0
+
+
+def test_streaming_topn_foreach_batch(spark):
+    stream = read_events_stream(spark, SF_DIR).filter(F.col("event_type") == "view")
+    stream = stream.withColumn("item_id", F.pmod("event_id", F.lit(50)))
+    counts = streaming_windowed_count(stream, size="1 hour", slide="5 minutes", keys=["item_id"])
+    sink: list = []
+    run_bounded(counts, "append", foreach_batch=streaming_topn_foreach_batch(counts, 3, ["item_id"], sink))
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("event_type") == "view")
+    ev = ev.withColumn("item_id", F.pmod("event_id", F.lit(50)))
+    wm = _max_ts(spark, F.col("event_type") == "view")
+    batch = topn_per_window(
+        windowed_count(ev, "ts", "1 hour", "5 minutes", keys=["item_id"]), 3,
+        tiebreak_cols=["item_id"], rank_alias="rnk",
+    ).filter(F.col("we") <= wm).collect()
+    cols = ["ws", "we", "item_id", "cnt", "rnk"]
+    assert _rows(sink, cols) == _rows(batch, cols)
+
+
+def test_streaming_login_fail_matches_batch(spark):
+    stream = read_events_stream(spark, SF_DIR).select("user_id", "event_type", "ts", "event_id")
+    got = run_bounded(streaming_login_fail(stream, max_gap_seconds=3600.0))
+    batch = consecutive_fail_alerts(
+        load_table(spark, SF_DIR, "events"),
+        fail_value="error",
+        max_gap_seconds=3600,
+        tiebreak_col="event_id",
+    ).collect()
+    cols = ["user_id", "first_fail_ts", "last_fail_ts", "warning_msg"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert len(got) > 0
+
+
+def test_streaming_order_timeout_pay_paths(spark):
+    """Orders with both create+pay present must classify exactly like the
+    batch operator; timer-only outcomes need watermark advancement past
+    the deadline, which a single bounded batch doesn't provide."""
+    from flinkecuserbehavioranalysis_spark.operators.timeout import create_pay_status
+
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    oe_batch = orders.select(
+        F.col("o_orderkey").alias("order_id"), F.lit("create").alias("event_type"),
+        F.col("o_orderdate").alias("ts"),
+    ).unionByName(
+        lineitem.select(
+            F.col("l_orderkey").alias("order_id"), F.lit("pay").alias("event_type"),
+            F.col("l_shipdate").alias("ts"),
+        )
+    )
+    batch = {
+        r["order_id"]: (r["create_ts"], r["pay_ts"], r["status"])
+        for r in create_pay_status(oe_batch, timeout_seconds=30 * 86400).collect()
+        if r["create_ts"] is not None and r["pay_ts"] is not None
+    }
+
+    o_stream = read_events_stream(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("order_id"), F.lit("create").alias("event_type"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    l_stream = read_events_stream(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("order_id"), F.lit("pay").alias("event_type"),
+        F.col("l_shipdate").alias("ts"),
+    )
+    got = run_bounded(
+        streaming_order_timeout(o_stream.unionByName(l_stream), timeout_seconds=30 * 86400)
+    )
+    got_map = {r["order_id"]: (r["create_ts"], r["pay_ts"], r["status"]) for r in got}
+    assert len(got_map) > 0
+    for oid, expected in batch.items():
+        assert got_map.get(oid) == expected, f"order {oid}: {got_map.get(oid)} != {expected}"
+
+
+def test_rate_generator_schema(spark):
+    stream = marketing_behavior_stream(spark, rows_per_second=100, partitions=2)
+    assert set(stream.columns) == {"user_id", "behavior", "channel", "ts"}
+    q = stream.writeStream.format("memory").queryName("gen_test").outputMode("append").start()
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM gen_test").collect()[0]["c"]
+            if n > 0:
+                break
+            time.sleep(0.5)
+        rows = spark.sql(
+            "SELECT behavior, channel FROM gen_test LIMIT 20"
+        ).collect()
+        assert n > 0
+        from flinkecuserbehavioranalysis_spark.sources.generator import BEHAVIORS, CHANNELS
+
+        for r in rows:
+            assert r["behavior"] in BEHAVIORS and r["channel"] in CHANNELS
+    finally:
+        q.stop()
