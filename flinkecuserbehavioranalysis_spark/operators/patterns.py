@@ -64,6 +64,52 @@ def consecutive_fail_alerts(
     )
 
 
+def fail_burst_alerts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    fail_value: str = "fail",
+    window_seconds: int = 2,
+    min_fails: int = 2,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """F2 — the LoginFailOne.scala:62-106 variant: buffer fails per user,
+    timer at first_fail + window, emit if ≥ *min_fails* accumulated;
+    success clears the buffer (:79-81).
+
+    Batch formulation: success events split each user's history into
+    runs (cumulative success count); within a run, the anchor is the
+    first fail and only fails inside [anchor, anchor + window] count —
+    exactly the set buffered when the reference's timer fires.  Two
+    window passes + one aggregation, all shuffled once on user_id."""
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak_col).asc()] if tiebreak_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    is_succ = F.when(F.col(type_col) != fail_value, 1).otherwise(0)
+    runs = (
+        df.select(user_col, type_col, ts_col, *( [tiebreak_col] if tiebreak_col else [] ))
+        .withColumn("is_succ", is_succ)
+        .withColumn("run_id", F.sum("is_succ").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    fails = runs.filter(F.col("is_succ") == 0).withColumn("tse", F.col(ts_col).cast("double"))
+    wa = Window.partitionBy(user_col, "run_id")
+    in_window = fails.withColumn("anchor", F.min("tse").over(wa)).filter(
+        F.col("tse") <= F.col("anchor") + F.lit(float(window_seconds))
+    )
+    return (
+        in_window.groupBy(user_col, "run_id", "anchor")
+        .agg(F.max("tse").alias("last_tse"), F.count(F.lit(1)).alias("n_fails"))
+        .filter(F.col("n_fails") >= min_fails)
+        .select(
+            F.col(user_col),
+            F.col("anchor").cast("long").alias("first_fail_ts"),
+            F.col("last_tse").cast("long").alias("last_fail_ts"),
+            F.col("n_fails"),
+            F.lit(f"login fail {min_fails} times in {window_seconds}s").alias("warning_msg"),
+        )
+    )
+
+
 def blacklist_filter(
     df: DataFrame,
     user_col: str = "user_id",

@@ -785,3 +785,72 @@ FROM documents
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return decode_meta(attach_binary(docs))
+
+
+# =====================================================================
+# Reference parity — remaining variants / scalar-function extensions
+# =====================================================================
+
+from ..operators.patterns import fail_burst_alerts  # noqa: E402
+
+
+@_q(
+    "login_fail_burst",
+    """
+WITH __o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END AS is_succ
+  FROM events),
+__r AS (SELECT *, sum(is_succ) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM __o),
+__f AS (SELECT user_id, run_id, epoch(ts) AS tse FROM __r WHERE is_succ = 0),
+__a AS (SELECT user_id, run_id, min(tse) AS anchor FROM __f GROUP BY 1, 2),
+__k AS (SELECT f.user_id, f.run_id, f.tse, a.anchor
+        FROM __f f JOIN __a a USING (user_id, run_id)
+        WHERE f.tse <= a.anchor + 3600.0)
+SELECT user_id,
+       CAST(floor(anchor) AS BIGINT) AS first_fail_ts,
+       CAST(floor(max(tse)) AS BIGINT) AS last_fail_ts,
+       count(*) AS n_fails,
+       'login fail 2 times in 3600s' AS warning_msg
+FROM __k GROUP BY user_id, run_id, anchor HAVING count(*) >= 2
+""",
+    "LoginFailOne.scala:62-106 — ≥N fails within window of the first fail, success resets "
+    "(F2, the timer-buffer variant).",
+)
+def login_fail_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return fail_burst_alerts(
+        ev, fail_value="error", window_seconds=3600, min_fails=2, tiebreak_col="event_id"
+    )
+
+
+@_q(
+    "props_numeric_stats",
+    """
+SELECT CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 10 AS bucket,
+       count(*) AS cnt,
+       sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY 1
+""",
+    "Extension (§2.9): typed JSON field extraction from events.props (get_json_object, "
+    "JVM-side) + grouped stats — the reference has no JSON functions at all.",
+)
+def props_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import props_field
+
+    ev = load_table(spark, sf_dir, "events")
+    k = props_field("props", "k").cast("long")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy((F.col("k") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )

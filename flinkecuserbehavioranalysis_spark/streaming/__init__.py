@@ -3,9 +3,11 @@ from .jobs import (
     run_bounded,
     streaming_session_window,
     streaming_topn_foreach_batch,
+    streaming_uv_update,
     streaming_windowed_count,
 )
-from .stateful import streaming_login_fail, streaming_order_timeout
+from .sinks import foreach_batch_upsert, read_store
+from .stateful import streaming_blacklist, streaming_login_fail, streaming_order_timeout
 
 __all__ = [
     "read_events_stream",
@@ -13,6 +15,10 @@ __all__ = [
     "streaming_windowed_count",
     "streaming_session_window",
     "streaming_topn_foreach_batch",
+    "streaming_uv_update",
     "streaming_login_fail",
     "streaming_order_timeout",
+    "streaming_blacklist",
+    "foreach_batch_upsert",
+    "read_store",
 ]

@@ -115,6 +115,33 @@ def streaming_session_window(
     )
 
 
+def streaming_uv_update(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    size: str = "1 hour",
+    distinct_col: str = "user_id",
+    rsd: float = 0.01,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """W7/A7 twin — the reference's FIRE_AND_PURGE trigger emits a
+    running UV value on every element (UvWithBloomFilter.scala:66-89);
+    Structured Streaming's ``update`` output mode emits the running
+    value once per micro-batch instead (same semantics at batch
+    granularity — run with ``output_mode='update'``).  The bloom
+    filter/Redis bitmap becomes a mergeable HLL++ sketch in the state
+    store."""
+    wm = stream.withWatermark(ts_col, watermark)
+    return (
+        wm.groupBy(F.window(F.col(ts_col), size).alias("w"))
+        .agg(F.approx_count_distinct(distinct_col, rsd).alias("uv"))
+        .select(
+            F.col("w.start").cast("long").alias("ws"),
+            F.col("w.end").cast("long").alias("we"),
+            F.col("uv"),
+        )
+    )
+
+
 def streaming_topn_foreach_batch(
     counts: DataFrame,
     n: int,

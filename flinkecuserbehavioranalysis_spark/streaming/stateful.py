@@ -107,6 +107,66 @@ def streaming_login_fail(
     )
 
 
+BLACKLIST_WARNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ad_id", LongType()),
+        StructField("day", LongType()),
+        StructField("warning_msg", StringType()),
+    ]
+)
+_BLACKLIST_STATE = StructType(
+    [
+        StructField("day", LongType()),
+        StructField("cnt", LongType()),
+        StructField("sent", LongType()),
+    ]
+)
+
+
+def streaming_blacklist(
+    events: DataFrame,
+    threshold: int = 100,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of ``operators.patterns.blacklist_filter`` —
+    the F1 ``KeyedProcessFunction`` (AdAnalysisByProvinceBlack.scala:69-109):
+    per (user, ad) keep a running count + sent flag in state; emit ONE
+    warning when the count first exceeds *threshold*.  The reference's
+    midnight processing-time timer (:81-84) becomes an event-time day
+    rollover in state — deterministic under replay, which a wall-clock
+    timer is not.  Input columns: user_id, ad_id, ts."""
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user_id, ad_id = key
+        day, cnt, sent = state.get if state.exists else (None, 0, 0)
+        out = []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("ts").iterrows():
+                d = int(row["ts"].timestamp() // 86400)
+                if day is None or d != day:
+                    day, cnt, sent = d, 0, 0  # midnight state reset
+                cnt += 1
+                if cnt > threshold and not sent:
+                    out.append(
+                        (int(user_id), int(ad_id), day, f"Click over {threshold} times today")
+                    )
+                    sent = 1
+        state.update((day, cnt, sent))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "ad_id", "day", "warning_msg"])
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", "ad_id")
+        .applyInPandasWithState(
+            fn, BLACKLIST_WARNING_SCHEMA, _BLACKLIST_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def streaming_order_timeout(
     order_events: DataFrame,
     timeout_seconds: float = 900.0,

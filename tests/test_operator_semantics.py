@@ -1,0 +1,167 @@
+"""Hand-built fixtures encoding the reference's exact edge semantics
+(SURVEY.md §5 — the 4-case OrderTimeout analysis, blacklist
+first-warning-only, login-fail success-reset, interval-join bounds,
+session gap boundaries, top-N tiebreaks)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from flinkecuserbehavioranalysis_spark.operators.joins import (
+    MATCHED,
+    UNMATCHED_LEFT,
+    UNMATCHED_RIGHT,
+    interval_join,
+    tx_match_full_outer,
+)
+from flinkecuserbehavioranalysis_spark.operators.patterns import (
+    blacklist_filter,
+    consecutive_fail_alerts,
+    fail_burst_alerts,
+)
+from flinkecuserbehavioranalysis_spark.operators.sessions import sessionize
+from flinkecuserbehavioranalysis_spark.operators.timeout import (
+    PAID_AFTER_TIMEOUT,
+    PAID_NO_CREATE,
+    PAY_OK,
+    TIMEOUT,
+    create_pay_status,
+)
+from flinkecuserbehavioranalysis_spark.operators.windows import topn_per_window, windowed_count
+
+
+def _ts_df(spark, rows, cols):
+    """Build a frame where any column named ts/ts-ish is epoch seconds."""
+    df = spark.createDataFrame(rows, cols)
+    for c in cols:
+        if c.startswith("ts"):
+            df = df.withColumn(c, F.timestamp_seconds(F.col(c)))
+    return df
+
+
+# --- OrderTimeout.scala:78-124 — the 4 cases -------------------------------
+
+
+def test_order_timeout_four_cases(spark):
+    rows = [
+        (1, "create", 1000),
+        (1, "pay", 1500),  # within 900s → success
+        (2, "create", 1000),  # no pay → timeout
+        (3, "create", 1000),
+        (3, "pay", 2000),  # > 900s → payed but already timeout
+        (4, "pay", 1000),  # pay with no create
+        (5, "pay", 900),
+        (5, "create", 1000),  # pay-before-create → success (OrderTimeout.scala:78-85)
+    ]
+    df = _ts_df(spark, rows, ["order_id", "event_type", "ts"])
+    got = {
+        r["order_id"]: r["status"]
+        for r in create_pay_status(df, timeout_seconds=900).collect()
+    }
+    assert got == {1: PAY_OK, 2: TIMEOUT, 3: PAID_AFTER_TIMEOUT, 4: PAID_NO_CREATE, 5: PAY_OK}
+
+
+# --- AdAnalysisByProvinceBlack.scala:86-95 — warn once, then drop ----------
+
+
+def test_blacklist_first_warning_only(spark):
+    day0 = 0
+    rows = [(7, 1, 100 + i, i) for i in range(5)]  # 5 clicks same (user, ad, day)
+    rows += [(7, 1, 86400 + 50, 99)]  # next day → counter reset
+    df = _ts_df(spark, rows, ["user_id", "ad_id", "ts", "event_id"])
+    passed, warnings = blacklist_filter(df, threshold=2, tiebreak_col="event_id")
+    w = warnings.collect()
+    assert len(w) == 1  # one warning despite 3 over-threshold rows
+    assert (w[0]["user_id"], w[0]["ad_id"], w[0]["day"]) == (7, 1, day0)
+    assert w[0]["warning_msg"] == "Click over 2 times today"
+    p = passed.collect()
+    # first 2 rows of day 0 pass + the day-1 row passes (reset)
+    assert sorted(r["event_id"] for r in p) == [0, 1, 99]
+
+
+# --- LoginFailTwo.scala:87-88 — success resets the pair --------------------
+
+
+def test_login_fail_success_resets(spark):
+    rows = [
+        (1, "fail", 100, 0),
+        (1, "success", 101, 1),
+        (1, "fail", 102, 2),  # no alert: success between fails
+        (2, "fail", 100, 3),
+        (2, "fail", 101, 4),  # alert: consecutive within 2s
+        (3, "fail", 100, 5),
+        (3, "fail", 200, 6),  # no alert: gap > 2s
+    ]
+    df = _ts_df(spark, rows, ["user_id", "event_type", "ts", "event_id"])
+    got = consecutive_fail_alerts(df, max_gap_seconds=2, tiebreak_col="event_id").collect()
+    assert [(r["user_id"], r["first_fail_ts"], r["last_fail_ts"]) for r in got] == [(2, 100, 101)]
+
+
+# --- LoginFailOne.scala:62-106 — buffer-until-timer variant ----------------
+
+
+def test_fail_burst_window_anchored_at_first_fail(spark):
+    rows = [
+        (1, "fail", 100, 0),
+        (1, "fail", 101, 1),
+        (1, "fail", 110, 2),  # outside [100, 105] → not buffered at timer
+        (2, "fail", 100, 3),
+        (2, "success", 101, 4),
+        (2, "fail", 102, 5),  # reset → single fail in new run, no alert
+    ]
+    df = _ts_df(spark, rows, ["user_id", "event_type", "ts", "event_id"])
+    got = fail_burst_alerts(
+        df, window_seconds=5, min_fails=2, tiebreak_col="event_id"
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["user_id"], r["first_fail_ts"], r["last_fail_ts"], r["n_fails"]) == (1, 100, 101, 2)
+
+
+# --- OrderPayTxMatchWithJoin.scala:54-57 — interval bounds inclusive -------
+
+
+def test_interval_join_bounds(spark):
+    left = _ts_df(spark, [(1, 1000)], ["k", "ts"])
+    right = _ts_df(
+        spark,
+        [(1, 995), (1, 994), (1, 1003), (1, 1004)],
+        ["k", "ts"],
+    )
+    j = interval_join(left, right, key="k", lower_seconds=5, upper_seconds=3)
+    got = sorted(r["ts"].timestamp() for r in j.select(F.col("r.ts").alias("ts")).collect())
+    assert got == [995.0, 1003.0]  # [-5s, +3s] inclusive both ends
+
+
+def test_tx_match_statuses(spark):
+    pays = _ts_df(spark, [("a", 100), ("b", 100)], ["tx_id", "ts"])
+    receipts = _ts_df(spark, [("a", 101), ("c", 100)], ["tx_id", "ts"])
+    got = {r["tx_id"]: r["status"] for r in tx_match_full_outer(pays, receipts).collect()}
+    assert got == {"a": MATCHED, "b": UNMATCHED_LEFT, "c": UNMATCHED_RIGHT}
+
+
+# --- sessionization gap boundary ------------------------------------------
+
+
+def test_session_gap_boundary(spark):
+    rows = [(1, 0, 0), (1, 1800, 1), (1, 3601, 2)]  # Δ=1800 (=gap) joins; Δ=1801 splits
+    df = _ts_df(spark, rows, ["user_id", "ts", "event_id"])
+    got = sessionize(df, gap_seconds=1800, tiebreak_col="event_id").collect()
+    spans = sorted((r["session_start"], r["session_end"], r["n_events"]) for r in got)
+    assert spans == [(0, 1800, 2), (3601, 3601, 1)]
+
+
+# --- HotItems tiebreak determinism ----------------------------------------
+
+
+def test_topn_tiebreak(spark):
+    rows = [(100, 200, k, 5) for k in (3, 1, 2)]  # equal counts → key-ascending wins
+    counts = spark.createDataFrame(rows, ["ws", "we", "item_id", "cnt"])
+    got = topn_per_window(counts, 2, tiebreak_cols=["item_id"], rank_alias="rnk").collect()
+    assert sorted((r["item_id"], r["rnk"]) for r in got) == [(1, 1), (2, 2)]
+
+
+def test_windowed_count_empty_input(spark):
+    df = spark.createDataFrame([], "user_id INT, ts TIMESTAMP")
+    assert windowed_count(df, "ts", "1 hour").count() == 0

@@ -1,0 +1,62 @@
+"""Physical-plan guards — the 100 TB posture checks (SURVEY.md §4).
+
+These assert the *shape* Catalyst produces, not timings: filters reach
+the parquet scan, column pruning holds, dimension joins broadcast,
+global top-K avoids a full sort, aggregations are partial/final."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from flinkecuserbehavioranalysis_spark.plans.queries import QUERIES
+
+from conftest import SF_DIR
+
+
+def _explain(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _explain(spark, "page_view_count")
+    assert "PushedFilters" in plan
+    assert "EqualTo(event_type,view)" in plan
+
+
+def test_column_pruning(spark):
+    plan = _explain(spark, "page_view_count")
+    # scan must read only the filter + window columns, not value/props
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    assert "props" not in read_schema[0] and "value" not in read_schema[0]
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = _explain(spark, "region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation & region never shuffle
+
+
+def test_global_topk_avoids_full_sort(spark):
+    plan = _explain(spark, "top_revenue_customers")
+    assert "TakeOrderedAndProject" in plan  # partial top-K, not a global Sort+Limit
+
+
+def test_partial_aggregation(spark):
+    plan = _explain(spark, "pricing_summary")
+    # partial → exchange → final: two HashAggregates around one shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_windowed_count_single_shuffle(spark):
+    plan = _explain(spark, "page_view_count")
+    # one exchange for the (window) grouping — no extra repartitions
+    agg_exchanges = plan.count("Arguments: hashpartitioning")
+    assert agg_exchanges == 1, plan

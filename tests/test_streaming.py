@@ -182,3 +182,48 @@ def test_rate_generator_schema(spark):
             assert r["behavior"] in BEHAVIORS and r["channel"] in CHANNELS
     finally:
         q.stop()
+
+
+def test_streaming_blacklist_matches_batch(spark):
+    from flinkecuserbehavioranalysis_spark.streaming.stateful import streaming_blacklist
+    from flinkecuserbehavioranalysis_spark.operators.patterns import blacklist_filter
+
+    stream = read_events_stream(spark, SF_DIR).select(
+        "user_id", F.pmod("event_id", F.lit(2)).alias("ad_id"), "ts"
+    )
+    got = run_bounded(streaming_blacklist(stream, threshold=1))
+    ev = load_table(spark, SF_DIR, "events").withColumn("ad_id", F.pmod("event_id", F.lit(2)))
+    _, warnings = blacklist_filter(ev, threshold=1, tiebreak_col="event_id")
+    cols = ["user_id", "ad_id", "day", "warning_msg"]
+    assert _rows(got, cols) == _rows(warnings.collect(), cols)
+    assert len(got) > 0
+
+
+def test_streaming_uv_update_mode(spark):
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import streaming_uv_update
+    from flinkecuserbehavioranalysis_spark.operators.distinct import windowed_distinct_count
+
+    stream = read_events_stream(spark, SF_DIR).filter(F.col("event_type") == "view")
+    got = run_bounded(streaming_uv_update(stream), output_mode="update")
+    # single bounded batch → one (final) emission per window == batch values
+    batch = windowed_distinct_count(
+        load_table(spark, SF_DIR, "events").filter(F.col("event_type") == "view"),
+        "ts", "1 hour", "user_id", approx=True, rsd=0.01,
+    ).collect()
+    assert _rows(got, ["ws", "we", "uv"]) == _rows(batch, ["ws", "we", "uv"])
+
+
+def test_foreach_batch_upsert_idempotent(spark, tmp_path):
+    from flinkecuserbehavioranalysis_spark.streaming.sinks import foreach_batch_upsert, read_store
+
+    target = str(tmp_path / "uv_store")
+    stream = read_events_stream(spark, SF_DIR).filter(F.col("event_type") == "view")
+    out = streaming_windowed_count(stream, size="1 hour")
+    sink_fn = foreach_batch_upsert(target, ["ws", "we"])
+    run_bounded(out, "append", foreach_batch=sink_fn)
+    first = _rows(read_store(spark, target).collect(), ["ws", "we", "cnt"])
+    # replay the whole stream again — upsert must converge to the same store
+    run_bounded(out, "append", foreach_batch=sink_fn)
+    second = _rows(read_store(spark, target).collect(), ["ws", "we", "cnt"])
+    assert first == second
+    assert len(first) > 0
