@@ -1,0 +1,51 @@
+"""Holistic window aggregates via ``applyInPandas`` (SURVEY.md §2.10).
+
+The reference's ``WindowFunction`` / ``ProcessWindowFunction`` /
+``AllWindowFunction`` extension points buffer a whole window's rows and
+compute over them (A2/A3/A5 — e.g. UvCountByWindow's Set build,
+UniqueVisitor.scala:52-66).  Spark's equivalent surface for aggregates
+Catalyst can't express is ``groupBy(...).applyInPandas``: each window
+group arrives as one Arrow-backed pandas frame.
+
+Use this ONLY for genuinely holistic computations — anything expressible
+as a builtin aggregate (count, distinct, percentile_approx) should stay
+JVM-side.  At 100 TB the group-at-a-time buffering means window×key
+groups must fit executor memory — same constraint the reference's
+ProcessWindowFunction has, minus the single-node ceiling.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_quantiles(
+    df: DataFrame,
+    ts_col: str = "ts",
+    size_seconds: int = 3600,
+    value_col: str = "value",
+    quantiles: Sequence[float] = (0.5, 0.9),
+) -> DataFrame:
+    """Exact per-window quantiles of *value_col* (linear interpolation —
+    the ``quantile_cont`` contract) via one applyInPandas per tumbling
+    window.  Output: ws, we, q<NN> per quantile, n."""
+    qcols = [f"q{int(q * 100)}" for q in quantiles]
+    schema = "ws long, we long, " + ", ".join(f"{c} double" for c in qcols) + ", n long"
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        ws = int(pdf["ws"].iloc[0])
+        vals = pdf[value_col]
+        row = {"ws": ws, "we": ws + size_seconds, "n": len(pdf)}
+        for q, c in zip(quantiles, qcols):
+            row[c] = round(float(vals.quantile(q, interpolation="linear")), 6)
+        return pd.DataFrame([row])
+
+    base = df.select(
+        ((F.col(ts_col).cast("long") / size_seconds).cast("long") * size_seconds).alias("ws"),
+        F.col(value_col),
+    )
+    return base.groupBy("ws").applyInPandas(agg, schema).select("ws", "we", *qcols, "n")

@@ -854,3 +854,176 @@ def props_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
     )
+
+
+# =====================================================================
+# Extensions — set operations (J3), semi/anti joins, distribution
+# analytics over the full star schema, holistic window aggregates
+# =====================================================================
+
+from ..operators.custom_agg import windowed_quantiles  # noqa: E402
+
+
+@_q(
+    "customers_without_big_orders",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+""",
+    "Extension (J3/anti): customers with no order above 450k — anti join with a pushed "
+    "filter on the probe side.",
+)
+def customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 450000.0)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@_q(
+    "buyer_viewer_overlap",
+    """
+SELECT user_id FROM events WHERE event_type = 'view'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+    "Extension (J3/intersect): users who both viewed and purchased.",
+)
+def buyer_viewer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return views.intersect(buys)
+
+
+@_q(
+    "view_days_without_purchase",
+    """
+SELECT user_id, CAST(floor(floor(epoch(ts))/86400) AS BIGINT) AS day
+FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id, CAST(floor(floor(epoch(ts))/86400) AS BIGINT) AS day
+FROM events WHERE event_type = 'purchase'
+""",
+    "Extension (J3/except): (user, day) pairs with views but no purchase that day.",
+)
+def view_days_without_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.col("ts").cast("long") / DAY).cast("long").alias("day")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", day)
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
+    return views.subtract(buys)  # EXCEPT (set) semantics, not exceptAll
+
+
+@_q(
+    "late_shipment_priority_counts",
+    """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND epoch(l_shipdate) > epoch(o_orderdate) + 5184000.0)
+GROUP BY o_orderpriority
+""",
+    "Extension (TPC-H Q4-style, semi join): orders having a lineitem shipped > 60 days "
+    "after ordering, counted per priority.",
+)
+def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate").cast("double") > F.col("o_orderdate").cast("double") + 60 * DAY
+    )
+    return (
+        orders.join(lineitem, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@_q(
+    "customer_order_distribution",
+    """
+WITH __c AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist FROM __c GROUP BY c_count
+""",
+    "Extension (TPC-H Q13-style): histogram of orders-per-customer (left outer + two-phase agg).",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_q(
+    "economy_revenue_share",
+    f"""
+SELECT CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN {_REVENUE_SQL}
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+         / CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS economy_share_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+""",
+    "Extension (TPC-H Q14-style): ECONOMY part-type revenue share — conditional decimal "
+    "aggregation with a broadcast part join.",
+)
+def economy_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    j = lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    econ = F.sum(
+        F.when(F.col("p_type") == "ECONOMY", _revenue()).otherwise(F.lit(0).cast("decimal(18,2)"))
+    )
+    total = F.sum(_revenue())
+    return j.agg(
+        (econ.cast("double") * 100.0 / total.cast("double")).alias("economy_share_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@_q(
+    "brand_supplier_revenue",
+    f"""
+SELECT p_brand, s_name, CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand, s_name
+""",
+    "Extension: revenue per (brand, supplier) — two broadcast dims on the fact scan.",
+)
+def brand_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part, supplier = (
+        load_table(spark, sf_dir, t) for t in ("lineitem", "part", "supplier")
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_brand", "s_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+@_q(
+    "windowed_value_quantiles",
+    """
+SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS ws,
+       CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) + 86400 AS we,
+       round(quantile_cont(value, 0.5), 6) AS q50,
+       round(quantile_cont(value, 0.9), 6) AS q90,
+       count(*) AS n
+FROM events GROUP BY 1, 2
+""",
+    "Extension (§2.10 holistic window UDF surface): exact per-window value quantiles via "
+    "applyInPandas (Arrow group-at-a-time — the ProcessWindowFunction analog).",
+)
+def windowed_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_quantiles(ev, "ts", DAY, "value", quantiles=(0.5, 0.9))

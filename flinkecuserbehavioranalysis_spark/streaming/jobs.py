@@ -115,6 +115,39 @@ def streaming_session_window(
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_seconds: float = 5,
+    upper_seconds: float = 3,
+    left_watermark: str = "10 seconds",
+    right_watermark: str = "10 seconds",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join (J1/J2 streaming twins,
+    OrderPayTxMatchWithJoin.scala:54-57 / OrderPayTxMatch.scala:71-126).
+
+    Both sides carry watermarks; the time-range condition bounds join
+    state exactly like the two ``keyBy`` + ValueState pairs in the
+    reference — Spark's state manager evicts rows once the other side's
+    watermark passes their match window.  ``how='full_outer'`` emits the
+    null-padded unmatched rows at eviction time: precisely the
+    reference's timer-driven unmatched-pays/unmatched-receipts side
+    outputs."""
+    l_ = left.withWatermark(left_ts, left_watermark).alias("l")
+    r_ = right.withWatermark(right_ts, right_watermark).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts >= lts - F.expr(f"INTERVAL {int(lower_seconds)} SECONDS"))
+        & (rts <= lts + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS"))
+    )
+    return l_.join(r_, cond, how)
+
+
 def streaming_uv_update(
     stream: DataFrame,
     ts_col: str = "ts",

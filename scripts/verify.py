@@ -1,0 +1,133 @@
+"""End-to-end driver-contract verification (.claude/skills/verify recipe).
+
+Fresh-process check of __spark_entry__.py exactly the way the driver
+consumes it: plain SparkSession (no repo get_spark), entry() smoke at
+sf0.001, then a t2 twin-run of every queries()/oracle_sql() pair against
+DuckDB at sf0.01 with order-insensitive, float-normalized comparison.
+
+Usage: python scripts/verify.py [--sf-dir /root/testdata/sf0.01] [--tz Asia/Shanghai]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from decimal import Decimal
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_val(v):
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        return float(f"{v:.9g}")
+    return v
+
+
+def norm_rows(rows):
+    return sorted((tuple(norm_val(v) for v in r) for r in rows), key=repr)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--smoke-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--tz", default=None, help="driver session timezone override probe")
+    ap.add_argument("--only", default=None, help="comma-separated query names")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+    )
+    if args.tz:
+        b = b.config("spark.sql.session.timeZone", args.tz)
+    spark = b.getOrCreate()
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as E
+
+    t0 = time.time()
+    n = len(E.entry(spark).collect())
+    print(f"entry() smoke: {n} rows in {time.time() - t0:.1f}s", flush=True)
+    assert n > 0, "entry() returned 0 rows"
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    queries, oracles = E.queries(), E.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+    failed, rows_only = [], []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf_dir)
+            scols = sorted(c.lower() for c in sdf.columns)
+            srows = norm_rows(tuple(r) for r in sdf.collect())
+        except Exception as exc:  # noqa: BLE001
+            failed.append((name, f"spark error: {exc}"))
+            print(f"FAIL {name}: spark error: {exc}", flush=True)
+            continue
+        if name not in oracles:
+            rows_only.append((name, len(srows)))
+            print(f"  ok(rows-only) {name}: {len(srows)} rows {time.time()-t0:.1f}s", flush=True)
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = sorted(c.lower() for c, *_ in cur.description)
+            orows = norm_rows(cur.fetchall())
+        except Exception as exc:  # noqa: BLE001
+            failed.append((name, f"oracle error: {exc}"))
+            print(f"FAIL {name}: oracle error: {exc}", flush=True)
+            continue
+        # compare with columns sorted by name (driver semantics)
+        sidx = [i for _, i in sorted((c.lower(), i) for i, c in enumerate(sdf.columns))]
+        oidx = [i for _, i in sorted((c.lower(), i) for i, c in enumerate([c for c, *_ in cur.description]))]
+        s_sorted = norm_rows(tuple(r[i] for i in sidx) for r in sdf.collect())
+        o_sorted = norm_rows(tuple(r[i] for i in oidx) for r in con.execute(oracles[name]).fetchall())
+        if scols != ocols:
+            failed.append((name, f"schema mismatch: spark={scols} oracle={ocols}"))
+            print(f"FAIL {name}: schema mismatch\n  spark={scols}\n  duck ={ocols}", flush=True)
+        elif len(s_sorted) != len(o_sorted):
+            failed.append((name, f"rowcount {len(s_sorted)} vs {len(o_sorted)}"))
+            print(f"FAIL {name}: rowcount {len(s_sorted)} vs {len(o_sorted)}", flush=True)
+        elif s_sorted != o_sorted:
+            diff = next(
+                (i, a, b) for i, (a, b) in enumerate(zip(s_sorted, o_sorted)) if a != b
+            )
+            failed.append((name, f"value mismatch at sorted row {diff[0]}"))
+            print(
+                f"FAIL {name}: value mismatch at sorted row {diff[0]}\n"
+                f"  spark={diff[1]}\n  duck ={diff[2]}",
+                flush=True,
+            )
+        else:
+            print(f"  ok {name}: {len(s_sorted)} rows {time.time()-t0:.1f}s", flush=True)
+
+    print(
+        f"\n{len(queries) - len(failed)}/{len(queries)} ok "
+        f"({len(rows_only)} rows-only, {len(failed)} FAILED)",
+        flush=True,
+    )
+    for name, why in failed:
+        print(f"  FAILED {name}: {why}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

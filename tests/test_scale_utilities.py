@@ -1,0 +1,146 @@
+"""Scale utilities: salted aggregation equivalence, streaming interval
+join vs batch, CSV/apache-log readers, holistic quantile operator."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from flinkecuserbehavioranalysis_spark.io import load_table, read_apache_log, read_csv_events
+from flinkecuserbehavioranalysis_spark.operators.joins import interval_join
+from flinkecuserbehavioranalysis_spark.operators.skew import salted_count, salted_sum
+from flinkecuserbehavioranalysis_spark.schemas import LOGIN_EVENT, ORDER_EVENT
+from flinkecuserbehavioranalysis_spark.streaming.jobs import (
+    read_events_stream,
+    run_bounded,
+    streaming_interval_join,
+)
+
+from conftest import SF_DIR
+
+
+def test_salted_count_equals_plain(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    plain = {
+        (r["event_type"],): r["cnt"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    salted = {
+        (r["event_type"],): r["cnt"]
+        for r in salted_count(ev, ["event_type"], salt_from="event_id").collect()
+    }
+    assert plain == salted
+
+
+def test_salted_sum_equals_plain(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    # integer-exact sum (quantities are whole-valued doubles ≤ 50)
+    plain = {
+        r["l_returnflag"]: r["t"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("t"))
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: r["total"]
+        for r in salted_sum(
+            li, ["l_returnflag"], F.col("l_quantity").cast("decimal(18,2)"), salt_from="l_orderkey"
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_streaming_interval_join_matches_batch(spark):
+    o = read_events_stream(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderdate").alias("ts")
+    )
+    l = read_events_stream(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_linenumber", F.col("l_shipdate").alias("ts")
+    )
+    j = streaming_interval_join(
+        o, l, key="k", lower_seconds=0, upper_seconds=30 * 86400,
+        left_watermark="0 seconds", right_watermark="0 seconds",
+    ).select(
+        F.col("l.k").alias("order_id"),
+        F.col("r.l_linenumber").alias("line_no"),
+        F.col("l.ts").cast("long").alias("order_ts"),
+        F.col("r.ts").cast("long").alias("ship_ts"),
+    )
+    got = run_bounded(j, "append")
+    batch = interval_join(
+        load_table(spark, SF_DIR, "orders").select(
+            F.col("o_orderkey").alias("k"), F.col("o_orderdate").alias("ts")
+        ),
+        load_table(spark, SF_DIR, "lineitem").select(
+            F.col("l_orderkey").alias("k"), "l_linenumber", F.col("l_shipdate").alias("ts")
+        ),
+        key="k", lower_seconds=0, upper_seconds=30 * 86400,
+    ).select(
+        F.col("l.k").alias("order_id"),
+        F.col("r.l_linenumber").alias("line_no"),
+        F.col("l.ts").cast("long").alias("order_ts"),
+        F.col("r.ts").cast("long").alias("ship_ts"),
+    ).collect()
+    cols = ["order_id", "line_no", "order_ts", "ship_ts"]
+    assert sorted(tuple(r[c] for c in cols) for r in got) == sorted(
+        tuple(r[c] for c in cols) for r in batch
+    )
+    assert len(got) > 0
+
+
+def test_read_csv_events(spark, tmp_path):
+    # reference LoginLog.csv format: userId,ip,eventType,epochSeconds
+    p = tmp_path / "login.csv"
+    p.write_text("1001,10.0.0.1,fail,1558430842\n1001,10.0.0.2,success,1558430845\n")
+    df = read_csv_events(spark, str(p), LOGIN_EVENT)
+    rows = df.collect()
+    assert df.dtypes == [
+        ("user_id", "bigint"), ("ip", "string"), ("event_type", "string"), ("ts", "timestamp"),
+    ]
+    assert rows[0]["user_id"] == 1001 and rows[0]["ts"].timestamp() == 1558430842.0
+
+
+def test_read_csv_order_events(spark, tmp_path):
+    # reference OrderLog.csv format: orderId,eventType,txId,epochSeconds
+    p = tmp_path / "orders.csv"
+    p.write_text("34729,create,,1558430842\n34729,pay,sd76f87d6,1558430844\n")
+    df = read_csv_events(spark, str(p), ORDER_EVENT)
+    rows = sorted(df.collect(), key=lambda r: r["ts"])
+    assert rows[1]["tx_id"] == "sd76f87d6"
+    assert rows[0]["tx_id"] is None  # empty create tx (OrderTimeout.scala drops it)
+
+
+def test_read_apache_log(spark, tmp_path):
+    # reference apache.log format: ip - - dd/MM/yyyy:HH:mm:ss +0000 METHOD url
+    p = tmp_path / "apache.log"
+    p.write_text(
+        "83.149.9.216 - - 17/05/2015:10:05:03 +0000 GET /presentations/a.png\n"
+        "83.149.9.217 - - 17/05/2015:10:05:46 +0000 POST /api/x\n"
+    )
+    df = read_apache_log(spark, str(p))
+    rows = sorted(df.collect(), key=lambda r: r["event_time"])
+    assert rows[0]["ip"] == "83.149.9.216"
+    assert rows[0]["method"] == "GET"
+    assert rows[1]["url"] == "/api/x"
+    assert rows[0]["event_time"].strftime("%Y-%m-%d %H:%M:%S") == "2015-05-17 10:05:03"
+
+
+def test_windowed_quantiles_operator(spark):
+    from flinkecuserbehavioranalysis_spark.operators.custom_agg import windowed_quantiles
+
+    ev = load_table(spark, SF_DIR, "events")
+    got = windowed_quantiles(ev, "ts", 86400, "value", quantiles=(0.5,))
+    rows = got.collect()
+    assert len(rows) > 0
+    # spot-check one window against a driver-side computation
+    import pandas as pd
+
+    first_ws = rows[0]["ws"]
+    vals = [
+        r["value"]
+        for r in ev.filter(
+            (F.col("ts").cast("long") / 86400).cast("long") * 86400 == first_ws
+        ).collect()
+    ]
+    expect = round(float(pd.Series(vals).quantile(0.5)), 6)
+    assert next(r["q50"] for r in rows if r["ws"] == first_ws) == expect
