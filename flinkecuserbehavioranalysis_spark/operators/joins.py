@@ -20,7 +20,9 @@ Reference semantics reproduced:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MATCHED = "matched"
@@ -79,3 +81,61 @@ def tx_match_full_outer(
         F.col("r_ts").cast("long").alias("receipt_ts"),
         status.alias("status"),
     )
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str],
+) -> DataFrame:
+    """Backward as-of join: attach to every left row the right row with
+    the greatest ``right_ts <= left_ts`` for the same *key* (extension —
+    no reference analog; generalizes J1's time matching to "most recent
+    prior" semantics, the standard quote/trade alignment).
+
+    Distributed shape: instead of the naive inequality join (which
+    explodes to all prior rows before a per-left-row argmax), both sides
+    are union-tagged and sorted once per key; ``last(ignorenulls)`` over
+    a running window propagates the latest right payload onto each left
+    row.  ONE shuffle on *key*, no row explosion — the only formulation
+    that survives 100 TB sides.
+
+    Requirements: *right_payload* names must not collide with left
+    columns, and the right side must be unique per (key, right_ts)
+    (pre-aggregate otherwise) so ties are deterministic.  Left rows with
+    no prior right row keep NULL payloads (left-outer semantics).
+    """
+    lcols = left.columns
+    l2 = left.withColumn("__t", F.col(left_ts)).withColumn("__tag", F.lit(1))
+    for c in right_payload:
+        l2 = l2.withColumn(c, F.lit(None))
+    r2 = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__tag"),
+        *[F.col(c) for c in right_payload],
+    )
+    for c in lcols:
+        if c != key:
+            r2 = r2.withColumn(c, F.lit(None))
+    unioned = l2.select(key, "__t", "__tag", *[c for c in lcols if c != key], *right_payload).unionByName(
+        r2.select(key, "__t", "__tag", *[c for c in lcols if c != key], *right_payload)
+    )
+    # right rows (__tag=0) sort before left rows at the same timestamp →
+    # a right row AT left_ts is visible to that left row (<= semantics)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        key,
+        "__t",
+        "__tag",
+        *[c for c in lcols if c != key],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
+    )
+    return filled.filter(F.col("__tag") == 1).select(*lcols, *right_payload)

@@ -118,3 +118,89 @@ def bucketed_neardup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    n_cells: int = 16,
+    nprobe: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: the scale path for similarity search.
+
+    Coarse quantizer = the *n_cells* vectors with the smallest ids — a
+    deterministic stand-in for a trained k-means codebook (swap in
+    trained centroids in production; the plan shape is identical).
+    Every corpus vector is assigned to its nearest cell (one broadcast
+    of the tiny codebook, linear scan); each query probes its *nprobe*
+    nearest cells and scores only those cells' members.
+
+    Cost shape: assignment O(n·n_cells) map-side; candidate scoring
+    shuffles on the cell id — Σ_probed |cell| pairs instead of the
+    brute-force O(n·q).  Recall < 1 by construction; verify against
+    ``brute_force_topk`` on samples.  Output: (q_id, neighbor_id, cos,
+    rnk) — same schema as the exact baseline."""
+    from pyspark.sql import Window
+
+    seeds = (
+        vectors.orderBy(F.col(id_col))
+        .limit(n_cells)
+        .select(F.col(id_col).alias("seed_id"), _as_double(vec_col).alias("s_vec"))
+        .withColumn("s_norm", F.sqrt(dot(F.col("s_vec"), F.col("s_vec"))))
+    )
+
+    def nearest_cells(df: DataFrame, out_id: str, keep_vec: str, n_keep: int) -> DataFrame:
+        scored = (
+            df.crossJoin(F.broadcast(seeds))
+            .select(
+                out_id,
+                keep_vec,
+                f"{keep_vec[:-4]}_norm" if keep_vec.endswith("_vec") else keep_vec,
+                "seed_id",
+                F.round(
+                    dot(F.col(keep_vec), F.col("s_vec"))
+                    / (F.col(f"{keep_vec[:-4]}_norm") * F.col("s_norm")),
+                    6,
+                ).alias("s_cos"),
+            )
+        )
+        w = Window.partitionBy(out_id).orderBy(F.col("s_cos").desc(), F.col("seed_id").asc())
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n_keep)
+            .withColumnRenamed("seed_id", "cell")
+        )
+
+    v = (
+        vectors.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v_vec"))
+        .withColumn("v_norm", F.sqrt(dot(F.col("v_vec"), F.col("v_vec"))))
+    )
+    q = (
+        queries.select(F.col(query_id_col).alias("q_id"), _as_double(vec_col).alias("q_vec"))
+        .withColumn("q_norm", F.sqrt(dot(F.col("q_vec"), F.col("q_vec"))))
+    )
+    assigned = nearest_cells(v, "neighbor_id", "v_vec", 1).select(
+        "neighbor_id", "v_vec", "v_norm", "cell"
+    )
+    probes = nearest_cells(q, "q_id", "q_vec", nprobe).select("q_id", "q_vec", "q_norm", "cell")
+    scored = (
+        assigned.join(probes, "cell")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("v_vec")) / (F.col("q_norm") * F.col("v_norm")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "cos", "rnk")
+    )

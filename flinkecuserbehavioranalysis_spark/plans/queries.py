@@ -1027,3 +1027,156 @@ FROM events GROUP BY 1, 2
 def windowed_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return windowed_quantiles(ev, "ts", DAY, "value", quantiles=(0.5, 0.9))
+
+
+# =====================================================================
+# Extensions — as-of join, IVF ANN, rollup, window-frame analytics
+# =====================================================================
+
+from ..operators.joins import as_of_join  # noqa: E402
+from ..operators.similarity import ivf_topk  # noqa: E402
+
+
+@_q(
+    "event_last_order_asof",
+    """
+WITH __r AS (
+  SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_ts,
+         max(o_orderkey) AS last_order_id
+  FROM orders GROUP BY 1, 2),
+__l AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS event_ts FROM events)
+SELECT event_id, user_id, event_ts, last_order_id, order_ts AS last_order_ts
+FROM __l ASOF LEFT JOIN __r ON user_id = o_custkey AND event_ts >= order_ts
+""",
+    "Extension (as-of join): each event annotated with the user's most recent order at or "
+    "before it — union-tagged last-value propagation, one shuffle, no row explosion.",
+)
+def event_last_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("event_ts")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    rt = (
+        orders.groupBy(
+            F.col("o_custkey"), F.col("o_orderdate").cast("long").alias("last_order_ts")
+        )
+        .agg(F.max("o_orderkey").alias("last_order_id"))
+    )
+    return as_of_join(
+        ev,
+        rt.withColumnRenamed("o_custkey", "user_id"),
+        key="user_id",
+        left_ts="event_ts",
+        right_ts="last_order_ts",
+        right_payload=["last_order_id", "last_order_ts"],
+    )
+
+
+def _ivf_oracle(n_cells: int = 16, nprobe: int = 3, k: int = 10) -> str:
+    cos = _COS_SQL
+    return f"""
+WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+__s AS (SELECT vec_id AS seed_id, v AS sv FROM __e ORDER BY vec_id LIMIT {n_cells}),
+__as AS (SELECT e.vec_id, e.v, s.seed_id, {cos.format(a='e.v', b='s.sv')} AS s_cos
+         FROM __e e CROSS JOIN __s s),
+__ar AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s_cos DESC, seed_id) AS r
+         FROM __as),
+__cell AS (SELECT vec_id, v, seed_id AS cell FROM __ar WHERE r = 1),
+__q AS (SELECT vec_id AS q_id, v AS qv FROM __e WHERE vec_id < 5),
+__qs AS (SELECT q_id, qv, s.seed_id, {cos.format(a='qv', b='s.sv')} AS s_cos
+         FROM __q CROSS JOIN __s s),
+__qr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s_cos DESC, seed_id) AS r
+         FROM __qs),
+__p AS (SELECT q_id, qv, seed_id AS cell FROM __qr WHERE r <= {nprobe}),
+__c AS (SELECT q_id, c.vec_id AS neighbor_id, {cos.format(a='p.qv', b='c.v')} AS cos
+        FROM __p p JOIN __cell c ON p.cell = c.cell WHERE c.vec_id <> p.q_id),
+__rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rnk
+         FROM __c)
+SELECT q_id, neighbor_id, cos, rnk FROM __rk WHERE rnk <= {k}
+"""
+
+
+@_q(
+    "ann_ivf_topk",
+    _ivf_oracle(),
+    "Extension (ANN scale path): IVF-Flat top-10 — deterministic sampled-centroid coarse "
+    "quantizer, nprobe=3; candidates shuffle on the cell id instead of the full corpus.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), n_cells=16, nprobe=3, k=10)
+
+
+@_q(
+    "region_nation_revenue_rollup",
+    f"""
+SELECT r_name, n_name, CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue, count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    "Extension: revenue ROLLUP over (region, nation) — one pass emits nation subtotals, "
+    "region subtotals, and the grand total (Expand + single shuffle in Spark).",
+)
+def region_nation_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, o, c, n, r = (
+        load_table(spark, sf_dir, t) for t in ("lineitem", "orders", "customer", "nation", "region")
+    )
+    joined = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.sum(_revenue()).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+@_q(
+    "daily_revenue_trend",
+    """
+WITH __d AS (
+  SELECT CAST(floor(floor(epoch(o_orderdate))/86400) AS BIGINT) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT day,
+       CAST(rev AS DOUBLE) AS revenue,
+       n_orders,
+       CAST(SUM(rev) OVER w7 AS DOUBLE) AS rev_7d,
+       round(CAST(SUM(rev) OVER w7 AS DOUBLE) / COUNT(*) OVER w7, 6) AS avg_7d,
+       CAST(SUM(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS rev_cum
+FROM __d
+WINDOW w7 AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+    "Extension (window frames): daily revenue with 7-day moving sum/avg and running total. "
+    "The global-ordered window runs AFTER the per-day pre-aggregation (≤ a few thousand "
+    "rows at any SF), so the single-partition stage is trivially small.",
+)
+def daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        (F.col("o_orderdate").cast("long") / DAY).cast("long").alias("day")
+    ).agg(
+        F.sum(_dec("o_totalprice")).alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w7 = Window.orderBy("day").rangeBetween(-6, 0)
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        F.col("rev").cast("double").alias("revenue"),
+        "n_orders",
+        F.sum("rev").over(w7).cast("double").alias("rev_7d"),
+        F.round(
+            F.sum("rev").over(w7).cast("double") / F.count(F.lit(1)).over(w7), 6
+        ).alias("avg_7d"),
+        F.sum("rev").over(wcum).cast("double").alias("rev_cum"),
+    )

@@ -144,3 +144,55 @@ def test_windowed_quantiles_operator(spark):
     ]
     expect = round(float(pd.Series(vals).quantile(0.5)), 6)
     assert next(r["q50"] for r in rows if r["ws"] == first_ws) == expect
+
+
+def test_as_of_join_semantics(spark):
+    from flinkecuserbehavioranalysis_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [("A", 1, 1), ("A", 5, 2), ("A", 10, 3), ("B", 4, 4)],
+        "k string, t long, lid long",
+    )
+    right = spark.createDataFrame(
+        [("A", 0, 100), ("A", 5, 105), ("A", 7, 107), ("A", 99, 199), ("C", 1, 300)],
+        "k string, rt long, rid long",
+    )
+    out = as_of_join(left, right, key="k", left_ts="t", right_ts="rt", right_payload=["rid"])
+    got = {(r.k, r.t): r.rid for r in out.collect()}
+    assert got == {
+        ("A", 1): 100,   # latest right at-or-before 1
+        ("A", 5): 105,   # tie: right at the same ts IS visible (<=)
+        ("A", 10): 107,  # right at 99 is in the future, ignored
+        ("B", 4): None,  # no right rows for key B
+    }
+
+
+def test_ivf_topk_agrees_with_brute_force(spark):
+    from flinkecuserbehavioranalysis_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from flinkecuserbehavioranalysis_spark.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = ivf_topk(emb, q, n_cells=8, nprobe=3, k=5).collect()
+    exact_cos = {(r.q_id, r.neighbor_id): r.cos for r in exact}
+    approx_pairs = {(r.q_id, r.neighbor_id) for r in approx}
+    # per-query row bounds and rank sanity
+    from collections import Counter
+
+    per_q = Counter(r.q_id for r in approx)
+    assert all(n <= 5 for n in per_q.values()) and len(per_q) == 3
+    assert all(1 <= r.rnk <= 5 for r in approx)
+    assert all(r.q_id != r.neighbor_id for r in approx)
+    # every scored pair the index returns must carry the exact cosine
+    bf_all = {
+        (r.q_id, r.neighbor_id): r.cos
+        for r in brute_force_topk(emb, q, k=10**6).collect()
+    }
+    assert all(abs(bf_all[p] - c) < 1e-9 for p, c in
+               {(r.q_id, r.neighbor_id): r.cos for r in approx}.items())
+    # recall against the exact top-5 should be nonzero on clustered data
+    assert len(approx_pairs & set(exact_cos)) > 0
