@@ -222,3 +222,23 @@ def run_bounded(
     )
     q.awaitTermination(timeout)
     return out.sparkSession.sql(f"SELECT * FROM {name}").collect()
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per *keys* while the
+    key is inside the watermark horizon (extension — the streaming twin
+    of ``operators.dedup.exact_dedup``).
+
+    ``dropDuplicatesWithinWatermark`` evicts a key's dedup state once
+    the watermark passes its last-seen timestamp + delay, so state is
+    bounded by the horizon's key cardinality, not the stream's history —
+    the property that keeps corpus-scale streaming ingest feasible.
+    Duplicates farther apart than the horizon re-emit (documented
+    semantic delta vs the batch global dedup; widen *watermark* to
+    trade state for exactness)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))

@@ -227,3 +227,22 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path):
     second = _rows(read_store(spark, target).collect(), ["ws", "we", "cnt"])
     assert first == second
     assert len(first) > 0
+
+
+def test_streaming_dedup_matches_batch_distinct(spark):
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import streaming_dedup
+
+    stream = read_events_stream(spark, SF_DIR).select("user_id", "event_type", "ts")
+    # horizon wider than the replay span → state never evicts → exactly
+    # one survivor per key, the batch distinct
+    out = streaming_dedup(stream, ["user_id", "event_type"], watermark="90 days")
+    got = run_bounded(out, output_mode="append")
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    )
+    assert sorted((r.user_id, r.event_type) for r in got) == sorted(
+        (r.user_id, r.event_type) for r in batch
+    )
