@@ -43,13 +43,19 @@ def _shingle_expr(text_col: str, n: int) -> str:
     )
 
 
-def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct (doc, word-n-gram) pairs — the base relation for MinHash
-    and Jaccard."""
-    return (
-        docs.select(F.col(id_col), F.explode(F.expr(_shingle_expr(text_col, n))).alias("sh"))
-        .distinct()
-    )
+def shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """(doc, word-n-gram) pairs — the base relation for MinHash and
+    Jaccard.  *distinct* costs a shuffle; pass False for consumers that
+    are duplicate-insensitive (min-hash: min over a multiset equals min
+    over its set), keeping shingling map-side only."""
+    out = docs.select(F.col(id_col), F.explode(F.expr(_shingle_expr(text_col, n))).alias("sh"))
+    return out.distinct() if distinct else out
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -76,8 +82,10 @@ def minhash_signatures(
     Seed-prefixed md5 keeps the k hash families independent; string min
     over hex digests is order-isomorphic to integer min over the digest
     value, so no bigint conversion is needed (and the oracle matches
-    byte-for-byte)."""
-    sh = shingles(docs, id_col, text_col, n)
+    byte-for-byte).  Shingles stay non-distinct: min is
+    duplicate-insensitive, so shingling runs map-side and the only
+    shuffle is this aggregation's partial/final split on *id_col*."""
+    sh = shingles(docs, id_col, text_col, n, distinct=False)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}") for i in range(k)
     ]
