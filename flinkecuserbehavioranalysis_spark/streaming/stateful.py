@@ -225,3 +225,68 @@ def streaming_order_timeout(
             fn, ORDER_RESULT_SCHEMA, _ORDER_STATE, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
+
+
+def streaming_login_fail_tws(
+    events: DataFrame,
+    fail_value: str = "error",
+    max_gap_seconds: float = 3600.0,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """``transformWithStateInPandas`` twin of ``streaming_login_fail`` —
+    the successor stateful API (typed per-key state handles instead of a
+    single state tuple; the long-term home for F1-F5-style operators).
+    Same semantics: one-slot last-event state per user, warning when two
+    fails land within *max_gap_seconds*.
+
+    Runtime dependency: TWS's state-server wire protocol imports
+    ``google.protobuf`` in the Python driver worker; environments
+    without it must use ``streaming_login_fail`` (identical results,
+    applyInPandasWithState transport)."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class LoginFail(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last", _LOGIN_STATE)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            (user_id,) = key
+            stored = self._last.get() if self._last.exists() else None
+            last_type, last_ts = stored if stored is not None else (None, None)
+            out: list[tuple[int, int, int, str]] = []
+            for pdf in rows:
+                sort_cols = ["ts", "event_id"] if "event_id" in pdf else ["ts"]
+                for _, row in pdf.sort_values(sort_cols).iterrows():
+                    ts = row["ts"].timestamp()
+                    if row["event_type"] == fail_value:
+                        if last_type == fail_value and ts - last_ts <= max_gap_seconds:
+                            out.append(
+                                (
+                                    int(user_id),
+                                    int(last_ts),
+                                    int(ts),
+                                    "login fail 2 times in a short time",
+                                )
+                            )
+                        last_type, last_ts = fail_value, ts
+                    else:
+                        last_type, last_ts = "success", ts
+            self._last.update((last_type, last_ts))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["user_id", "first_fail_ts", "last_fail_ts", "warning_msg"]
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=LoginFail(),
+            outputStructType=LOGIN_WARNING_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )

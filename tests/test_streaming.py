@@ -246,3 +246,28 @@ def test_streaming_dedup_matches_batch_distinct(spark):
     assert sorted((r.user_id, r.event_type) for r in got) == sorted(
         (r.user_id, r.event_type) for r in batch
     )
+
+
+def test_streaming_login_fail_tws_matches_batch(spark):
+    """transformWithStateInPandas twin must agree with the batch lag()
+    formulation (and therefore with the applyInPandasWithState twin).
+
+    TWS's state-server protocol needs google.protobuf, which this
+    container lacks — skip (not xfail) so the test runs wherever the
+    dependency exists."""
+    pytest.importorskip("google.protobuf")
+    from flinkecuserbehavioranalysis_spark.streaming.stateful import (
+        streaming_login_fail_tws,
+    )
+
+    stream = read_events_stream(spark, SF_DIR).select("user_id", "event_type", "ts", "event_id")
+    got = run_bounded(streaming_login_fail_tws(stream, max_gap_seconds=3600.0))
+    batch = consecutive_fail_alerts(
+        load_table(spark, SF_DIR, "events"),
+        fail_value="error",
+        max_gap_seconds=3600,
+        tiebreak_col="event_id",
+    ).collect()
+    cols = ["user_id", "first_fail_ts", "last_fail_ts", "warning_msg"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert len(got) > 0
