@@ -1,0 +1,81 @@
+"""Property-style checks (SURVEY.md §5): randomized inputs vs naive
+in-memory reference implementations for the operators whose semantics
+are easiest to get subtly wrong (as-of matching, interval bounds).
+
+Example counts are kept small — every example is a full Spark
+plan+collect round-trip."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from flinkecuserbehavioranalysis_spark.operators.joins import as_of_join, interval_join
+
+KEYS = st.sampled_from(["a", "b", "c"])
+TS = st.integers(min_value=0, max_value=50)
+
+
+@st.composite
+def asof_inputs(draw):
+    left = draw(
+        st.lists(st.tuples(KEYS, TS), min_size=1, max_size=12, unique=True)
+    )
+    right = draw(
+        st.lists(st.tuples(KEYS, TS), min_size=0, max_size=12, unique=True)
+    )
+    return left, right
+
+
+@given(asof_inputs())
+@settings(max_examples=12, deadline=None)
+def test_as_of_join_matches_naive(spark, data):
+    left_rows, right_rows = data
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)], "k string, t long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, 1000 + i) for i, (k, t) in enumerate(right_rows)],
+        "k string, rt long, rid long",
+    )
+    got = {
+        (r.k, r.t): r.rid
+        for r in as_of_join(
+            left, right, key="k", left_ts="t", right_ts="rt", right_payload=["rid"]
+        ).collect()
+    }
+    # naive: per left row, the right row with max rt <= t for the key
+    rid_by_key_ts = {(k, t): 1000 + i for i, (k, t) in enumerate(right_rows)}
+    for k, t in left_rows:
+        prior = [rt for (rk, rt) in right_rows if rk == k and rt <= t]
+        expect = rid_by_key_ts[(k, max(prior))] if prior else None
+        assert got[(k, t)] == expect, (k, t, got[(k, t)], expect)
+    assert len(got) == len(left_rows)
+
+
+@given(asof_inputs())
+@settings(max_examples=12, deadline=None)
+def test_interval_join_matches_naive(spark, data):
+    left_rows, right_rows = data
+    lower, upper = 5.0, 3.0
+    left = spark.createDataFrame(left_rows, "k string, ts long")
+    right = spark.createDataFrame(right_rows, "k string, ts long")
+    got = sorted(
+        (r.lk, r.lt, r.rt)
+        for r in interval_join(
+            left, right, key="k", lower_seconds=lower, upper_seconds=upper
+        )
+        .select(
+            F.col("l.k").alias("lk"),
+            F.col("l.ts").alias("lt"),
+            F.col("r.ts").alias("rt"),
+        )
+        .collect()
+    )
+    expect = sorted(
+        (lk, lt, rt)
+        for (lk, lt) in left_rows
+        for (rk, rt) in right_rows
+        if lk == rk and lt - lower <= rt <= lt + upper
+    )
+    assert got == expect
