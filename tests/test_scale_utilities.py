@@ -196,3 +196,61 @@ def test_ivf_topk_agrees_with_brute_force(spark):
                {(r.q_id, r.neighbor_id): r.cos for r in approx}.items())
     # recall against the exact top-5 should be nonzero on clustered data
     assert len(approx_pairs & set(exact_cos)) > 0
+
+
+def test_hll_uv_within_tolerance(spark):
+    """approx_count_distinct (HLL++, the bloom-filter replacement) must
+    land within a few rsd of the exact per-window UV."""
+    from flinkecuserbehavioranalysis_spark.io import load_table
+    from flinkecuserbehavioranalysis_spark.operators.distinct import (
+        windowed_distinct_count,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    exact = {
+        (r.ws, r.we): r.uv
+        for r in windowed_distinct_count(ev, "ts", "1 hour", "user_id").collect()
+    }
+    approx = {
+        (r.ws, r.we): r.uv
+        for r in windowed_distinct_count(
+            ev, "ts", "1 hour", "user_id", approx=True, rsd=0.05
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for w, ex in exact.items():
+        assert abs(approx[w] - ex) <= max(3, 5 * 0.05 * ex), (w, ex, approx[w])
+
+
+def test_percentile_approx_tracks_exact_quantiles(spark):
+    """percentile_approx (the 100 TB quantile path) vs the exact
+    applyInPandas quantiles: approx returns an actual data point near
+    the requested rank, so compare against the exact value with a
+    generous rank-epsilon tolerance."""
+    from flinkecuserbehavioranalysis_spark.io import load_table
+    from flinkecuserbehavioranalysis_spark.operators.custom_agg import windowed_quantiles
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    # rank-epsilon bracket: the approx value must fall between the exact
+    # quantiles 0.1 rank below/above (value-distance bounds are fragile
+    # on small windows where adjacent order statistics gap widely)
+    brackets = {
+        r.ws: (r.q40, r.q60, r.q80, r.q100)
+        for r in windowed_quantiles(ev, "ts", 86400, "value", (0.4, 0.6, 0.8, 1.0)).collect()
+    }
+    approx = {
+        r.ws: (r.a50, r.a90)
+        for r in ev.groupBy(
+            ((F.col("ts").cast("long") / 86400).cast("long") * 86400).alias("ws")
+        )
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("a50"),
+            F.percentile_approx("value", 0.9, 10000).alias("a90"),
+        )
+        .collect()
+    }
+    assert set(brackets) == set(approx)
+    for ws, (q40, q60, q80, q100) in brackets.items():
+        a50, a90 = approx[ws]
+        assert q40 <= a50 <= q60, (ws, q40, a50, q60)
+        assert q80 <= a90 <= q100, (ws, q80, a90, q100)
