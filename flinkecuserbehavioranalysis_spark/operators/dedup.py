@@ -188,3 +188,43 @@ def simhash(
     agg = toks.groupBy(id_col).agg(*votes)
     bit_cols = [F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
     return agg.select(F.col(id_col), F.concat(*bit_cols).alias("simhash"))
+
+
+def lsh_verified_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The composed corpus-scale dedup pipeline: MinHash+LSH candidate
+    generation followed by exact Jaccard verification on candidates
+    ONLY.  Returns (doc_a, doc_b, jaccard) with jaccard ≥ *threshold*.
+
+    This is the shape the module docstrings prescribe for 100 TB: the
+    quadratic exact comparison runs on |candidates| pairs (∝ true
+    near-dups), never on n².  The intersection count joins candidates
+    to the shingle relation on (doc, shingle) — linear in candidate
+    pairs × shingles per doc."""
+    cand = minhash_candidates(docs, id_col, text_col, n, k, bands)
+    sh = shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    sb = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = (
+        common.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 6),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")

@@ -582,7 +582,8 @@ __sh AS (SELECT DISTINCT doc_id,
 _MINHASH_K, _MINHASH_BANDS = 12, 4
 
 
-def _minhash_oracle() -> str:
+def _minhash_cte_prefix() -> str:
+    """Shared CTE chain: shingles → signatures → band keys → __cand."""
     rows = _MINHASH_K // _MINHASH_BANDS
     sig_cols = ", ".join(
         f"min(md5('{i}|' || sh)) AS h{i}" for i in range(_MINHASH_K)
@@ -596,11 +597,16 @@ def _minhash_oracle() -> str:
     return f"""
 WITH {_SHINGLE_CTE},
 __sig AS (SELECT doc_id, {sig_cols} FROM __sh GROUP BY doc_id),
-__b AS ({band_selects})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM __b a JOIN __b b
-  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+__b AS ({band_selects}),
+__cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM __b a JOIN __b b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
 """
+
+
+def _minhash_oracle() -> str:
+    return _minhash_cte_prefix() + "SELECT doc_a, doc_b FROM __cand"
 
 
 @_q(
@@ -1179,4 +1185,35 @@ def daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").over(w7).cast("double") / F.count(F.lit(1)).over(w7), 6
         ).alias("avg_7d"),
         F.sum("rev").over(wcum).cast("double").alias("rev_cum"),
+    )
+
+
+from ..operators.dedup import lsh_verified_pairs  # noqa: E402
+
+
+def _lsh_verified_oracle(threshold: float = 0.5) -> str:
+    return _minhash_cte_prefix() + f"""
+, __sz AS (SELECT doc_id, count(*) AS sz FROM __sh GROUP BY doc_id),
+__common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS common
+  FROM __cand c
+  JOIN __sh a ON a.doc_id = c.doc_a
+  JOIN __sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(common * 1.0 / (x.sz + y.sz - common), 6) AS jaccard
+FROM __common JOIN __sz x ON doc_a = x.doc_id JOIN __sz y ON doc_b = y.doc_id
+WHERE round(common * 1.0 / (x.sz + y.sz - common), 6) >= {threshold}
+"""
+
+
+@_q(
+    "dedup_lsh_verified",
+    _lsh_verified_oracle(0.5),
+    "Extension (composed corpus-scale dedup): MinHash+LSH candidates verified by exact "
+    "Jaccard on candidates only — the quadratic comparison never touches non-candidates.",
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_verified_pairs(
+        load_table(spark, sf_dir, "documents"), k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5
     )
