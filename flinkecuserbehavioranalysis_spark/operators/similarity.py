@@ -204,3 +204,28 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", "neighbor_id", "cos", "rnk")
     )
+
+
+def label_centroids(
+    vectors: DataFrame,
+    bucket_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-bucket centroid components: mean of each embedding dimension
+    (long format: bucket, pos, centroid_val, n_vecs).
+
+    The distributed vector-mean shape: ``posexplode`` runs map-side, the
+    single shuffle groups on (bucket, dim) — n_buckets × dim groups
+    regardless of corpus size.  Component sums go through DECIMAL so the
+    result is summation-order independent (float sums are not), then the
+    mean is rounded at the output boundary.  This is the aggregation an
+    IVF coarse-quantizer training step runs per k-means iteration."""
+    e = vectors.select(
+        F.col(bucket_col), F.posexplode(_as_double(vec_col)).alias("pos", "v")
+    )
+    return e.groupBy(bucket_col, "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )

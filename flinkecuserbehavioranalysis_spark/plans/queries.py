@@ -1217,3 +1217,24 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_verified_pairs(
         load_table(spark, sf_dir, "documents"), k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5
     )
+
+
+from ..operators.similarity import label_centroids  # noqa: E402
+
+
+@_q(
+    "embedding_label_centroids",
+    """
+WITH __e AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                    unnest(embedding::DOUBLE[]) AS v
+             FROM embeddings)
+SELECT label, pos - 1 AS pos,
+       round(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS centroid_val,
+       count(*) AS n_vecs
+FROM __e GROUP BY 1, 2
+""",
+    "Extension (vector aggregation): per-label embedding centroid components — posexplode "
+    "map-side, one shuffle on (label, dim); the k-means-iteration aggregation shape.",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))
