@@ -1238,3 +1238,73 @@ FROM __e GROUP BY 1, 2
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+_CUTOFF_1998 = 883612800  # 1998-01-01 UTC epoch seconds
+
+
+@_q(
+    "shipping_priority_topk",
+    f"""
+SELECT l_orderkey,
+       CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_ts,
+       o_orderpriority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE epoch(o_orderdate) < {_CUTOFF_1998} AND epoch(l_shipdate) >= {_CUTOFF_1998}
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY SUM({_REVENUE_SQL}) DESC, l_orderkey LIMIT 10
+""",
+    "Extension (TPC-H Q3-style): top-10 unshipped-revenue orders — date predicates pushed "
+    "to both scans, decimal revenue ranking with deterministic tiebreak, global top-K.",
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    # timestamp-domain comparison (not an epoch-long cast) so the date
+    # predicates push down to the parquet scans — row-group pruning is
+    # the difference between reading 100 TB and reading the filtered tail
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    l = lineitem.filter(F.col("l_shipdate") >= cutoff)
+    o = orders.filter(F.col("o_orderdate") < cutoff)
+    agg = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue()).alias("rev_d"))
+    )
+    return (
+        agg.orderBy(F.col("rev_d").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("rev_d").cast("double").alias("revenue"),
+            F.col("o_orderdate").cast("long").alias("order_ts"),
+            "o_orderpriority",
+        )
+    )
+
+
+@_q(
+    "shipmode_priority_counts",
+    """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE epoch(l_shipdate) > epoch(o_orderdate)
+GROUP BY l_linestatus
+""",
+    "Extension (TPC-H Q12-style): high/low-priority line counts per linestatus — "
+    "conditional aggregation over the fact join with a cross-column residual predicate.",
+)
+def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    j = lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate").cast("long") > F.col("o_orderdate").cast("long")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )

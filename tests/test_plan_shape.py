@@ -95,3 +95,10 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_date_range_pushdown_reaches_both_scans(spark):
+    plan = _explain(spark, "shipping_priority_topk")
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert "LessThan(o_orderdate" in plan, plan
+    assert "TakeOrderedAndProject" in plan
