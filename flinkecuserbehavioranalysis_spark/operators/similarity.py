@@ -139,9 +139,12 @@ def ivf_topk(
     of the tiny codebook, linear scan); each query probes its *nprobe*
     nearest cells and scores only those cells' members.
 
-    Cost shape: assignment O(n·n_cells) map-side; candidate scoring
-    shuffles on the cell id — Σ_probed |cell| pairs instead of the
-    brute-force O(n·q).  Recall < 1 by construction; verify against
+    Cost shape: assignment is MAP-ONLY — the codebook rides along as one
+    broadcast array row and each vector folds over it to find its
+    nearest cell (no explode, no per-vector shuffle; the corpus-side
+    window-rank formulation would re-shuffle every vector).  Candidate
+    scoring shuffles on the cell id — Σ_probed |cell| pairs instead of
+    the brute-force O(n·q).  Recall < 1 by construction; verify against
     ``brute_force_topk`` on samples.  Output: (q_id, neighbor_id, cos,
     rnk) — same schema as the exact baseline."""
     from pyspark.sql import Window
@@ -152,28 +155,31 @@ def ivf_topk(
         .select(F.col(id_col).alias("seed_id"), _as_double(vec_col).alias("s_vec"))
         .withColumn("s_norm", F.sqrt(dot(F.col("s_vec"), F.col("s_vec"))))
     )
+    # the whole codebook as ONE array<struct> row (sorted by seed_id —
+    # ties in the fold below resolve to the smallest seed id)
+    packed = seeds.select(F.struct("seed_id", "s_vec", "s_norm").alias("s")).agg(
+        F.array_sort(F.collect_list("s")).alias("cells")
+    )
 
-    def nearest_cells(df: DataFrame, out_id: str, keep_vec: str, n_keep: int) -> DataFrame:
-        scored = (
-            df.crossJoin(F.broadcast(seeds))
-            .select(
-                out_id,
-                keep_vec,
-                f"{keep_vec[:-4]}_norm" if keep_vec.endswith("_vec") else keep_vec,
-                "seed_id",
-                F.round(
-                    dot(F.col(keep_vec), F.col("s_vec"))
-                    / (F.col(f"{keep_vec[:-4]}_norm") * F.col("s_norm")),
-                    6,
-                ).alias("s_cos"),
-            )
+    def scos(vec: str, norm: str, s) -> Column:
+        return F.round(dot(F.col(vec), s.s_vec) / (F.col(norm) * s.s_norm), 6)
+
+    def best_cell(vec: str, norm: str) -> Column:
+        """Map-side argmax over the packed codebook: fold keeping the
+        strictly-greater cosine, so the first (lowest seed_id) wins ties
+        — identical to ORDER BY cos DESC, seed_id."""
+        init = F.struct(
+            F.lit(-2.0).cast("double").alias("c"), F.lit(-1).cast("bigint").alias("id")
         )
-        w = Window.partitionBy(out_id).orderBy(F.col("s_cos").desc(), F.col("seed_id").asc())
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= n_keep)
-            .withColumnRenamed("seed_id", "cell")
+        folded = F.aggregate(
+            F.col("cells"),
+            init,
+            lambda acc, s: F.when(
+                scos(vec, norm, s) > acc.c,
+                F.struct(scos(vec, norm, s).alias("c"), s.seed_id.alias("id")),
+            ).otherwise(acc),
         )
+        return folded.id
 
     v = (
         vectors.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v_vec"))
@@ -183,10 +189,28 @@ def ivf_topk(
         queries.select(F.col(query_id_col).alias("q_id"), _as_double(vec_col).alias("q_vec"))
         .withColumn("q_norm", F.sqrt(dot(F.col("q_vec"), F.col("q_vec"))))
     )
-    assigned = nearest_cells(v, "neighbor_id", "v_vec", 1).select(
-        "neighbor_id", "v_vec", "v_norm", "cell"
+    assigned = (
+        v.crossJoin(F.broadcast(packed))
+        .select("neighbor_id", "v_vec", "v_norm", best_cell("v_vec", "v_norm").alias("cell"))
     )
-    probes = nearest_cells(q, "q_id", "q_vec", nprobe).select("q_id", "q_vec", "q_norm", "cell")
+    # probes need the nprobe best cells — explode + rank, but only over
+    # the (small) query set
+    q_scored = (
+        q.crossJoin(F.broadcast(seeds))
+        .select(
+            "q_id",
+            "q_vec",
+            "q_norm",
+            F.col("seed_id").alias("cell"),
+            scos("q_vec", "q_norm", F.struct(F.col("seed_id"), F.col("s_vec"), F.col("s_norm"))).alias("s_cos"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("s_cos").desc(), F.col("cell").asc())
+    probes = (
+        q_scored.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select("q_id", "q_vec", "q_norm", "cell")
+    )
     scored = (
         assigned.join(probes, "cell")
         .filter(F.col("neighbor_id") != F.col("q_id"))
