@@ -1308,3 +1308,72 @@ def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
         F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
     )
+
+
+@_q(
+    "cheapest_supplier_per_part",
+    """
+WITH __u AS (
+  SELECT l_partkey, l_suppkey,
+         round(l_extendedprice / l_quantity, 6) AS unit_price
+  FROM lineitem),
+__r AS (SELECT *, row_number() OVER (PARTITION BY l_partkey
+                                     ORDER BY unit_price, l_suppkey) AS rn
+        FROM __u)
+SELECT l_partkey, l_suppkey AS cheapest_suppkey, unit_price
+FROM __r WHERE rn = 1
+""",
+    "Extension (TPC-H Q2-style argmin-per-group): the supplier with the lowest unit price "
+    "per part — window-min formulation, one shuffle on the group key, no correlated "
+    "subquery re-scan.",
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    u = lineitem.select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit_price"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_price").asc(), F.col("l_suppkey").asc()
+    )
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", F.col("l_suppkey").alias("cheapest_suppkey"), "unit_price")
+    )
+
+
+@_q(
+    "high_k_hourly_by_type",
+    f"""
+WITH __e AS (
+  SELECT event_type, epoch(ts) AS __tse
+  FROM events
+  WHERE CAST(regexp_extract(props, '[0-9]+') AS BIGINT) > 50)
+SELECT CAST(floor(__tse/{HOUR})*{HOUR} AS BIGINT) AS ws,
+       CAST(floor(__tse/{HOUR})*{HOUR} AS BIGINT) + {HOUR} AS we,
+       event_type, count(*) AS cnt
+FROM __e GROUP BY ALL
+""",
+    "Extension (§2.9 JSON): schema-on-read from_json struct parse of events.props, "
+    "filtered on the typed field before the windowed count — the parse stays JVM-side "
+    "and the filter prunes before the shuffle.",
+)
+def high_k_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        "ts",
+        F.from_json(F.col("props"), "k BIGINT").alias("p"),
+    ).filter(F.col("p.k") > 50)
+    return (
+        parsed.groupBy(
+            ((F.col("ts").cast("long") / HOUR).cast("long") * HOUR).alias("ws"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("ws", (F.col("ws") + HOUR).alias("we"), "event_type", "cnt")
+    )
