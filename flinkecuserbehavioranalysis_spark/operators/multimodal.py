@@ -76,3 +76,77 @@ def decode_meta(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield out
 
     return with_payload.mapInPandas(decode_batches, DECODE_META_SCHEMA)
+
+
+RESIZE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("scale_num", IntegerType()),
+    ]
+)
+
+
+def resize_meta(with_payload: DataFrame, max_side: int = 256, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched "resize" stage: aspect-preserving fit into a
+    *max_side* box.  The geometry math is real (integer scale applied to
+    the fake-decoded dimensions); the pixel resample is where a real
+    library call slots in.  Map-only — composes after ``decode_meta``'s
+    stage without any shuffle between them."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n_bytes = pdf["payload"].map(len)
+            meta = _fake_decode(n_bytes)
+            side = meta[["width", "height"]].max(axis=1)
+            # fixed-point (1e6) scale so the fake stays integer-deterministic
+            scale = (max_side * 1_000_000 // side).clip(upper=1_000_000).astype("int64")
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": meta["width"],
+                    "height": meta["height"],
+                    "out_width": (meta["width"] * scale // 1_000_000).astype("int32"),
+                    "out_height": (meta["height"] * scale // 1_000_000).astype("int32"),
+                    "scale_num": scale.astype("int32"),
+                }
+            )
+            yield out
+
+    return with_payload.mapInPandas(batches, RESIZE_META_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset", LongType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def frame_sample(with_payload: DataFrame, max_frames: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched "frame sampling": one input row fans out to N frame
+    rows (the one-to-many mapInPandas shape a video pipeline needs).
+    Frame count/offsets are deterministic functions of payload size
+    (n_frames = n_bytes mod max_frames + 1, evenly spaced offsets); a
+    real demuxer call replaces the arithmetic, not the plumbing."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64").to_numpy()
+            sizes = pdf["payload"].map(len).astype("int64").to_numpy()
+            rows = []
+            for doc_id, n in zip(ids, sizes):
+                n_frames = int(n % max_frames) + 1
+                for i in range(n_frames):
+                    rows.append((int(doc_id), i, int(n * i // n_frames), int(n // n_frames)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_offset", "frame_bytes"]
+            )
+
+    return with_payload.mapInPandas(batches, FRAME_SAMPLE_SCHEMA)

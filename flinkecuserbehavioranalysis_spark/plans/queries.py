@@ -1377,3 +1377,53 @@ def high_k_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select("ws", (F.col("ws") + HOUR).alias("we"), "event_type", "cnt")
     )
+
+
+from ..operators.multimodal import frame_sample, resize_meta  # noqa: E402
+
+
+@_q(
+    "multimodal_resize_meta",
+    """
+WITH __m AS (
+  SELECT doc_id, strlen(text) AS n_bytes,
+         CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
+         CAST((strlen(text) * 7) % 480 + 1 AS INTEGER) AS height
+  FROM documents),
+__s AS (SELECT *, least(256 * 1000000 // greatest(width, height), 1000000) AS scale
+        FROM __m)
+SELECT doc_id, width, height,
+       CAST(width * scale // 1000000 AS INTEGER) AS out_width,
+       CAST(height * scale // 1000000 AS INTEGER) AS out_height,
+       CAST(scale AS INTEGER) AS scale_num
+FROM __s
+""",
+    "Extension (multimodal): aspect-preserving resize geometry over mapInPandas — the "
+    "map-only stage composition after decode; pixel resample is the stubbed library call.",
+)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_meta(attach_binary(docs))
+
+
+@_q(
+    "multimodal_frame_sample",
+    """
+WITH __m AS (SELECT doc_id, strlen(text) AS n FROM documents),
+__f AS (SELECT doc_id, n, unnest(generate_series(0, CAST(n % 4 AS INTEGER))) AS frame_idx
+        FROM __m)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       n * frame_idx // (n % 4 + 1) AS frame_offset,
+       n // (n % 4 + 1) AS frame_bytes
+FROM __f
+""",
+    "Extension (multimodal): deterministic frame sampling — the one-to-many mapInPandas "
+    "fan-out a video demux stage needs; row explosion happens inside the Arrow batch.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_binary(docs), max_frames=4)
