@@ -79,3 +79,39 @@ def test_interval_join_matches_naive(spark, data):
         if lk == rk and lt - lower <= rt <= lt + upper
     )
     assert got == expect
+
+
+@st.composite
+def session_inputs(draw):
+    return draw(
+        st.lists(st.tuples(KEYS, st.integers(min_value=0, max_value=200)),
+                 min_size=1, max_size=20, unique=True)
+    )
+
+
+@given(session_inputs(), st.integers(min_value=1, max_value=50))
+@settings(max_examples=12, deadline=None)
+def test_sessionize_matches_naive(spark, rows, gap):
+    from flinkecuserbehavioranalysis_spark.operators.sessions import sessionize
+
+    df = spark.createDataFrame(rows, "user_id string, ts long")
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(df, key_col="user_id", ts_col="ts", gap_seconds=gap).collect()
+    )
+    # naive: sort each key's timestamps, split where gap > threshold
+    expect = []
+    by_key: dict[str, list[int]] = {}
+    for k, t in rows:
+        by_key.setdefault(k, []).append(t)
+    for k, ts in by_key.items():
+        ts.sort()
+        cur = [ts[0]]
+        for t in ts[1:]:
+            if t - cur[-1] > gap:
+                expect.append((k, cur[0], cur[-1], len(cur)))
+                cur = [t]
+            else:
+                cur.append(t)
+        expect.append((k, cur[0], cur[-1], len(cur)))
+    assert got == sorted(expect)
