@@ -1427,3 +1427,24 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return frame_sample(attach_binary(docs), max_frames=4)
+
+
+@_q(
+    "marketing_channel_cube",
+    f"""
+SELECT {CHANNEL_CASE} AS channel, event_type, count(*) AS cnt,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY CUBE ({CHANNEL_CASE}, event_type)
+""",
+    "Extension: CUBE over (channel, event_type) — all four grouping sets in one pass "
+    "(Expand + single shuffle), with a distinct count per cell.",
+)
+def marketing_channel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(CHANNEL_CASE).alias("channel"), "event_type", "user_id"
+    )
+    return ev.cube("channel", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
