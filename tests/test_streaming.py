@@ -271,3 +271,18 @@ def test_streaming_login_fail_tws_matches_batch(spark):
     cols = ["user_id", "first_fail_ts", "last_fail_ts", "warning_msg"]
     assert _rows(got, cols) == _rows(batch, cols)
     assert len(got) > 0
+
+
+def test_streaming_windowed_count_complete_mode(spark):
+    """Complete mode re-emits every window each batch — a bounded replay
+    must therefore reproduce the batch result with NO watermark cutoff
+    (append mode's still-open final window is included here)."""
+    stream = read_events_stream(spark, SF_DIR).filter(F.col("event_type") == "view")
+    out = streaming_windowed_count(stream, size="1 hour")
+    got = run_bounded(out, output_mode="complete")
+    batch = windowed_count(
+        load_table(spark, SF_DIR, "events").filter(F.col("event_type") == "view"),
+        "ts",
+        "1 hour",
+    ).collect()
+    assert _rows(got, ["ws", "we", "cnt"]) == _rows(batch, ["ws", "we", "cnt"])
