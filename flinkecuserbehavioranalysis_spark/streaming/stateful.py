@@ -17,6 +17,13 @@ the timers:
 Rows inside a micro-batch are sorted by (ts, tiebreak) per key before
 state transitions — Flink gets this ordering from per-key FIFO delivery;
 Spark micro-batches need the explicit sort.
+
+Watermark gotcha: a row whose event time equals the operator's current
+watermark is dropped as late — in particular, epoch-0 timestamps die
+against the initial watermark of 0.  Event-time timers fire on the
+no-data micro-batch that follows the last data batch (watermark
+propagation lags one batch), exactly like a Flink timer firing on
+watermark advance.
 """
 
 from __future__ import annotations

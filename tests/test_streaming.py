@@ -286,3 +286,40 @@ def test_streaming_windowed_count_complete_mode(spark):
         "1 hour",
     ).collect()
     assert _rows(got, ["ws", "we", "cnt"]) == _rows(batch, ["ws", "we", "cnt"])
+
+
+def test_streaming_order_timeout_timer_fires_across_batches(spark, tmp_path):
+    """The event-time timer path (OrderTimeout.scala:127-142 analog): an
+    unpaid create must emit its timeout once a LATER batch advances the
+    watermark past create_ts + deadline. maxFilesPerTrigger=1 forces the
+    two files into separate micro-batches; the trailing no-data batch
+    carries the final watermark that fires the timer."""
+    import time
+
+    in_dir = tmp_path / "orders_stream"
+    # timestamps start above epoch 0: a row whose event time equals the
+    # initial watermark (0) is dropped as late by the stateful operator
+    b1 = spark.createDataFrame(
+        [(1, "create", 100), (2, "create", 110), (2, "pay", 200)],
+        "order_id long, event_type string, tsd long",
+    ).selectExpr("order_id", "event_type", "timestamp_seconds(tsd) as ts")
+    b1.coalesce(1).write.mode("append").parquet(str(in_dir))
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    b2 = spark.createDataFrame(
+        [(3, "create", 2000), (3, "pay", 2100)],
+        "order_id long, event_type string, tsd long",
+    ).selectExpr("order_id", "event_type", "timestamp_seconds(tsd) as ts")
+    b2.coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    stream = (
+        spark.readStream.schema("order_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    from flinkecuserbehavioranalysis_spark.operators.timeout import PAY_OK, TIMEOUT
+
+    out = streaming_order_timeout(stream, timeout_seconds=900.0, watermark="5 seconds")
+    got = {r.order_id: (r.status, r.create_ts, r.pay_ts) for r in run_bounded(out)}
+    assert got[2] == (PAY_OK, 110, 200)
+    assert got[3] == (PAY_OK, 2000, 2100)
+    assert got[1] == (TIMEOUT, 100, None)  # fired by watermark, not by data
