@@ -323,3 +323,53 @@ def test_streaming_order_timeout_timer_fires_across_batches(spark, tmp_path):
     assert got[2] == (PAY_OK, 110, 200)
     assert got[3] == (PAY_OK, 2000, 2100)
     assert got[1] == (TIMEOUT, 100, None)  # fired by watermark, not by data
+
+
+def test_streaming_interval_join_full_outer_emits_unmatched(spark, tmp_path):
+    """J2's streaming semantics: the full_outer stream-stream join emits
+    the null-padded unmatched side once the watermark passes its match
+    window — the reference's timer-driven unmatched-pays side output
+    (OrderPayTxMatch.scala:110-125). Late batches advance the watermark
+    past the first batch's rows to force eviction."""
+    import time
+
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import streaming_interval_join
+
+    ldir, rdir = tmp_path / "pays", tmp_path / "receipts"
+
+    def w(d, rows):
+        spark.createDataFrame(rows, "tx_id string, tsd long").selectExpr(
+            "tx_id", "timestamp_seconds(tsd) as ts"
+        ).coalesce(1).write.mode("append").parquet(str(d))
+        time.sleep(1.1)
+
+    w(ldir, [("A", 100), ("B", 110)])
+    w(rdir, [("A", 101)])
+    w(ldir, [("C", 5000)])
+    w(rdir, [("C", 5001)])
+
+    def rs(d):
+        return (
+            spark.readStream.schema("tx_id string, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(d))
+        )
+
+    out = streaming_interval_join(
+        rs(ldir),
+        rs(rdir),
+        key="tx_id",
+        lower_seconds=5,
+        upper_seconds=3,
+        left_watermark="10 seconds",
+        right_watermark="10 seconds",
+        how="full_outer",
+    ).selectExpr(
+        "l.tx_id AS l_tx", "r.tx_id AS r_tx",
+        "CAST(l.ts AS long) AS l_ts", "CAST(r.ts AS long) AS r_ts",
+    )
+    rows = run_bounded(out)
+    matched = sorted((r.l_tx, r.r_tx) for r in rows if r.l_tx and r.r_tx)
+    unmatched_left = sorted(r.l_tx for r in rows if r.r_tx is None)
+    assert matched == [("A", "A"), ("C", "C")]
+    assert "B" in unmatched_left  # evicted null-padded once watermark passed
