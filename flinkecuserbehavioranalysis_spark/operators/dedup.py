@@ -79,15 +79,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """k md5 min-hash values per doc (hex-string min ≡ uniform min-hash).
 
-    Seed-prefixed md5 keeps the k hash families independent; string min
-    over hex digests is order-isomorphic to integer min over the digest
-    value, so no bigint conversion is needed (and the oracle matches
+    Hash family i uses the 8-hex-char (32-bit) chunk i%4 of
+    md5(seed-prefix i//4 | shingle) — ceil(k/4) md5 evaluations per
+    shingle instead of k (md5 dominates signature cost).  String min
+    over fixed-width hex chunks is order-isomorphic to integer min, so
+    no bigint conversion is needed (and the oracle matches
     byte-for-byte).  Shingles stay non-distinct: min is
     duplicate-insensitive, so shingling runs map-side and the only
     shuffle is this aggregation's partial/final split on *id_col*."""
     sh = shingles(docs, id_col, text_col, n, distinct=False)
+    digests = {
+        j: F.md5(F.concat(F.lit(f"{j}|"), F.col("sh"))) for j in range((k + 3) // 4)
+    }
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}") for i in range(k)
+        F.min(F.substring(digests[i // 4], (i % 4) * 8 + 1, 8)).alias(f"h{i}")
+        for i in range(k)
     ]
     return sh.groupBy(id_col).agg(*aggs)
 

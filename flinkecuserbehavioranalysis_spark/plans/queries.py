@@ -586,7 +586,8 @@ def _minhash_cte_prefix() -> str:
     """Shared CTE chain: shingles → signatures → band keys → __cand."""
     rows = _MINHASH_K // _MINHASH_BANDS
     sig_cols = ", ".join(
-        f"min(md5('{i}|' || sh)) AS h{i}" for i in range(_MINHASH_K)
+        f"min(substring(md5('{i // 4}|' || sh), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+        for i in range(_MINHASH_K)
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band_idx, md5({expr}) AS band_key FROM __sig".format(
