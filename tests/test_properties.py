@@ -115,3 +115,44 @@ def test_sessionize_matches_naive(spark, rows, gap):
                 cur.append(t)
         expect.append((k, cur[0], cur[-1], len(cur)))
     assert got == sorted(expect)
+
+
+WORDS = st.sampled_from(["alpha", "beta", "gamma", "delta", "x"])
+
+
+@st.composite
+def doc_inputs(draw):
+    docs = draw(
+        st.lists(
+            st.lists(WORDS, min_size=0, max_size=8).map(" ".join),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    return list(enumerate(docs))
+
+
+@given(doc_inputs())
+@settings(max_examples=10, deadline=None)
+def test_ngram_jaccard_matches_naive(spark, docs):
+    from flinkecuserbehavioranalysis_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+
+    def sh(text):
+        ws = text.split(" ")
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)} if len(ws) >= 3 else set()
+
+    expect = {}
+    for i, ta in docs:
+        for j, tb in docs:
+            if i < j:
+                a, b = sh(ta), sh(tb)
+                inter = len(a & b)
+                if inter:  # pairs sharing no shingle never join
+                    expect[(i, j)] = round(inter / len(a | b), 6)
+    assert got == expect
