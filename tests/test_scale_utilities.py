@@ -254,3 +254,32 @@ def test_percentile_approx_tracks_exact_quantiles(spark):
         a50, a90 = approx[ws]
         assert q40 <= a50 <= q60, (ws, q40, a50, q60)
         assert q80 <= a90 <= q100, (ws, q80, a90, q100)
+
+
+def test_results_invariant_under_partitioning(spark):
+    """Distributed determinism: the same query must produce identical
+    rows at different shuffle-partition counts — catches order-dependent
+    float summation and unstable rank tiebreaks, the classic scale-up
+    correctness failures."""
+    from flinkecuserbehavioranalysis_spark.plans.queries import QUERIES
+
+    names = [
+        "pricing_summary",        # decimal aggregation
+        "hot_items_topn",         # windowed count + rank ties
+        "event_last_order_asof",  # per-key ordered window
+        "dedup_minhash_lsh",      # hash aggregation + self-join
+        "embedding_label_centroids",  # decimal vector sums
+    ]
+    sf = "/root/testdata/sf0.001"
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                rows = sorted(map(tuple, QUERIES[n].fn(spark, sf).collect()), key=repr)
+                results.setdefault(n, []).append(rows)
+        for n, (a, b) in results.items():
+            assert a == b, f"{n} differs between partition counts"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
