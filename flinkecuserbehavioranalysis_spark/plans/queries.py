@@ -140,12 +140,12 @@ SELECT ws, we, url, cnt, rnk FROM __r WHERE rnk <= 5
     "NetworkFlow.scala:36-73 — top-5 URLs per sliding window (W2/K2).",
 )
 def top_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import url_from_props
+
     ev = load_table(spark, sf_dir, "events")
-    url = F.concat(
-        F.lit("/page/"),
-        (F.regexp_extract("props", "[0-9]+", 0).cast("int") % 20).cast("string"),
+    counts = sliding_window_count(
+        ev.withColumn("url", url_from_props()), "ts", "6 hours", "1 hour", keys=["url"]
     )
-    counts = sliding_window_count(ev.withColumn("url", url), "ts", "6 hours", "1 hour", keys=["url"])
     return topn_per_window(counts, 5, tiebreak_cols=["url"], rank_alias="rnk")
 
 
@@ -251,9 +251,11 @@ def ad_blacklist_passed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def app_marketing_by_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    from ..functions.scalar import channel_from_user
+
     base = (
         ev.filter(F.col("event_type") != "error")  # UNINSTALL analog (AppMarketingByChannel.scala:88)
-        .withColumn("channel", F.expr(CHANNEL_CASE))
+        .withColumn("channel", channel_from_user("user_id"))
         .withColumnRenamed("event_type", "behavior")
     )
     return sliding_window_count(base, "ts", "1 day", "6 hours", keys=["channel", "behavior"])
@@ -917,8 +919,10 @@ FROM events WHERE event_type = 'purchase'
     "Extension (J3/except): (user, day) pairs with views but no purchase that day.",
 )
 def view_days_without_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import epoch_day
+
     ev = load_table(spark, sf_dir, "events")
-    day = (F.col("ts").cast("long") / DAY).cast("long").alias("day")
+    day = epoch_day("ts").alias("day")
     views = ev.filter(F.col("event_type") == "view").select("user_id", day)
     buys = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
     return views.subtract(buys)  # EXCEPT (set) semantics, not exceptAll
