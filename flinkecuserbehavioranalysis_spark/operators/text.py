@@ -88,3 +88,22 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     md5.  The join key for cross-source exact dedup."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), " +", " ")
     return docs.select(F.col(id_col), F.md5(norm).alias("fingerprint"))
+
+
+def rolling_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Polynomial rolling hash over the token stream (Rabin-Karp style):
+    acc = (acc*31 + h(token)) mod 1e9+7, h = first 32 md5 bits.
+
+    Order-sensitive (unlike the bag-of-tokens SimHash) and computed as a
+    single Catalyst ``aggregate`` fold — map-only, whole-stage codegen,
+    no shuffle.  The modulus keeps every intermediate < 2^35 so ANSI
+    overflow checking never trips."""
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")  # noqa: E731
+    rolled = F.aggregate(
+        F.split(F.col(text_col), " "),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + tok_hash(t)) % F.lit(1000000007),
+    )
+    return docs.select(F.col(id_col), rolled.alias("rolling_hash"))

@@ -1453,3 +1453,24 @@ def marketing_channel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+from ..operators.text import rolling_fingerprint  # noqa: E402
+
+
+@_q(
+    "text_rolling_hash",
+    """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+             t -> CAST(('0x' || substring(md5(t), 1, 8))::VARCHAR::UBIGINT AS BIGINT))),
+         (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_hash
+FROM documents
+""",
+    "Extension: order-sensitive Rabin-Karp rolling hash over the token stream — one "
+    "map-only Catalyst fold per document (the order-preserving complement to SimHash).",
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_fingerprint(load_table(spark, sf_dir, "documents"))
