@@ -297,3 +297,71 @@ def streaming_login_fail_tws(
             timeMode="None",
         )
     )
+
+
+def streaming_as_of_enrich(
+    tagged: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    payload_cols: tuple[str, ...] = ("rid",),
+    left_cols: tuple[str, ...] = ("lid",),
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of ``operators.joins.as_of_join``: enrich each
+    left row with the most recent right payload at-or-before it.
+
+    Input is a union-tagged stream (``__tag`` 0 = right/reference side,
+    1 = left/probe side — the J2 connect pattern); keyed state holds the
+    latest right (ts, payload).  Within a micro-batch rows process in
+    (ts, __tag) order, right-before-left at equal timestamps, matching
+    the batch operator's <= visibility; across batches the state carries
+    the running latest right row, so time-ordered replays (file sources,
+    Kafka per-key order) reproduce the batch result exactly.
+
+    Output: key, left ts, *left_cols, *payload_cols (NULLs before the
+    first right row)."""
+    from pyspark.sql.types import DoubleType, StructType
+
+    n_pay = len(payload_cols)
+    state_schema = StructType(
+        [StructField("r_ts", DoubleType())]
+        + [StructField(f"p{i}", DoubleType()) for i in range(n_pay)]
+    )
+    out_schema = StructType(
+        [
+            StructField(key, LongType()),
+            StructField("ts", LongType()),
+        ]
+        + [StructField(c, LongType()) for c in left_cols]
+        + [StructField(c, LongType()) for c in payload_cols]
+    )
+
+    def fn(key_t, pdfs, state):
+        stored = state.get if state.exists else (None,) * (1 + n_pay)
+        r_ts, pays = stored[0], list(stored[1:])
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, "__tag"])
+            for _, row in pdf.iterrows():
+                if row["__tag"] == 0:
+                    r_ts = row[ts_col].timestamp()
+                    pays = [float(row[c]) for c in payload_cols]
+                else:
+                    out.append(
+                        (int(key_t[0]), int(row[ts_col].timestamp()))
+                        + tuple(int(row[c]) for c in left_cols)
+                        + tuple(None if p is None else int(p) for p in pays)
+                    )
+        state.update((r_ts, *pays))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[key, "ts", *left_cols, *payload_cols]
+            )
+
+    return (
+        tagged.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

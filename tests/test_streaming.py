@@ -373,3 +373,50 @@ def test_streaming_interval_join_full_outer_emits_unmatched(spark, tmp_path):
     unmatched_left = sorted(r.l_tx for r in rows if r.r_tx is None)
     assert matched == [("A", "A"), ("C", "C")]
     assert "B" in unmatched_left  # evicted null-padded once watermark passed
+
+
+def test_streaming_as_of_enrich_matches_batch(spark, tmp_path):
+    """The stateful streaming as-of twin must reproduce the batch
+    union-tagged as_of_join on a time-ordered replay, including the
+    right-at-equal-ts visibility and NULLs before the first right row."""
+    from flinkecuserbehavioranalysis_spark.operators.joins import as_of_join
+    from flinkecuserbehavioranalysis_spark.streaming.stateful import (
+        streaming_as_of_enrich,
+    )
+
+    left_rows = [(1, 100, 11), (1, 500, 12), (1, 1000, 13), (2, 400, 14)]
+    right_rows = [(1, 50, 101), (1, 500, 105), (1, 700, 107), (3, 10, 300)]
+    left = spark.createDataFrame(left_rows, "k long, tsd long, lid long").selectExpr(
+        "k", "timestamp_seconds(tsd) as ts", "lid"
+    )
+    right = spark.createDataFrame(right_rows, "k long, tsd long, rid long").selectExpr(
+        "k", "timestamp_seconds(tsd) as ts", "rid"
+    )
+    tagged = left.selectExpr("k", "ts", "CAST(1 AS INT) __tag", "lid", "CAST(NULL AS LONG) rid").unionByName(
+        right.selectExpr("k", "ts", "CAST(0 AS INT) __tag", "CAST(NULL AS LONG) lid", "rid")
+    )
+    d = tmp_path / "tagged"
+    tagged.write.parquet(str(d))
+    stream = spark.readStream.schema(
+        "k long, ts timestamp, __tag int, lid long, rid long"
+    ).parquet(str(d))
+    got = {
+        (r.k, r.ts): r.rid
+        for r in run_bounded(
+            streaming_as_of_enrich(
+                stream, key="k", payload_cols=("rid",), left_cols=("lid",)
+            )
+        )
+    }
+    batch = as_of_join(
+        left.selectExpr("k", "CAST(ts AS LONG) ts", "lid"),
+        right.selectExpr("k", "CAST(ts AS LONG) rts", "rid"),
+        key="k",
+        left_ts="ts",
+        right_ts="rts",
+        right_payload=["rid"],
+    )
+    expect = {(r.k, r.ts): r.rid for r in batch.collect()}
+    assert got == expect
+    assert expect[(2, 400)] is None  # no right rows for key 2
+    assert expect[(1, 500)] == 105  # right at equal ts IS visible
