@@ -146,8 +146,11 @@ def ngram_jaccard_pairs(
     join (pairs sharing ≥1 shingle), |A∩B| counting, then
     |A∩B| / (|A|+|B|-|A∩B|).
 
-    Returns (doc_a, doc_b, jaccard) with jaccard rounded to 6 dp for
-    engine-portable comparison.  Quadratic in per-shingle document
+    Returns (doc_a, doc_b, jaccard).  The ratio is emitted as the raw
+    IEEE double (identical in any engine) — decimal rounding is NOT
+    applied because integer ratios are often dyadic (e.g. 1/128 =
+    0.0078125) and half-way rounding then differs across engines.
+    Quadratic in per-shingle document
     frequency — at 100 TB run it only on MinHash candidates (compose:
     ``minhash_candidates`` → semi-join → this)."""
     sh = shingles(docs, id_col, text_col, n)
@@ -165,9 +168,7 @@ def ngram_jaccard_pairs(
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 6
-            ),
+            F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")),
         )
     )
     return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
@@ -230,7 +231,7 @@ def lsh_verified_pairs(
         .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 6),
+            F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")),
         )
     )
     return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")

@@ -644,9 +644,9 @@ __c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
         FROM __sh a JOIN __sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
 SELECT doc_a, doc_b,
-       round(common * 1.0 / (x.sz + y.sz - common), 6) AS jaccard
+       common * 1.0 / (x.sz + y.sz - common) AS jaccard
 FROM __c JOIN __sz x ON doc_a = x.doc_id JOIN __sz y ON doc_b = y.doc_id
-WHERE round(common * 1.0 / (x.sz + y.sz - common), 6) >= 0.8
+WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.8
 """,
     "Extension: exact n-gram Jaccard near-dup pairs (inverted-index join), threshold 0.8.",
 )
@@ -1206,9 +1206,9 @@ __common AS (
   JOIN __sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,
-       round(common * 1.0 / (x.sz + y.sz - common), 6) AS jaccard
+       common * 1.0 / (x.sz + y.sz - common) AS jaccard
 FROM __common JOIN __sz x ON doc_a = x.doc_id JOIN __sz y ON doc_b = y.doc_id
-WHERE round(common * 1.0 / (x.sz + y.sz - common), 6) >= {threshold}
+WHERE common * 1.0 / (x.sz + y.sz - common) >= {threshold}
 """
 
 
@@ -1320,7 +1320,7 @@ def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH __u AS (
   SELECT l_partkey, l_suppkey,
-         round(l_extendedprice / l_quantity, 6) AS unit_price
+         l_extendedprice / l_quantity AS unit_price
   FROM lineitem),
 __r AS (SELECT *, row_number() OVER (PARTITION BY l_partkey
                                      ORDER BY unit_price, l_suppkey) AS rn
@@ -1336,10 +1336,13 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     lineitem = load_table(spark, sf_dir, "lineitem")
+    # raw IEEE division, NOT rounded: both engines compute the identical
+    # double, while decimal rounding of half-way values (…5625 at 6 dp)
+    # differs between Spark's HALF_UP and DuckDB — found at sf0.1
     u = lineitem.select(
         "l_partkey",
         "l_suppkey",
-        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit_price"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
     )
     w = Window.partitionBy("l_partkey").orderBy(
         F.col("unit_price").asc(), F.col("l_suppkey").asc()

@@ -154,5 +154,5 @@ def test_ngram_jaccard_matches_naive(spark, docs):
                 a, b = sh(ta), sh(tb)
                 inter = len(a & b)
                 if inter:  # pairs sharing no shingle never join
-                    expect[(i, j)] = round(inter / len(a | b), 6)
+                    expect[(i, j)] = inter / len(a | b)
     assert got == expect
