@@ -283,3 +283,26 @@ def test_results_invariant_under_partitioning(spark):
             assert a == b, f"{n} differs between partition counts"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_bench_contract_single_json_line():
+    """bench.py must print exactly one parseable JSON line with the
+    driver-contract keys, exercised at the smoke scale factor."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+               SPARK_GRAFT_CPUS="8")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        capture_output=True, text=True, timeout=500, env=env, cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    assert len(json_lines) == 1, out.stdout[-2000:]
+    d = json.loads(json_lines[0])
+    assert d["unit"] == "sec" and d["queries"] and d["value"] > 0
+    assert d["sf"] == 0.001

@@ -420,3 +420,44 @@ def test_streaming_as_of_enrich_matches_batch(spark, tmp_path):
     assert got == expect
     assert expect[(2, 400)] is None  # no right rows for key 2
     assert expect[(1, 500)] == 105  # right at equal ts IS visible
+
+
+def test_rate_generator_windowed_count_end_to_end(spark):
+    """S3 end-to-end: the rate-source generator feeding a keyed windowed
+    count (the AppMarketingByChannel dataflow) must emit rows within a
+    few micro-batches — no sleep throttles, generation scales with
+    partitions."""
+    from flinkecuserbehavioranalysis_spark.sources.generator import (
+        marketing_behavior_stream,
+    )
+
+    stream = marketing_behavior_stream(spark, rows_per_second=5000, partitions=2)
+    counts = (
+        stream.filter(F.col("behavior") != "UNINSTALL")
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 second"), "channel", "behavior")
+        .count()
+    )
+    name = "rate_e2e"
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        rows = []
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = spark.sql(f"SELECT * FROM {name}").collect()
+            if rows:
+                break
+            time.sleep(1)
+        assert rows, "rate-source pipeline emitted nothing in 60s"
+        assert all(r["count"] > 0 for r in rows)
+        assert {r.behavior for r in rows} <= {"BROWSE", "CLICK", "PURCHASE"}
+    finally:
+        q.stop()
