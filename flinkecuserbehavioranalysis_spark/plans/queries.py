@@ -1477,3 +1477,39 @@ FROM documents
 )
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "nation_market_share_by_year",
+    f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN n_name = 'NATION_7' THEN {_REVENUE_SQL}
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS mkt_share,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+""",
+    "Extension (TPC-H Q8-style): one nation's revenue share per order year — conditional "
+    "decimal share over the fact join chain with a broadcast nation dim and year() "
+    "extraction on the timestamp.",
+)
+def nation_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, o, c, n = (
+        load_table(spark, sf_dir, t) for t in ("lineitem", "orders", "customer", "nation")
+    )
+    j = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    target = F.sum(
+        F.when(F.col("n_name") == "NATION_7", _revenue()).otherwise(F.lit(0).cast("decimal(18,2)"))
+    )
+    return j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        (target.cast("double") / F.sum(_revenue()).cast("double")).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
