@@ -1,0 +1,66 @@
+"""Deterministic sampling & dataset splitting (extension — training-data
+pipeline).
+
+At corpus scale, sampling must be a pure function of the record key —
+``rand()`` samples differ run-to-run (and per retry of a failed task,
+breaking exactly-once semantics), and ``TABLESAMPLE`` is engine- and
+plan-dependent.  The bucket here is the first 32 bits of md5(key) mod
+10000: identical in any engine (the DuckDB oracle computes the same
+expression), stable under repartitioning, and independent of row order.
+
+Map-only — no shuffle; the filter pushes into the scan's projection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(key: str | Column, buckets: int = _BUCKETS) -> Column:
+    """Deterministic uniform bucket in [0, buckets) from md5 of the
+    key's string form (engine-portable: DuckDB computes
+    ``('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 8))::UBIGINT %
+    buckets``)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Keep a deterministic ~*fraction* of rows by key hash.  Same key →
+    same decision, every run, every engine, any partitioning."""
+    return df.filter(hash_bucket(key) < int(fraction * _BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    labels: Sequence[str] = ("train", "validation", "test"),
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row a deterministic dataset split by key hash.
+
+    Cumulative bucket thresholds implement the weights; a record's split
+    never changes as the corpus grows (only new keys land in each
+    split) — the property that keeps eval sets uncontaminated across
+    pipeline re-runs."""
+    assert len(weights) == len(labels) and abs(sum(weights) - 1.0) < 1e-9
+    b = hash_bucket(key)
+    expr: Column = F.lit(labels[-1])
+    cum = 0.0
+    conds = []
+    for w, lab in zip(weights[:-1], labels[:-1]):
+        cum += w
+        conds.append((int(cum * _BUCKETS), lab))
+    expr = F.lit(labels[-1])
+    for threshold, lab in reversed(conds):
+        expr = F.when(b < threshold, F.lit(lab)).otherwise(expr)
+    return df.withColumn(split_col, expr)

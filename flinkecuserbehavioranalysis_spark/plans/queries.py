@@ -1513,3 +1513,47 @@ def nation_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         (target.cast("double") / F.sum(_revenue()).cast("double")).alias("mkt_share"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+from ..operators.sampling import hash_sample, hash_split  # noqa: E402
+
+_BUCKET_SQL = (
+    "('0x' || substring(md5(CAST({k} AS VARCHAR)), 1, 8))::VARCHAR::UBIGINT % 10000"
+)
+
+
+@_q(
+    "documents_hash_sample",
+    f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_BUCKET_SQL.format(k='doc_id')} < 1000
+""",
+    "Extension (training-data): deterministic ~10% sample by key hash — reproducible "
+    "across runs/engines/partitionings, unlike rand() or TABLESAMPLE; map-only.",
+)
+def documents_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_sample(docs, "doc_id", 0.10)
+
+
+@_q(
+    "dataset_split_counts",
+    f"""
+WITH __b AS (SELECT doc_id, lang, {_BUCKET_SQL.format(k='doc_id')} AS b FROM documents)
+SELECT CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'validation'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs
+FROM __b GROUP BY 1, 2
+""",
+    "Extension (training-data): deterministic 80/10/10 train/validation/test split by key "
+    "hash, counted per language — a record's split never changes as the corpus grows.",
+)
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

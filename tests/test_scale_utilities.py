@@ -306,3 +306,26 @@ def test_bench_contract_single_json_line():
     d = json.loads(json_lines[0])
     assert d["unit"] == "sec" and d["queries"] and d["value"] > 0
     assert d["sf"] == 0.001
+
+
+def test_hash_split_stability(spark):
+    """Split assignment is a pure function of the key: disjoint, total,
+    rerun-stable, and unchanged when the corpus grows (the eval-set
+    contamination guard)."""
+    from flinkecuserbehavioranalysis_spark.io import load_table
+    from flinkecuserbehavioranalysis_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id")
+    full = {r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()}
+    again = {r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()}
+    assert full == again
+    assert set(full.values()) <= {"train", "validation", "test"}
+    # grow-stability: assignments on a subset match the full corpus
+    subset = docs.filter(F.col("doc_id") % 3 == 0)
+    sub = {r.doc_id: r.split for r in hash_split(subset, "doc_id").collect()}
+    assert all(full[k] == v for k, v in sub.items())
+    # rough proportions at n=100
+    from collections import Counter
+
+    c = Counter(full.values())
+    assert c["train"] > c["validation"] and c["train"] > c["test"]
