@@ -107,3 +107,61 @@ def rolling_fingerprint(
         lambda acc, t: (acc * 31 + tok_hash(t)) % F.lit(1000000007),
     )
     return docs.select(F.col(id_col), rolled.alias("rolling_hash"))
+
+
+def lang_id_ngram(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    profile_size: int = 50,
+) -> DataFrame:
+    """Character-trigram language ID: build a top-*profile_size* trigram
+    profile per labeled language (by document frequency), then guess
+    each document's language as the profile with the largest trigram
+    overlap (ties → lexicographically first language; no trigrams →
+    'und').
+
+    All relational — trigram explode (map-side), two shuffles to build
+    the tiny profile table, one broadcast-join scoring pass over the
+    corpus.  At 100 TB the profile builds on a hash_sample and the
+    scoring join broadcasts n_langs × profile_size rows."""
+    from pyspark.sql import Window
+
+    trigram_expr = (
+        f"CASE WHEN length({text_col}) >= 3 THEN "
+        f"transform(sequence(1, length({text_col}) - 2), i -> substring({text_col}, i, 3)) "
+        f"ELSE array() END"
+    )
+    tri = docs.select(
+        F.col(id_col), F.col(lang_col), F.explode(F.expr(trigram_expr)).alias("tri")
+    ).distinct()
+    dfreq = tri.groupBy(lang_col, "tri").agg(F.count(F.lit(1)).alias("df"))
+    wp = Window.partitionBy(lang_col).orderBy(F.col("df").desc(), F.col("tri").asc())
+    profile = (
+        dfreq.withColumn("__r", F.row_number().over(wp))
+        .filter(F.col("__r") <= profile_size)
+        .select(F.col(lang_col).alias("cand_lang"), "tri")
+    )
+    overlap = (
+        tri.select(id_col, "tri")
+        .join(F.broadcast(profile), "tri")
+        .groupBy(id_col, "cand_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    wb = Window.partitionBy(id_col).orderBy(F.col("hits").desc(), F.col("cand_lang").asc())
+    best = (
+        overlap.withColumn("__r", F.row_number().over(wb))
+        .filter(F.col("__r") == 1)
+        .select(id_col, "cand_lang", "hits")
+    )
+    return (
+        docs.select(id_col, lang_col)
+        .join(best, id_col, "left_outer")
+        .select(
+            id_col,
+            lang_col,
+            F.coalesce(F.col("cand_lang"), F.lit("und")).alias("lang_guess_ngram"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("profile_hits"),
+        )
+    )

@@ -1557,3 +1557,41 @@ def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+from ..operators.text import lang_id_ngram  # noqa: E402
+
+
+@_q(
+    "text_lang_id_ngram",
+    """
+WITH __tri AS (
+  SELECT DISTINCT doc_id, lang, unnest(list_transform(
+           range(1, len(text) - 1), i -> substring(text, i, 3))) AS tri
+  FROM documents WHERE len(text) >= 3),
+__df AS (SELECT lang, tri, count(*) AS df FROM __tri GROUP BY 1, 2),
+__prof AS (
+  SELECT lang AS cand_lang, tri
+  FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY df DESC, tri) AS r
+        FROM __df)
+  WHERE r <= 50),
+__ov AS (
+  SELECT t.doc_id, p.cand_lang, count(*) AS hits
+  FROM (SELECT DISTINCT doc_id, tri FROM __tri) t JOIN __prof p ON t.tri = p.tri
+  GROUP BY 1, 2),
+__best AS (
+  SELECT doc_id, cand_lang, hits
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS r
+        FROM __ov)
+  WHERE r = 1)
+SELECT d.doc_id, d.lang,
+       coalesce(b.cand_lang, 'und') AS lang_guess_ngram,
+       coalesce(b.hits, 0) AS profile_hits
+FROM documents d LEFT JOIN __best b ON d.doc_id = b.doc_id
+""",
+    "Extension (n-gram language-ID): top-50 char-trigram profile per labeled language, "
+    "each doc classified by largest profile overlap — profile build is two small "
+    "shuffles; scoring is one broadcast join over the corpus.",
+)
+def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id_ngram(load_table(spark, sf_dir, "documents"))
