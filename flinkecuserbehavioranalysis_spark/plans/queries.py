@@ -838,9 +838,9 @@ def login_fail_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "props_numeric_stats",
     """
-SELECT CAST(regexp_extract(props, '[0-9]+') AS BIGINT) % 10 AS bucket,
+SELECT CAST(regexp_extract(props, '"k"\\s*:\\s*(-?[0-9]+)', 1) AS BIGINT) % 10 AS bucket,
        count(*) AS cnt,
-       sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(regexp_extract(props, '"k"\\s*:\\s*(-?[0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        min(value) AS min_value,
        max(value) AS max_value
 FROM events GROUP BY 1
@@ -1292,12 +1292,12 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipmode_priority_counts",
     """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-WHERE epoch(l_shipdate) > epoch(o_orderdate)
+WHERE l_shipdate > o_orderdate
 GROUP BY l_linestatus
 """,
     "Extension (TPC-H Q12-style): high/low-priority line counts per linestatus — "
@@ -1305,8 +1305,11 @@ GROUP BY l_linestatus
 )
 def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, orders = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    # Direct timestamp comparison on BOTH engines (round-1 driver failure:
+    # Spark cast('long') floors to whole seconds while DuckDB epoch() keeps
+    # fractional seconds, so boundary rows diverged under the driver's data).
     j = lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
-        F.col("l_shipdate").cast("long") > F.col("o_orderdate").cast("long")
+        F.col("l_shipdate") > F.col("o_orderdate")
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return j.groupBy("l_linestatus").agg(

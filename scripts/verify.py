@@ -31,6 +31,67 @@ def norm_val(v):
     return v
 
 
+# --- type-kind audit -------------------------------------------------
+# Round-1 lesson: local fetchall() returns Python ints for DuckDB HUGEINT
+# (the result type of SUM over integers), so value comparison passed here,
+# but the driver's fetch path widened HUGEINT ("123" became "123.0" or a
+# Decimal repr) and hash-mismatched two queries whose oracles emitted raw
+# integer SUMs.  We therefore also inspect the oracle's Arrow schema — the
+# strictest stable view of DuckDB's result types (nullable BIGINT stays
+# int64 there; HUGEINT becomes decimal128) — and require each column's
+# coarse kind (int / float / decimal / bool / datetime / other) to match
+# the Spark output type exactly.  Any mismatch is a driver-hash hazard
+# even when the values compare equal locally.
+
+_SPARK_INT = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
+_SPARK_FLOAT = {"float", "double"}
+
+
+def spark_kind(dt: str) -> str:
+    d = dt.lower()
+    if d in _SPARK_INT:
+        return "i"
+    if d in _SPARK_FLOAT:
+        return "f"
+    if d.startswith("decimal"):
+        return "d"
+    if d == "boolean":
+        return "b"
+    if d.startswith("timestamp") or d == "date":
+        return "M"
+    return "O"
+
+
+def arrow_kind(t) -> str:
+    import pyarrow.types as pat
+
+    if pat.is_integer(t):
+        return "i"
+    if pat.is_floating(t):
+        return "f"
+    if pat.is_decimal(t):
+        return "d"
+    if pat.is_boolean(t):
+        return "b"
+    if pat.is_temporal(t):
+        return "M"
+    return "O"
+
+
+def kind_audit(sdf, otable):
+    """Return list of (col, spark_kind, oracle_kind) mismatches."""
+    skinds = {f.name.lower(): spark_kind(f.dataType.simpleString()) for f in sdf.schema.fields}
+    bad = []
+    for field in otable.schema:
+        ok = arrow_kind(field.type)
+        sk = skinds.get(field.name.lower())
+        if sk is None:
+            continue
+        if sk != ok:
+            bad.append((field.name, sk, ok))
+    return bad
+
+
 def norm_rows(rows):
     return sorted((tuple(norm_val(v) for v in r) for r in rows), key=repr)
 
@@ -117,7 +178,12 @@ def main() -> int:
                 flush=True,
             )
         else:
-            print(f"  ok {name}: {len(s_sorted)} rows {time.time()-t0:.1f}s", flush=True)
+            bad = kind_audit(sdf, con.execute(oracles[name]).arrow())
+            if bad:
+                failed.append((name, f"type-kind mismatch (driver-hash hazard): {bad}"))
+                print(f"FAIL {name}: type-kind mismatch {bad}", flush=True)
+            else:
+                print(f"  ok {name}: {len(s_sorted)} rows {time.time()-t0:.1f}s", flush=True)
 
     print(
         f"\n{len(queries) - len(failed)}/{len(queries)} ok "
