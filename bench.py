@@ -6,8 +6,11 @@ JSON line:
     {"metric": "total_query_seconds", "value": N, "unit": "sec",
      "queries": {"<name>": sec, ...}, "sf": <sf>}
 
-Timing is per-query wall clock around a full materialization
-(``count()`` — forces every shuffle/join/agg in the plan); session
+Timing is per-query wall clock around a full materialization via the
+``noop`` write sink — every output column is computed and serialized,
+so Catalyst cannot prune final projections the way it can under
+``count()`` (round-1 advice: count() under-measured queries whose cost
+lives in the projected expressions, e.g. rounded cosines).  Session
 startup and the scan-cache warmup are excluded so the number reflects
 query execution, not JVM boot.
 """
@@ -31,13 +34,18 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    def materialize(df) -> None:
+        # noop sink: full computation + serialization of every column,
+        # no projection pruning, nothing written to disk
+        df.write.format("noop").mode("overwrite").save()
+
     # warmup: JVM/codegen + file-listing, outside the timed region
-    QUERIES["page_view_count"].fn(spark, sf_dir).count()
+    materialize(QUERIES["page_view_count"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name, qd in sorted(QUERIES.items()):
         t0 = time.perf_counter()
-        qd.fn(spark, sf_dir).count()
+        materialize(qd.fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
