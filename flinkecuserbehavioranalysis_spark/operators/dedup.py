@@ -141,6 +141,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    df_max: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram shingle sets, via inverted-index
     join (pairs sharing ≥1 shingle), |A∩B| counting, then
@@ -150,10 +151,30 @@ def ngram_jaccard_pairs(
     IEEE double (identical in any engine) — decimal rounding is NOT
     applied because integer ratios are often dyadic (e.g. 1/128 =
     0.0078125) and half-way rounding then differs across engines.
-    Quadratic in per-shingle document
-    frequency — at 100 TB run it only on MinHash candidates (compose:
-    ``minhash_candidates`` → semi-join → this)."""
+
+    *df_max* bounds the inverted-index join: shingles appearing in more
+    than *df_max* documents are dropped from the shingle universe BEFORE
+    the self-join (a stopword-like shingle otherwise contributes df²
+    candidate pairs — the one thing that can blow this operator up at
+    corpus scale).  Both |A∩B| and the set sizes are computed over the
+    filtered universe, so the result is the exact Jaccard of the
+    df-filtered shingle sets — identical to the unfiltered answer
+    whenever the cap does not bind.  Still quadratic in (capped)
+    per-shingle document frequency — at 100 TB run it only on MinHash
+    candidates (compose: ``minhash_candidates`` → semi-join → this, or
+    use ``lsh_verified_pairs``)."""
     sh = shingles(docs, id_col, text_col, n)
+    if df_max is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_max)
+            .select("sh")
+        )
+        # inner join ≡ semi join here (rare.sh is unique); the groupBy
+        # above already partitioned by sh, so the join reuses that
+        # exchange and the df filter lands before the quadratic self-join
+        sh = sh.join(rare, "sh")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

@@ -639,19 +639,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     f"""
 WITH {_SHINGLE_CTE},
-__sz AS (SELECT doc_id, count(*) AS sz FROM __sh GROUP BY doc_id),
+__rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM __sh GROUP BY sh)
+           WHERE df <= 64),
+__shf AS (SELECT s.doc_id, s.sh FROM __sh s JOIN __rare USING (sh)),
+__sz AS (SELECT doc_id, count(*) AS sz FROM __shf GROUP BY doc_id),
 __c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        FROM __sh a JOIN __sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        FROM __shf a JOIN __shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
 SELECT doc_a, doc_b,
        common * 1.0 / (x.sz + y.sz - common) AS jaccard
 FROM __c JOIN __sz x ON doc_a = x.doc_id JOIN __sz y ON doc_b = y.doc_id
 WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.8
 """,
-    "Extension: exact n-gram Jaccard near-dup pairs (inverted-index join), threshold 0.8.",
+    "Extension: exact n-gram Jaccard near-dup pairs (inverted-index join) with a "
+    "document-frequency cap (df<=64) bounding the quadratic self-join, threshold 0.8.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8, df_max=64)
 
 
 def _simhash_oracle(bits: int = 16) -> str:

@@ -156,3 +156,52 @@ def test_ngram_jaccard_matches_naive(spark, docs):
                 if inter:  # pairs sharing no shingle never join
                     expect[(i, j)] = inter / len(a | b)
     assert got == expect
+
+
+@given(doc_inputs())
+@settings(max_examples=10, deadline=None)
+def test_ngram_jaccard_df_cap_not_binding_is_identity(spark, docs):
+    """With df_max ≥ corpus size the cap can never bind, so the capped
+    operator must return exactly the uncapped result."""
+    from flinkecuserbehavioranalysis_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.0, df_max=len(docs)).collect()
+    }
+    assert capped == base
+
+
+def test_ngram_jaccard_df_cap_bounds_hot_shingle_join(spark):
+    """A stopword-like shingle present in every doc explodes the
+    inverted-index join df² ways; the cap must drop it from the shingle
+    universe (bounding the join) while rarer shingles still match.
+
+    Construction: all 40 docs share the hot shingle 'the of and'; only
+    docs 0/1 additionally share rarer ones.  With df_max=2 the hot
+    shingle (df=40 > 2) is excluded, so the only surviving pair is
+    (0, 1), with Jaccard computed over the df-filtered shingle sets."""
+    from flinkecuserbehavioranalysis_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = "the of and"
+    rows = [(0, hot + " p q r s"), (1, hot + " p q r t")] + [
+        (i, hot + f" u{i} v{i} w{i}") for i in range(2, 40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(df, threshold=0.0).collect()
+    # every pair shares the hot path's shingles → C(40,2) joined pairs
+    assert len(uncapped) == 40 * 39 // 2
+
+    capped = ngram_jaccard_pairs(df, threshold=0.0, df_max=2).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in capped}
+    # only shingles with df<=2 survive; doc0/doc1 share 'p q r' chains
+    assert set(got) == {(0, 1)}
+    # filtered sets: doc0 {of and p, and p q, p q r, q r s},
+    #                doc1 {of and p, and p q, p q r, q r t} → 3/5
+    assert abs(got[(0, 1)] - 3 / 5) < 1e-12
