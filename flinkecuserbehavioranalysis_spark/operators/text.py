@@ -115,6 +115,7 @@ def lang_id_ngram(
     text_col: str = "text",
     lang_col: str = "lang",
     profile_size: int = 50,
+    profile_fraction: float = 1.0,
 ) -> DataFrame:
     """Character-trigram language ID: build a top-*profile_size* trigram
     profile per labeled language (by document frequency), then guess
@@ -122,18 +123,40 @@ def lang_id_ngram(
     overlap (ties → lexicographically first language; no trigrams →
     'und').
 
-    All relational — trigram explode (map-side), two shuffles to build
-    the tiny profile table, one broadcast-join scoring pass over the
-    corpus.  At 100 TB the profile builds on a hash_sample and the
-    scoring join broadcasts n_langs × profile_size rows."""
+    Two scale levers (both round-2, after the round-1 plan audit flagged
+    the full-corpus ``explode().distinct()`` as this query's cost):
+
+    - the profile builds on a deterministic ``hash_sample`` of the
+      corpus (*profile_fraction*; md5-bucket, engine-portable so the
+      oracle mirrors it exactly) — profile quality needs thousands of
+      docs per language, not the whole corpus;
+    - scoring is MAP-ONLY: the finished profile (n_langs × profile_size
+      rows) is packed into a single broadcast row of (lang, tri_array)
+      structs — the same packed-codebook shape as the IVF assigner
+      (similarity.py) — and each document computes
+      ``array_intersect`` sizes against every language profile in one
+      projection.  No explode, no join, no aggregation, no final
+      left-join: the only shuffles left in the whole query are the two
+      tiny ones building the sampled profile.
+
+    Tie semantics match the relational formulation (and the oracle):
+    hits desc, then lexicographically-first language (the packed structs
+    are sort_array'd and the fold keeps the incumbent on ties); zero
+    hits → 'und'."""
     from pyspark.sql import Window
+
+    from .sampling import hash_sample
 
     trigram_expr = (
         f"CASE WHEN length({text_col}) >= 3 THEN "
         f"transform(sequence(1, length({text_col}) - 2), i -> substring({text_col}, i, 3)) "
         f"ELSE array() END"
     )
-    tri = docs.select(
+
+    prof_docs = (
+        hash_sample(docs, id_col, profile_fraction) if profile_fraction < 1.0 else docs
+    )
+    tri = prof_docs.select(
         F.col(id_col), F.col(lang_col), F.explode(F.expr(trigram_expr)).alias("tri")
     ).distinct()
     dfreq = tri.groupBy(lang_col, "tri").agg(F.count(F.lit(1)).alias("df"))
@@ -143,25 +166,28 @@ def lang_id_ngram(
         .filter(F.col("__r") <= profile_size)
         .select(F.col(lang_col).alias("cand_lang"), "tri")
     )
-    overlap = (
-        tri.select(id_col, "tri")
-        .join(F.broadcast(profile), "tri")
-        .groupBy(id_col, "cand_lang")
-        .agg(F.count(F.lit(1)).alias("hits"))
+    packed = (
+        profile.groupBy("cand_lang")
+        .agg(F.sort_array(F.collect_list("tri")).alias("tris"))
+        .agg(F.sort_array(F.collect_list(F.struct("cand_lang", "tris"))).alias("profs"))
     )
-    wb = Window.partitionBy(id_col).orderBy(F.col("hits").desc(), F.col("cand_lang").asc())
-    best = (
-        overlap.withColumn("__r", F.row_number().over(wb))
-        .filter(F.col("__r") == 1)
-        .select(id_col, "cand_lang", "hits")
+    base = docs.select(
+        F.col(id_col), F.col(lang_col), F.array_distinct(F.expr(trigram_expr)).alias("__tri_arr")
+    )
+    best = F.expr(
+        "aggregate("
+        "  transform(profs, p -> struct("
+        "    size(array_intersect(__tri_arr, p.tris)) AS hits, p.cand_lang AS lang)),"
+        "  struct(0 AS hits, 'und' AS lang),"
+        "  (acc, x) -> IF(x.hits > acc.hits, x, acc))"
     )
     return (
-        docs.select(id_col, lang_col)
-        .join(best, id_col, "left_outer")
+        base.crossJoin(F.broadcast(packed))
+        .select(F.col(id_col), F.col(lang_col), best.alias("__best"))
         .select(
-            id_col,
-            lang_col,
-            F.coalesce(F.col("cand_lang"), F.lit("und")).alias("lang_guess_ngram"),
-            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("profile_hits"),
+            F.col(id_col),
+            F.col(lang_col),
+            F.col("__best.lang").alias("lang_guess_ngram"),
+            F.col("__best.hits").cast("long").alias("profile_hits"),
         )
     )

@@ -1571,20 +1571,25 @@ from ..operators.text import lang_id_ngram  # noqa: E402
 
 @_q(
     "text_lang_id_ngram",
-    """
-WITH __tri AS (
+    f"""
+WITH __ptri AS (
   SELECT DISTINCT doc_id, lang, unnest(list_transform(
            range(1, len(text) - 1), i -> substring(text, i, 3))) AS tri
-  FROM documents WHERE len(text) >= 3),
-__df AS (SELECT lang, tri, count(*) AS df FROM __tri GROUP BY 1, 2),
+  FROM documents
+  WHERE len(text) >= 3 AND {_BUCKET_SQL.format(k='doc_id')} < 5000),
+__df AS (SELECT lang, tri, count(*) AS df FROM __ptri GROUP BY 1, 2),
 __prof AS (
   SELECT lang AS cand_lang, tri
   FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY df DESC, tri) AS r
         FROM __df)
   WHERE r <= 50),
+__tri AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+           range(1, len(text) - 1), i -> substring(text, i, 3))) AS tri
+  FROM documents WHERE len(text) >= 3),
 __ov AS (
   SELECT t.doc_id, p.cand_lang, count(*) AS hits
-  FROM (SELECT DISTINCT doc_id, tri FROM __tri) t JOIN __prof p ON t.tri = p.tri
+  FROM __tri t JOIN __prof p ON t.tri = p.tri
   GROUP BY 1, 2),
 __best AS (
   SELECT doc_id, cand_lang, hits
@@ -1596,9 +1601,10 @@ SELECT d.doc_id, d.lang,
        coalesce(b.hits, 0) AS profile_hits
 FROM documents d LEFT JOIN __best b ON d.doc_id = b.doc_id
 """,
-    "Extension (n-gram language-ID): top-50 char-trigram profile per labeled language, "
-    "each doc classified by largest profile overlap — profile build is two small "
-    "shuffles; scoring is one broadcast join over the corpus.",
+    "Extension (n-gram language-ID): top-50 char-trigram profile per labeled language "
+    "built on a deterministic 50% hash-sample (mirrored in the oracle), each doc "
+    "classified by largest profile overlap — scoring broadcast-joins the tiny profile "
+    "before any distinct, so no shuffle is proportional to raw trigram volume.",
 )
 def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lang_id_ngram(load_table(spark, sf_dir, "documents"))
+    return lang_id_ngram(load_table(spark, sf_dir, "documents"), profile_fraction=0.5)

@@ -102,3 +102,24 @@ def test_date_range_pushdown_reaches_both_scans(spark):
     assert "GreaterThanOrEqual(l_shipdate" in plan, plan
     assert "LessThan(o_orderdate" in plan, plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lang_id_ngram_scoring_is_map_only(spark):
+    """Round-2 redesign: the corpus-side scoring pass must be map-only —
+    a broadcast of the packed profile into a projection, with no
+    SortMergeJoin anywhere and no shuffle proportional to raw trigram
+    volume.  The only exchanges allowed are the ones building the
+    sampled profile (distinct, df count, window, pack)."""
+    plan = _explain(spark, "text_lang_id_ngram")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row packed profile
+    # profile branch reads the hash-sampled relation: the md5-bucket
+    # filter must appear in the plan
+    assert "pmod" in plan and "md5" in plan
+    # profile-side shuffles only: distinct + dfreq + window + pack agg
+    # (formatted explain lists every node twice — tree + detail — so
+    # count the detail headers, which appear exactly once per node)
+    import re
+
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_shuffles <= 4, plan
