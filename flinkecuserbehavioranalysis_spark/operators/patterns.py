@@ -21,10 +21,96 @@ Reference semantics reproduced:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _DAY = 86400
+
+
+def pattern_pairs(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    first_pred: Column,
+    second_pred: Column,
+    within_seconds: float,
+    contiguity: str = "relaxed",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Generic quantified two-step pattern: per *key_col*, an event
+    matching *first_pred* followed by one matching *second_pred* within
+    *within_seconds* — the parameterized form of flink-cep's
+    ``begin.where(A).next/followedBy.where(B).within(t)``
+    (LoginFailWithCep.scala:56-60 is the strict instance,
+    OrderTimeoutWithOutCep.scala:45-48 the relaxed one).
+
+    *contiguity*:
+
+    - ``'strict'`` (CEP ``next``): B must be the key's immediately-next
+      event after A — intervening events of any kind break the match
+      (LoginFailTwo.scala:87-88's success-reset falls out of this).
+      One ``lag`` pass.
+    - ``'relaxed'`` (CEP ``followedBy``): B is the EARLIEST later event
+      matching *second_pred*; other events in between are skipped.
+      Implemented as a running conditional min over the key's events in
+      reverse order — an O(n)-per-key running frame, NOT the O(n²)
+      unbounded-following frame Spark would use on the forward order.
+
+    The time bound is strict (``second_ts - first_ts < within``),
+    matching both reference jobs (LoginFailTwo.scala:74 compares
+    ``eventTime < first + 2``; OrderTimeout.scala:104 compares
+    ``payTime < timerTs``) and CEP's end-exclusive ``within``.
+
+    Returns (key_col, first_ts, second_ts) as epoch-second longs.  One
+    shuffle on *key_col*; per-key in-partition sort — holds at 100 TB
+    because per-key history is bounded."""
+    if contiguity not in ("strict", "relaxed"):
+        raise ValueError(f"contiguity must be 'strict' or 'relaxed', got {contiguity!r}")
+    tse = F.col(ts_col).cast("double")
+    tb = [tiebreak_col] if tiebreak_col else []
+    base = df.withColumn("__tse", tse).withColumn("__a", first_pred).withColumn("__b", second_pred)
+    if contiguity == "strict":
+        order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tb]
+        w = Window.partitionBy(key_col).orderBy(*order)
+        matched = (
+            base.withColumn("__prev_a", F.lag("__a").over(w))
+            .withColumn("__prev_tse", F.lag("__tse").over(w))
+            .filter(
+                F.col("__b")
+                & F.col("__prev_a")
+                & (F.col("__tse") - F.col("__prev_tse") < F.lit(float(within_seconds)))
+            )
+            .select(
+                F.col(key_col),
+                F.col("__prev_tse").cast("long").alias("first_ts"),
+                F.col("__tse").cast("long").alias("second_ts"),
+            )
+        )
+    else:
+        # reverse event order → "earliest following B" is a running min
+        # over PRECEDING rows (O(n) sliding frame; the forward-order
+        # formulation would be an unbounded-FOLLOWING frame, which Spark
+        # evaluates quadratically per partition)
+        rev = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tb]
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(*rev)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        next_b = F.min(F.when(F.col("__b"), F.col("__tse"))).over(w)
+        matched = (
+            base.withColumn("__next_b", next_b)
+            .filter(
+                F.col("__a")
+                & (F.col("__next_b") - F.col("__tse") < F.lit(float(within_seconds)))
+            )
+            .select(
+                F.col(key_col),
+                F.col("__tse").cast("long").alias("first_ts"),
+                F.col("__next_b").cast("long").alias("second_ts"),
+            )
+        )
+    return matched
 
 
 def consecutive_fail_alerts(
@@ -36,31 +122,27 @@ def consecutive_fail_alerts(
     max_gap_seconds: int = 2,
     tiebreak_col: str | None = None,
 ) -> DataFrame:
-    """F3/F4 — emit a warning per (fail, fail) adjacent pair within gap.
-
-    Success rows participate in ``lag`` (they reset the pattern —
-    LoginFailTwo.scala:87-88) and are then filtered out.  *tiebreak_col*
-    pins a total event order under equal timestamps.
-    """
-    order = [F.col(ts_col).asc()] + ([F.col(tiebreak_col).asc()] if tiebreak_col else [])
-    w = Window.partitionBy(user_col).orderBy(*order)
-    prev_type = F.lag(F.col(type_col)).over(w)
-    prev_ts = F.lag(F.col(ts_col)).over(w)
-    return (
-        df.select(user_col, type_col, ts_col, *( [tiebreak_col] if tiebreak_col else [] ))
-        .withColumn("prev_type", prev_type)
-        .withColumn("prev_ts", prev_ts)
-        .filter(
-            (F.col(type_col) == fail_value)
-            & (F.col("prev_type") == fail_value)
-            & (F.col(ts_col).cast("double") - F.col("prev_ts").cast("double") <= F.lit(float(max_gap_seconds)))
-        )
-        .select(
-            F.col(user_col),
-            F.col("prev_ts").cast("long").alias("first_fail_ts"),
-            F.col(ts_col).cast("long").alias("last_fail_ts"),
-            F.lit("login fail 2 times in a short time").alias("warning_msg"),
-        )
+    """F3/F4 — emit a warning per (fail, fail) adjacent pair within gap:
+    the strict-contiguity instance of ``pattern_pairs`` (success rows
+    break adjacency — LoginFailTwo.scala:87-88).  The gap bound is
+    strict (``< max_gap_seconds``), matching LoginFailTwo.scala:74
+    ``value.eventTime < firstFailEvent.eventTime + 2``.  *tiebreak_col*
+    pins a total event order under equal timestamps."""
+    fail = F.col(type_col) == fail_value
+    return pattern_pairs(
+        df,
+        key_col=user_col,
+        ts_col=ts_col,
+        first_pred=fail,
+        second_pred=fail,
+        within_seconds=float(max_gap_seconds),
+        contiguity="strict",
+        tiebreak_col=tiebreak_col,
+    ).select(
+        F.col(user_col),
+        F.col("first_ts").alias("first_fail_ts"),
+        F.col("second_ts").alias("last_fail_ts"),
+        F.lit("login fail 2 times in a short time").alias("warning_msg"),
     )
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: status values — messages follow OrderTimeout.scala:85,106,112,131,139
-PAY_OK = "pay successfully"
+PAY_OK = "payed successfully"
 TIMEOUT = "order timeout"
 PAID_AFTER_TIMEOUT = "payed but already timeout"
 PAID_NO_CREATE = "already payed but not found created log"
@@ -40,7 +40,9 @@ def create_pay_status(
     timeout_seconds: int = 900,
 ) -> DataFrame:
     """Per *id_col*: classify into the reference's 4 outcomes
-    (OrderTimeout.scala:78-124)."""
+    (OrderTimeout.scala:78-124).  The deadline is strict — a pay landing
+    at exactly create + timeout is already late (OrderTimeout.scala:104
+    fires the success branch only when ``payTime*1000 < timerTs``)."""
     ts = F.col(ts_col).cast("double")
     agg = df.groupBy(id_col).agg(
         F.min(F.when(F.col(type_col) == create_value, ts)).alias("create_ts"),
@@ -50,7 +52,7 @@ def create_pay_status(
     status = (
         F.when(F.col("create_ts").isNull() & F.col("pay_ts").isNotNull(), F.lit(PAID_NO_CREATE))
         .when(F.col("pay_ts").isNull(), F.lit(TIMEOUT))
-        .when(delta <= F.lit(float(timeout_seconds)), F.lit(PAY_OK))
+        .when(delta < F.lit(float(timeout_seconds)), F.lit(PAY_OK))
         .otherwise(F.lit(PAID_AFTER_TIMEOUT))
     )
     return agg.select(

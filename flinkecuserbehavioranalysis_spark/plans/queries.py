@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators.distinct import windowed_distinct_count
 from ..operators.joins import interval_join, tx_match_full_outer
-from ..operators.patterns import blacklist_filter, consecutive_fail_alerts
+from ..operators.patterns import blacklist_filter, consecutive_fail_alerts, pattern_pairs
 from ..operators.sessions import sessionize
 from ..operators.timeout import create_pay_status
 from ..operators.windows import sliding_window_count, topn_per_window, tumbling_window_count
@@ -295,14 +295,48 @@ SELECT user_id,
        'login fail 2 times in a short time' AS warning_msg
 FROM __l
 WHERE event_type = 'error' AND prev_type = 'error'
-  AND epoch(ts) - epoch(prev_ts) <= 3600.0
+  AND epoch(ts) - epoch(prev_ts) < 3600.0
 """,
-    "LoginFailTwo.scala:60-91 / LoginFailWithCep.scala:56-60 — consecutive fails within gap (F2-F4).",
+    "LoginFailTwo.scala:60-91 / LoginFailWithCep.scala:56-60 — consecutive fails within gap "
+    "(F2-F4); strict < bound matching LoginFailTwo.scala:74.",
 )
 def login_fail_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return consecutive_fail_alerts(
         ev, fail_value="error", max_gap_seconds=3600, tiebreak_col="event_id"
+    )
+
+
+@_q(
+    "pattern_view_then_purchase",
+    """
+WITH __e AS (
+  SELECT user_id, event_type, epoch(ts) AS tse,
+         min(CASE WHEN event_type = 'purchase' THEN epoch(ts) END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_b
+  FROM events)
+SELECT user_id,
+       CAST(floor(tse) AS BIGINT) AS first_ts,
+       CAST(floor(next_b) AS BIGINT) AS second_ts
+FROM __e WHERE event_type = 'view' AND next_b - tse < 1800.0
+""",
+    "Generic quantified pattern (parameterized flink-cep begin/followedBy/within — "
+    "LoginFailWithCep.scala:56-60 and OrderTimeoutWithOutCep.scala:45-48 are its strict/"
+    "relaxed instances): each view followed by the user's earliest later purchase within "
+    "30min, relaxed contiguity, strict CEP-style end-exclusive bound.",
+)
+def pattern_view_then_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return pattern_pairs(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        first_pred=F.col("event_type") == "view",
+        second_pred=F.col("event_type") == "purchase",
+        within_seconds=1800.0,
+        contiguity="relaxed",
+        tiebreak_col="event_id",
     )
 
 
@@ -323,7 +357,7 @@ SELECT order_id,
        CAST(floor(pay_d) AS BIGINT) AS pay_ts,
        CASE WHEN create_d IS NULL AND pay_d IS NOT NULL THEN 'already payed but not found created log'
             WHEN pay_d IS NULL THEN 'order timeout'
-            WHEN pay_d - create_d <= 2592000.0 THEN 'pay successfully'
+            WHEN pay_d - create_d < 2592000.0 THEN 'payed successfully'
             ELSE 'payed but already timeout' END AS status
 FROM __a
 """,

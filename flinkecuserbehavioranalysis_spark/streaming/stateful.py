@@ -87,7 +87,7 @@ def streaming_login_fail(
             for _, row in pdf.iterrows():
                 ts = row["ts"].timestamp()
                 if row["event_type"] == fail_value:
-                    if last_type == fail_value and ts - last_ts <= max_gap_seconds:
+                    if last_type == fail_value and ts - last_ts < max_gap_seconds:
                         out.append(
                             (
                                 int(user_id),
@@ -212,7 +212,7 @@ def streaming_order_timeout(
                 else:
                     pay_ts = ts if pay_ts is None else min(pay_ts, ts)
         if create_ts is not None and pay_ts is not None:
-            status = PAY_OK if pay_ts - create_ts <= timeout_seconds else PAID_AFTER_TIMEOUT
+            status = PAY_OK if pay_ts - create_ts < timeout_seconds else PAID_AFTER_TIMEOUT
             state.remove()
             yield pd.DataFrame(
                 [(int(order_id), int(create_ts), int(pay_ts), status)],
@@ -266,7 +266,7 @@ def streaming_login_fail_tws(
                 for _, row in pdf.sort_values(sort_cols).iterrows():
                     ts = row["ts"].timestamp()
                     if row["event_type"] == fail_value:
-                        if last_type == fail_value and ts - last_ts <= max_gap_seconds:
+                        if last_type == fail_value and ts - last_ts < max_gap_seconds:
                             out.append(
                                 (
                                     int(user_id),
@@ -319,13 +319,20 @@ def streaming_as_of_enrich(
     Kafka per-key order) reproduce the batch result exactly.
 
     Output: key, left ts, *left_cols, *payload_cols (NULLs before the
-    first right row)."""
+    first right row).  Payload columns are integer-long by contract
+    (the output schema is LongType) and are carried through LongType
+    state — no state-side float round-trip.  One residual precision
+    caveat: if the tagged input leaves payload slots NULL on left rows
+    (they are never read), Arrow→pandas widens the whole column to
+    float64 inside the micro-batch, so payload values above 2^53 also
+    need the caller to fill those never-read slots with a non-null
+    sentinel (e.g. 0) to keep the column int64 end-to-end."""
     from pyspark.sql.types import DoubleType, StructType
 
     n_pay = len(payload_cols)
     state_schema = StructType(
         [StructField("r_ts", DoubleType())]
-        + [StructField(f"p{i}", DoubleType()) for i in range(n_pay)]
+        + [StructField(f"p{i}", LongType()) for i in range(n_pay)]
     )
     out_schema = StructType(
         [
@@ -345,12 +352,12 @@ def streaming_as_of_enrich(
             for _, row in pdf.iterrows():
                 if row["__tag"] == 0:
                     r_ts = row[ts_col].timestamp()
-                    pays = [float(row[c]) for c in payload_cols]
+                    pays = [int(row[c]) for c in payload_cols]
                 else:
                     out.append(
                         (int(key_t[0]), int(row[ts_col].timestamp()))
                         + tuple(int(row[c]) for c in left_cols)
-                        + tuple(None if p is None else int(p) for p in pays)
+                        + tuple(pays)
                     )
         state.update((r_ts, *pays))
         if out:

@@ -165,3 +165,94 @@ def test_topn_tiebreak(spark):
 def test_windowed_count_empty_input(spark):
     df = spark.createDataFrame([], "user_id INT, ts TIMESTAMP")
     assert windowed_count(df, "ts", "1 hour").count() == 0
+
+
+# --- pattern_pairs — the parameterized CEP begin/next|followedBy/within ----
+
+
+def test_pattern_pairs_strict_vs_relaxed(spark):
+    rows = [
+        # key 1: A at 100, noise at 101, B at 102 → relaxed matches (102),
+        # strict does not (noise intervenes)
+        (1, "a", 100, 0),
+        (1, "x", 101, 1),
+        (1, "b", 102, 2),
+        # key 2: A at 100, B at 101 (adjacent) → both match
+        (2, "a", 100, 3),
+        (2, "b", 101, 4),
+        # key 3: A at 100, B at 200 → outside within=50 for both
+        (3, "a", 100, 5),
+        (3, "b", 200, 6),
+        # key 4: A at 100, B at 150 → exactly at the bound: strict <, no match
+        (4, "a", 100, 7),
+        (4, "b", 150, 8),
+        # key 5: A at 100, B at 110 and B at 120 → relaxed picks EARLIEST B;
+        # strict also matches (the first B is adjacent to A)
+        (5, "a", 100, 9),
+        (5, "b", 110, 10),
+        (5, "b", 120, 11),
+    ]
+    from flinkecuserbehavioranalysis_spark.operators.patterns import pattern_pairs
+
+    df = _ts_df(spark, rows, ["user_id", "event_type", "ts", "event_id"])
+    kw = dict(
+        key_col="user_id",
+        ts_col="ts",
+        first_pred=F.col("event_type") == "a",
+        second_pred=F.col("event_type") == "b",
+        within_seconds=50.0,
+        tiebreak_col="event_id",
+    )
+    relaxed = sorted(
+        (r.user_id, r.first_ts, r.second_ts)
+        for r in pattern_pairs(df, contiguity="relaxed", **kw).collect()
+    )
+    strict = sorted(
+        (r.user_id, r.first_ts, r.second_ts)
+        for r in pattern_pairs(df, contiguity="strict", **kw).collect()
+    )
+    assert relaxed == [(1, 100, 102), (2, 100, 101), (5, 100, 110)]
+    assert strict == [(2, 100, 101), (5, 100, 110)]
+
+
+def test_pattern_pairs_subsumes_consecutive_fail(spark):
+    """consecutive_fail_alerts is the strict instance — identical matches."""
+    rows = [
+        (1, "fail", 100, 0),
+        (1, "success", 101, 1),
+        (1, "fail", 102, 2),
+        (2, "fail", 100, 3),
+        (2, "fail", 101, 4),
+    ]
+    from flinkecuserbehavioranalysis_spark.operators.patterns import (
+        consecutive_fail_alerts,
+        pattern_pairs,
+    )
+
+    df = _ts_df(spark, rows, ["user_id", "event_type", "ts", "event_id"])
+    via_generic = sorted(
+        (r.user_id, r.first_ts, r.second_ts)
+        for r in pattern_pairs(
+            df,
+            key_col="user_id",
+            ts_col="ts",
+            first_pred=F.col("event_type") == "fail",
+            second_pred=F.col("event_type") == "fail",
+            within_seconds=2.0,
+            contiguity="strict",
+            tiebreak_col="event_id",
+        ).collect()
+    )
+    via_wrapper = sorted(
+        (r.user_id, r.first_fail_ts, r.last_fail_ts)
+        for r in consecutive_fail_alerts(df, max_gap_seconds=2, tiebreak_col="event_id").collect()
+    )
+    assert via_generic == via_wrapper == [(2, 100, 101)]
+
+
+def test_order_timeout_strict_deadline_boundary(spark):
+    """OrderTimeout.scala:104: pay at exactly create+timeout is LATE."""
+    rows = [(1, "create", 1000), (1, "pay", 1900)]
+    df = _ts_df(spark, rows, ["order_id", "event_type", "ts"])
+    got = create_pay_status(df, timeout_seconds=900).collect()
+    assert got[0]["status"] == PAID_AFTER_TIMEOUT
