@@ -49,3 +49,39 @@ def windowed_quantiles(
         F.col(value_col),
     )
     return base.groupBy("ws").applyInPandas(agg, schema).select("ws", "we", *qcols, "n")
+
+
+def windowed_quantiles_approx(
+    df: DataFrame,
+    ts_col: str = "ts",
+    size_seconds: int = 3600,
+    value_col: str = "value",
+    quantiles: Sequence[float] = (0.5, 0.9),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Sketch-based twin of ``windowed_quantiles``: ``percentile_approx``
+    (Greenwald-Khanna, JVM-side, map-side combinable) — the 100 TB path.
+
+    Where the exact operator buffers each window group in one pandas
+    frame (group must fit an executor), the sketch is a bounded-size
+    mergeable summary: partial aggregation runs map-side, the shuffle
+    carries one sketch per (window, partition), and no Python stage
+    exists in the plan.  Error ≤ 1/*accuracy* in rank terms —
+    tolerance-tested against the exact twin (same posture as the HLL++
+    UV query vs exact distinct).  Same output schema (ws, we, q<NN>…,
+    n)."""
+    qcols = [f"q{int(q * 100)}" for q in quantiles]
+    base = df.select(
+        ((F.col(ts_col).cast("long") / size_seconds).cast("long") * size_seconds).alias("ws"),
+        F.col(value_col),
+    )
+    pct = F.percentile_approx(
+        F.col(value_col), [float(q) for q in quantiles], F.lit(accuracy)
+    )
+    agg = base.groupBy("ws").agg(pct.alias("__qs"), F.count(F.lit(1)).alias("n"))
+    return agg.select(
+        "ws",
+        (F.col("ws") + size_seconds).alias("we"),
+        *[F.round(F.col("__qs")[i], 6).alias(c) for i, c in enumerate(qcols)],
+        "n",
+    )

@@ -908,7 +908,7 @@ def props_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # analytics over the full star schema, holistic window aggregates
 # =====================================================================
 
-from ..operators.custom_agg import windowed_quantiles  # noqa: E402
+from ..operators.custom_agg import windowed_quantiles, windowed_quantiles_approx  # noqa: E402
 
 
 @_q(
@@ -1076,6 +1076,17 @@ FROM events GROUP BY 1, 2
 def windowed_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return windowed_quantiles(ev, "ts", DAY, "value", quantiles=(0.5, 0.9))
+
+
+@_q(
+    "windowed_value_quantiles_approx",
+    None,  # GK sketch — not SQL-reproducible bit-exactly; tolerance-tested vs the exact twin
+    "Extension (§2.10 scale path): percentile_approx sketch twin of "
+    "windowed_value_quantiles — JVM-side, map-side-combinable, no Python stage.",
+)
+def windowed_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_quantiles_approx(ev, "ts", DAY, "value", quantiles=(0.5, 0.9))
 
 
 # =====================================================================

@@ -227,8 +227,14 @@ def test_percentile_approx_tracks_exact_quantiles(spark):
     applyInPandas quantiles: approx returns an actual data point near
     the requested rank, so compare against the exact value with a
     generous rank-epsilon tolerance."""
+    import contextlib
+    import io as _io
+
     from flinkecuserbehavioranalysis_spark.io import load_table
-    from flinkecuserbehavioranalysis_spark.operators.custom_agg import windowed_quantiles
+    from flinkecuserbehavioranalysis_spark.operators.custom_agg import (
+        windowed_quantiles,
+        windowed_quantiles_approx,
+    )
 
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     # rank-epsilon bracket: the approx value must fall between the exact
@@ -238,22 +244,23 @@ def test_percentile_approx_tracks_exact_quantiles(spark):
         r.ws: (r.q40, r.q60, r.q80, r.q100)
         for r in windowed_quantiles(ev, "ts", 86400, "value", (0.4, 0.6, 0.8, 1.0)).collect()
     }
-    approx = {
-        r.ws: (r.a50, r.a90)
-        for r in ev.groupBy(
-            ((F.col("ts").cast("long") / 86400).cast("long") * 86400).alias("ws")
-        )
-        .agg(
-            F.percentile_approx("value", 0.5, 10000).alias("a50"),
-            F.percentile_approx("value", 0.9, 10000).alias("a90"),
-        )
-        .collect()
-    }
+    approx_df = windowed_quantiles_approx(ev, "ts", 86400, "value", (0.5, 0.9))
+    approx = {r.ws: (r.q50, r.q90) for r in approx_df.collect()}
     assert set(brackets) == set(approx)
     for ws, (q40, q60, q80, q100) in brackets.items():
         a50, a90 = approx[ws]
         assert q40 <= a50 <= q60, (ws, q40, a50, q60)
         assert q80 <= a90 <= q100, (ws, q80, a90, q100)
+    # the sketch twin must be pure JVM: no Arrow/pandas stage in its plan
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        approx_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "FlatMapGroupsInPandas" not in plan and "Python" not in plan, plan
+    # exact n in both twins
+    n_exact = {r.ws: r.n for r in windowed_quantiles(ev, "ts", 86400, "value").collect()}
+    n_approx = {r.ws: r.n for r in approx_df.collect()}
+    assert n_exact == n_approx
 
 
 def test_results_invariant_under_partitioning(spark):
