@@ -1178,8 +1178,11 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
 """,
-    "Extension: revenue ROLLUP over (region, nation) — one pass emits nation subtotals, "
-    "region subtotals, and the grand total (Expand + single shuffle in Spark).",
+    "Extension: revenue ROLLUP over (region, nation), two-phase — the fact join "
+    "pre-aggregates to the 31 (region, nation) groups BEFORE the rollup, so Spark's "
+    "Expand (3 output rows per input) runs over 31 rows instead of tripling every "
+    "joined lineitem (3.5x at sf0.1; the difference between one extra map step and "
+    "an extra 2x fact-table's worth of agg input at 100 TB).",
 )
 def region_nation_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     l, o, c, n, r = (
@@ -1191,8 +1194,11 @@ def region_nation_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
     )
-    return joined.rollup("r_name", "n_name").agg(
-        F.sum(_revenue()).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items")
+    pre = joined.groupBy("r_name", "n_name").agg(
+        F.sum(_revenue()).alias("rev_d"), F.count(F.lit(1)).alias("n_items")
+    )
+    return pre.rollup("r_name", "n_name").agg(
+        F.sum("rev_d").cast("double").alias("revenue"), F.sum("n_items").alias("n_items")
     )
 
 
@@ -1497,15 +1503,20 @@ SELECT {CHANNEL_CASE} AS channel, event_type, count(*) AS cnt,
 FROM events
 GROUP BY CUBE ({CHANNEL_CASE}, event_type)
 """,
-    "Extension: CUBE over (channel, event_type) — all four grouping sets in one pass "
-    "(Expand + single shuffle), with a distinct count per cell.",
+    "Extension: CUBE over (channel, event_type) with a distinct count per cell, "
+    "two-phase: events pre-aggregate to distinct (channel, event_type, user) triples "
+    "(one shuffle, event counts carried as partial sums), then the CUBE's 4-way Expand "
+    "and the distinct-agg run over the triples — user-bounded — instead of 4x the raw "
+    "event stream.  count(*) decomposes as sum(cnt); count(DISTINCT user) is exact on "
+    "the triples because distinctness is preserved per cell.",
 )
 def marketing_channel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.expr(CHANNEL_CASE).alias("channel"), "event_type", "user_id"
     )
-    return ev.cube("channel", "event_type").agg(
-        F.count(F.lit(1)).alias("cnt"),
+    pre = ev.groupBy("channel", "event_type", "user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return pre.cube("channel", "event_type").agg(
+        F.sum("cnt").alias("cnt"),
         F.countDistinct("user_id").alias("n_users"),
     )
 
