@@ -171,8 +171,10 @@ def lang_id_ngram(
         .agg(F.sort_array(F.collect_list("tri")).alias("tris"))
         .agg(F.sort_array(F.collect_list(F.struct("cand_lang", "tris"))).alias("profs"))
     )
+    # no array_distinct: array_intersect already returns DISTINCT common
+    # elements, so duplicate trigrams in the doc array cannot inflate hits
     base = docs.select(
-        F.col(id_col), F.col(lang_col), F.array_distinct(F.expr(trigram_expr)).alias("__tri_arr")
+        F.col(id_col), F.col(lang_col), F.expr(trigram_expr).alias("__tri_arr")
     )
     best = F.expr(
         "aggregate("

@@ -7,7 +7,12 @@ from .jobs import (
     streaming_windowed_count,
 )
 from .sinks import foreach_batch_upsert, read_store
-from .stateful import streaming_blacklist, streaming_login_fail, streaming_order_timeout
+from .stateful import (
+    streaming_blacklist,
+    streaming_login_fail,
+    streaming_order_timeout,
+    streaming_pattern_pairs,
+)
 
 __all__ = [
     "read_events_stream",
@@ -18,6 +23,7 @@ __all__ = [
     "streaming_uv_update",
     "streaming_login_fail",
     "streaming_order_timeout",
+    "streaming_pattern_pairs",
     "streaming_blacklist",
     "foreach_batch_upsert",
     "read_store",

@@ -372,3 +372,97 @@ def streaming_as_of_enrich(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+PATTERN_PAIR_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("first_ts", LongType()),
+        StructField("second_ts", LongType()),
+    ]
+)
+_PATTERN_STATE = StructType(
+    [
+        StructField("last_a", LongType()),      # strict: 1 if previous event matched A
+        StructField("last_ts", DoubleType()),   # strict: previous event time
+        StructField("pending", StringType()),   # relaxed: ','-joined pending A times
+    ]
+)
+
+
+def streaming_pattern_pairs(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    first_pred,
+    second_pred,
+    within_seconds: float,
+    contiguity: str = "relaxed",
+    tiebreak_col: str | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of ``operators.patterns.pattern_pairs`` — the
+    parameterized CEP ``begin/next|followedBy/within`` surface over
+    ``applyInPandasWithState``.
+
+    State per key:
+
+    - strict (``next``): the previous event's (matched-A?, ts) — one
+      slot, exactly LoginFailTwo's ListState discipline.
+    - relaxed (``followedBy``): the pending unmatched-A timestamps.  On
+      a B at time tb, the FIRST B after each A is by definition the
+      earliest, so every pending A either matches now (tb - ta <
+      within) or can never match (any later B is later still) — the
+      list empties on every B, which is what bounds the state: its
+      length is ≤ the longest A-run between two B events.
+
+    The time bound is strict (<), matching the batch operator and CEP's
+    end-exclusive ``within``.  Output: (key, first_ts, second_ts) as
+    epoch-second longs — identical to the batch operator on a
+    time-ordered replay (see test_streaming_pattern_pairs_matches_batch).
+    """
+    if contiguity not in ("strict", "relaxed"):
+        raise ValueError(f"contiguity must be 'strict' or 'relaxed', got {contiguity!r}")
+    tagged = events.withColumn("__a", first_pred.cast("int")).withColumn(
+        "__b", second_pred.cast("int")
+    )
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    strict = contiguity == "strict"
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        last_a, last_ts, pending_s = state.get if state.exists else (0, None, "")
+        pending = [float(x) for x in pending_s.split(",") if x] if pending_s else []
+        out: list[tuple[int, int, int]] = []
+        for pdf in pdfs:
+            cols = [c for c in sort_cols if c in pdf.columns]
+            for _, row in pdf.sort_values(cols).iterrows():
+                ts = row[ts_col].timestamp()
+                is_a, is_b = bool(row["__a"]), bool(row["__b"])
+                if strict:
+                    if is_b and last_a and ts - last_ts < within_seconds:
+                        out.append((int(k), int(last_ts), int(ts)))
+                    last_a, last_ts = (1 if is_a else 0), ts
+                else:
+                    if is_b:
+                        out.extend(
+                            (int(k), int(ta), int(ts))
+                            for ta in pending
+                            if ts - ta < within_seconds
+                        )
+                        pending = []
+                    if is_a:
+                        pending.append(ts)
+        state.update((last_a, last_ts, ",".join(repr(t) for t in pending)))
+        if out:
+            yield pd.DataFrame(out, columns=["key", "first_ts", "second_ts"])
+
+    return (
+        tagged.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, PATTERN_PAIR_SCHEMA, _PATTERN_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -511,3 +511,34 @@ def test_kafka_sink_value_encoding(spark):
     df = spark.createDataFrame([(1, "x")], "a long, b string")
     out = df.select(encode_json_value(df.columns)).collect()
     assert out[0]["value"] == '{"a":1,"b":"x"}'
+
+
+def test_streaming_pattern_pairs_matches_batch(spark):
+    """The streaming CEP twin must reproduce the batch pattern_pairs on
+    a time-ordered replay, both contiguities."""
+    from flinkecuserbehavioranalysis_spark.operators.patterns import pattern_pairs
+    from flinkecuserbehavioranalysis_spark.streaming.stateful import (
+        streaming_pattern_pairs,
+    )
+
+    kw = dict(
+        key_col="user_id",
+        ts_col="ts",
+        first_pred=F.col("event_type") == "view",
+        second_pred=F.col("event_type") == "purchase",
+        within_seconds=1800.0,
+        tiebreak_col="event_id",
+    )
+    stream = read_events_stream(spark, SF_DIR).select("user_id", "event_type", "ts", "event_id")
+    batch_df = load_table(spark, SF_DIR, "events")
+    for contiguity in ("relaxed", "strict"):
+        got = sorted(
+            (r.key, r.first_ts, r.second_ts)
+            for r in run_bounded(streaming_pattern_pairs(stream, contiguity=contiguity, **kw))
+        )
+        batch = sorted(
+            (r.user_id, r.first_ts, r.second_ts)
+            for r in pattern_pairs(batch_df, contiguity=contiguity, **kw).collect()
+        )
+        assert got == batch, contiguity
+        assert len(got) > 0, contiguity
