@@ -150,3 +150,40 @@ def frame_sample(with_payload: DataFrame, max_frames: int = 4, id_col: str = "do
             )
 
     return with_payload.mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+
+
+FEATURE_SCHEMA_DDL = "doc_id long, embedding array<double>"
+
+
+def feature_extract(
+    with_payload: DataFrame, dim: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched "feature extraction": binary payload → fixed-*dim*
+    embedding (``array<double>``) — the model-inference stage of a
+    multimodal pipeline (CLIP/CLAP-style encoders slot into the batch
+    loop; batching is exactly what a GPU encoder wants).
+
+    The stand-in extractor is a deterministic md5 hash-projection:
+    component j = first-32-bits(md5(payload_utf8 || '|' || j)) / 2^32 —
+    engine-portable, so unlike a real model this fake is fully
+    oracle-checkable (the DuckDB twin computes identical doubles).
+    Map-only; no shuffle."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            embs = [
+                [
+                    int(
+                        hashlib.md5(bytes(p) + b"|" + str(j).encode()).hexdigest()[:8], 16
+                    )
+                    / 4294967296.0
+                    for j in range(dim)
+                ]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "embedding": embs}
+            )
+
+    return with_payload.mapInPandas(batches, FEATURE_SCHEMA_DDL)

@@ -1496,6 +1496,42 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_feature_extract",
+    """
+WITH __e AS (
+  SELECT doc_id,
+         list_transform(range(0, 8), j ->
+           ('0x' || substring(md5(text || '|' || CAST(j AS VARCHAR)), 1, 8))
+             ::VARCHAR::UBIGINT / 4294967296.0) AS emb
+  FROM documents)
+SELECT doc_id,
+       emb[1] AS e0, emb[2] AS e1, emb[3] AS e2, emb[4] AS e3,
+       sqrt(list_reduce(list_transform(emb, x -> x * x), (a, b) -> a + b)) AS norm
+FROM __e
+""",
+    "Extension (multimodal): feature extraction — binary payload to fixed-dim embedding "
+    "via Arrow-batched mapInPandas (the model-inference stage; a real encoder replaces "
+    "the md5 hash-projection, which unlike a real model is exactly oracle-checkable). "
+    "First 4 components + L2 norm projected as scalars for the driver compare.",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary, feature_extract
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = feature_extract(attach_binary(docs), dim=8)
+    sq_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x * x),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return emb.select(
+        "doc_id",
+        *[F.col("embedding")[i].alias(f"e{i}") for i in range(4)],
+        F.sqrt(sq_sum).alias("norm"),
+    )
+
+
+@_q(
     "marketing_channel_cube",
     f"""
 SELECT {CHANNEL_CASE} AS channel, event_type, count(*) AS cnt,
