@@ -1532,6 +1532,25 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "skewed_event_type_counts",
+    """
+SELECT event_type, count(*) AS cnt
+FROM events GROUP BY event_type
+""",
+    "Scale utility (§3.4 — the reference pins parallelism to 1 and never meets skew): "
+    "two-phase salted count over a 5-key groupBy, the canonical hot-key shape.  Phase 1 "
+    "shuffles on (key, salt) fanning each hot key over 16 reducers; phase 2 re-aggregates "
+    "the tiny partial table.  Result identical to the plain groupBy (the oracle IS the "
+    "plain formulation); deterministic xxhash64 salt, stable under retries.",
+)
+def skewed_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count(ev, ["event_type"], salt_from="event_id", salt_buckets=16)
+
+
+@_q(
     "marketing_channel_cube",
     f"""
 SELECT {CHANNEL_CASE} AS channel, event_type, count(*) AS cnt,
