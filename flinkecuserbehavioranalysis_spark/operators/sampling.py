@@ -64,3 +64,56 @@ def hash_split(
     for threshold, lab in reversed(conds):
         expr = F.when(b < threshold, F.lit(lab)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_tokens: int = 256,
+    buckets: int = 64,
+) -> DataFrame:
+    """Sequence packing for training-data assembly: assign each document
+    to a training-sequence bin of ~*target_tokens* whitespace tokens, by
+    running greedy boundary packing over a deterministic document order.
+
+    The op every LLM data pipeline runs before tokenize-and-concat; the
+    relational formulation is a running token total per packing bucket:
+
+        bin = floor((cumsum(n_tokens) - n_tokens) / target)
+
+    i.e. a document starts a new bin exactly when the tokens before it
+    fill the current one (bins may overshoot by one document — standard
+    streaming-greedy packing, no lookahead).
+
+    Scale: a single global running sum would serialize, so documents are
+    first split into *buckets* independent packing groups by md5 hash of
+    the id (deterministic, engine-portable — the same ``hash_bucket``
+    used for sampling); each bucket packs in parallel under one shuffle,
+    and (bucket, bin) is the globally-unique sequence id.  Per-bucket
+    state is a sort + running sum — O(rows/buckets) per task, any
+    number of buckets.
+
+    Output: (id_col, n_tokens, bucket, bin, tok_offset) where
+    tok_offset is the document's token start inside its bin."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    base = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        hash_bucket(id_col, buckets).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        F.floor(before / target_tokens).cast("long").alias("bin"),
+        F.pmod(before, F.lit(target_tokens)).cast("long").alias("tok_offset"),
+    )

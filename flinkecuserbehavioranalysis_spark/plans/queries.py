@@ -1531,6 +1531,86 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKET_SQL = (
+    "('0x' || substring(md5(CAST({k} AS VARCHAR)), 1, 8))::VARCHAR::UBIGINT % 10000"
+)
+
+
+@_q(
+    "training_corpus_stats",
+    f"""
+WITH __s AS (
+  SELECT doc_id, lang, text,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) AS n_chars,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ({', '.join("'" + w + "'" for w in STOPWORDS)}))) AS n_stop
+  FROM documents),
+__ok AS (
+  SELECT doc_id, lang, text FROM __s
+  WHERE n_words >= 5 AND n_words <= 1000
+        AND n_stop * 1.0 / n_words <= 0.5
+        AND (n_chars - (n_words - 1)) * 1.0 / n_words >= 2.0
+        AND (n_chars - (n_words - 1)) * 1.0 / n_words <= 12.0),
+__keep AS (SELECT min(doc_id) AS doc_id FROM __ok GROUP BY md5(text)),
+__surv AS (SELECT o.doc_id, o.lang FROM __ok o JOIN __keep USING (doc_id))
+SELECT CASE WHEN {_BUCKET_SQL.format(k='doc_id')} < 8000 THEN 'train'
+            WHEN {_BUCKET_SQL.format(k='doc_id')} < 9000 THEN 'validation'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs
+FROM __surv GROUP BY 1, 2
+""",
+    "Extension (training-data, composed end-to-end): quality filter -> exact dedup "
+    "(keep min doc_id per md5 fingerprint) -> deterministic 80/10/10 split, counted per "
+    "(split, lang) — the full corpus-preparation pipeline as one plan: map-side quality "
+    "predicates, one dedup shuffle on the 128-bit fingerprint, map-side split "
+    "assignment, one final count shuffle.",
+)
+def training_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    ok_ids = quality_score(docs).filter(F.col("quality") == "ok").select("doc_id")
+    ok_docs = docs.join(ok_ids, "doc_id")
+    keep = exact_dedup(ok_docs).select(F.col("keep_id").alias("doc_id"))
+    survivors = ok_docs.join(keep, "doc_id").select("doc_id", "lang")
+    return (
+        hash_split(survivors, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@_q(
+    "pack_training_sequences",
+    """
+WITH __b AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              ::VARCHAR::UBIGINT % 64 AS BIGINT) AS bucket
+  FROM documents),
+__c AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens AS before
+  FROM __b)
+SELECT doc_id, n_tokens, bucket,
+       CAST(floor(before / 256) AS BIGINT) AS bin,
+       CAST(before % 256 AS BIGINT) AS tok_offset
+FROM __c
+""",
+    "Extension (training-data): sequence packing — greedy assignment of documents to "
+    "~256-token training bins via a per-bucket running token sum (64 deterministic md5 "
+    "packing buckets parallelize the cumulative sum; (bucket, bin) is the sequence id). "
+    "The assembly step every tokenize-and-concat pipeline runs before training.",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, target_tokens=256, buckets=64)
+
+
 @_q(
     "skewed_event_type_counts",
     """
@@ -1634,10 +1714,6 @@ def nation_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from ..operators.sampling import hash_sample, hash_split  # noqa: E402
-
-_BUCKET_SQL = (
-    "('0x' || substring(md5(CAST({k} AS VARCHAR)), 1, 8))::VARCHAR::UBIGINT % 10000"
-)
 
 
 @_q(

@@ -336,3 +336,36 @@ def test_hash_split_stability(spark):
 
     c = Counter(full.values())
     assert c["train"] > c["validation"] and c["train"] > c["test"]
+
+
+def test_pack_sequences_matches_naive_greedy(spark):
+    """Sequence packing must equal the naive per-bucket greedy fold:
+    deterministic bucket from md5(doc_id), docs packed in id order,
+    a new bin starts when the running total passes the target."""
+    import hashlib
+
+    from flinkecuserbehavioranalysis_spark.operators.sampling import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (i % 37 + 1))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target, buckets = 50, 4
+    got = {
+        r.doc_id: (r.n_tokens, r.bucket, r.bin, r.tok_offset)
+        for r in pack_sequences(df, target_tokens=target, buckets=buckets).collect()
+    }
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % buckets
+
+    by_bucket: dict[int, list[tuple[int, int]]] = {}
+    for i, text in rows:
+        by_bucket.setdefault(bucket(i), []).append((i, len(text.split(" "))))
+    expect = {}
+    for b, docs in by_bucket.items():
+        before = 0
+        for i, n in sorted(docs):
+            expect[i] = (n, b, before // target, before % target)
+            before += n
+    assert got == expect
+    # every doc starts strictly inside its bin
+    assert all(off < target for (_, _, _, off) in got.values())
