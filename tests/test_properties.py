@@ -205,3 +205,64 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingle_join(spark):
     # filtered sets: doc0 {of and p, and p q, p q r, q r s},
     #                doc1 {of and p, and p q, p q r, q r t} → 3/5
     assert abs(got[(0, 1)] - 3 / 5) < 1e-12
+
+
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # key
+        st.integers(min_value=0, max_value=40),         # ts (seconds)
+        st.sampled_from(["a", "b", "x"]),               # event type
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(EVENTS, st.sampled_from(["strict", "relaxed"]))
+@settings(max_examples=15, deadline=None)
+def test_pattern_pairs_matches_naive_cep(spark, events, contiguity):
+    """pattern_pairs vs a naive Python CEP evaluator over random event
+    sequences: strict = previous event is A and gap < t; relaxed = the
+    earliest later B with gap < t (end-exclusive bound in both)."""
+    from flinkecuserbehavioranalysis_spark.operators.patterns import pattern_pairs
+
+    rows = [(k, t, e, i) for i, (k, t, e) in enumerate(events)]
+    if not rows:
+        return
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        rows, "user_id long, tsd long, event_type string, event_id long"
+    ).selectExpr("user_id", "timestamp_seconds(tsd) as ts", "event_type", "event_id")
+    got = sorted(
+        (r.user_id, r.first_ts, r.second_ts)
+        for r in pattern_pairs(
+            df,
+            key_col="user_id",
+            ts_col="ts",
+            first_pred=F.col("event_type") == "a",
+            second_pred=F.col("event_type") == "b",
+            within_seconds=10.0,
+            contiguity=contiguity,
+            tiebreak_col="event_id",
+        ).collect()
+    )
+
+    by_key: dict[int, list[tuple[int, str]]] = {}
+    for k, t, e, i in sorted(rows, key=lambda r: (r[1], r[3])):
+        by_key.setdefault(k, []).append((t, e))
+    expect = []
+    for k, seq in by_key.items():
+        for i, (ta, ea) in enumerate(seq):
+            if contiguity == "strict":
+                # the A is the PREVIOUS event of a B
+                if i + 1 < len(seq) and ea == "a":
+                    tb, eb = seq[i + 1]
+                    if eb == "b" and tb - ta < 10.0:
+                        expect.append((k, ta, tb))
+            else:
+                if ea == "a":
+                    later_bs = [tb for tb, eb in seq[i + 1 :] if eb == "b"]
+                    if later_bs and min(later_bs) - ta < 10.0:
+                        expect.append((k, ta, min(later_bs)))
+    assert got == sorted(expect)
