@@ -40,30 +40,39 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Length / word-shape / stopword-ratio quality heuristics.
-
-    Emits the raw signals plus a binary keep flag — downstream pipelines
-    filter on ``quality = 'ok'``."""
+def _quality_signals(text_col: str):
     words = F.split(F.col(text_col), " ")
     n_words = F.size(words)
     n_chars = F.length(F.col(text_col))
     stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
-    n_stop = F.size(
-        F.expr(f"filter(split({text_col}, ' '), w -> w IN ({stop_arr}))")
-    )
+    n_stop = F.size(F.expr(f"filter(split({text_col}, ' '), w -> w IN ({stop_arr}))"))
     avg_word_len = (n_chars - (n_words - F.lit(1))) / n_words
     stop_ratio = n_stop / n_words
-    quality = (
-        F.when(
-            (n_words >= 5)
-            & (n_words <= 1000)
-            & (stop_ratio <= 0.5)
-            & (avg_word_len >= 2.0)
-            & (avg_word_len <= 12.0),
-            F.lit("ok"),
-        ).otherwise(F.lit("low"))
+    return n_words, n_chars, n_stop, avg_word_len, stop_ratio
+
+
+def quality_ok(text_col: str = "text"):
+    """The keep predicate as a pure Column expression — composable into
+    a map-side ``filter`` so pipelines never need to join the scored
+    relation back to the corpus."""
+    n_words, _, _, avg_word_len, stop_ratio = _quality_signals(text_col)
+    return (
+        (n_words >= 5)
+        & (n_words <= 1000)
+        & (stop_ratio <= 0.5)
+        & (avg_word_len >= 2.0)
+        & (avg_word_len <= 12.0)
     )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / word-shape / stopword-ratio quality heuristics.
+
+    Emits the raw signals plus a binary keep flag — downstream pipelines
+    filter on ``quality = 'ok'`` (or use ``quality_ok`` directly as a
+    map-side predicate)."""
+    n_words, n_chars, n_stop, avg_word_len, stop_ratio = _quality_signals(text_col)
+    quality = F.when(quality_ok(text_col), F.lit("ok")).otherwise(F.lit("low"))
     return docs.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),

@@ -1568,11 +1568,10 @@ FROM __surv GROUP BY 1, 2
 )
 def training_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exact_dedup
-    from ..operators.text import quality_score
+    from ..operators.text import quality_ok
 
-    docs = load_table(spark, sf_dir, "documents")
-    ok_ids = quality_score(docs).filter(F.col("quality") == "ok").select("doc_id")
-    ok_docs = docs.join(ok_ids, "doc_id")
+    # quality is a pure Column predicate — map-side filter, no join-back
+    ok_docs = load_table(spark, sf_dir, "documents").filter(quality_ok("text"))
     keep = exact_dedup(ok_docs).select(F.col("keep_id").alias("doc_id"))
     survivors = ok_docs.join(keep, "doc_id").select("doc_id", "lang")
     return (
