@@ -29,10 +29,19 @@ def windowed_quantiles(
     size_seconds: int = 3600,
     value_col: str = "value",
     quantiles: Sequence[float] = (0.5, 0.9),
+    max_group_rows: int | None = 10_000_000,
 ) -> DataFrame:
     """Exact per-window quantiles of *value_col* (linear interpolation —
     the ``quantile_cont`` contract) via one applyInPandas per tumbling
-    window.  Output: ws, we, q<NN> per quantile, n."""
+    window.  Output: ws, we, q<NN> per quantile, n.
+
+    Each window group is buffered as ONE pandas frame, so groups must
+    fit executor memory.  *max_group_rows* enforces that bound: a cheap
+    map-side-combinable pre-count runs first and raises ``ValueError``
+    naming the offending window BEFORE any group is buffered (instead
+    of an opaque executor OOM mid-job).  Set it to ``None`` to skip the
+    extra scan, or use ``windowed_quantiles_approx`` — the bounded-
+    memory sketch twin — when groups can exceed the bound."""
     qcols = [f"q{int(q * 100)}" for q in quantiles]
     schema = "ws long, we long, " + ", ".join(f"{c} double" for c in qcols) + ", n long"
 
@@ -48,6 +57,21 @@ def windowed_quantiles(
         ((F.col(ts_col).cast("long") / size_seconds).cast("long") * size_seconds).alias("ws"),
         F.col(value_col),
     )
+    if max_group_rows is not None:
+        hot = (
+            base.groupBy("ws")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_group_rows)
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            raise ValueError(
+                f"windowed_quantiles: window ws={hot[0]['ws']} has {hot[0]['n']} rows "
+                f"(> max_group_rows={max_group_rows}); the exact path buffers each "
+                "window in one pandas frame — use windowed_quantiles_approx for "
+                "groups this large, or raise max_group_rows explicitly."
+            )
     return base.groupBy("ws").applyInPandas(agg, schema).select("ws", "we", *qcols, "n")
 
 

@@ -143,26 +143,30 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     df_max: int | None = None,
 ) -> DataFrame:
-    """Exact Jaccard over word n-gram shingle sets, via inverted-index
-    join (pairs sharing ≥1 shingle), |A∩B| counting, then
-    |A∩B| / (|A|+|B|-|A∩B|).
+    """Jaccard over word n-gram shingle sets — EXACT when *df_max* is
+    None or does not bind; with a binding *df_max* the emitted value is
+    the exact Jaccard of the **df-filtered** shingle sets, which can
+    overstate the similarity of pairs whose only shared shingles are
+    rare (the dropped hot shingles would have inflated the union).
+    Callers needing to detect capped pairs should compare ``sza``/
+    ``szb`` against uncapped shingle counts or run with ``df_max=None``
+    on a candidate subset.
 
-    Returns (doc_a, doc_b, jaccard).  The ratio is emitted as the raw
-    IEEE double (identical in any engine) — decimal rounding is NOT
-    applied because integer ratios are often dyadic (e.g. 1/128 =
-    0.0078125) and half-way rounding then differs across engines.
+    Mechanism: inverted-index join (pairs sharing ≥1 surviving shingle),
+    |A∩B| counting, then |A∩B| / (|A|+|B|-|A∩B|).  Returns (doc_a,
+    doc_b, jaccard).  The ratio is emitted as the raw IEEE double
+    (identical in any engine) — decimal rounding is NOT applied because
+    integer ratios are often dyadic (e.g. 1/128 = 0.0078125) and
+    half-way rounding then differs across engines.
 
     *df_max* bounds the inverted-index join: shingles appearing in more
     than *df_max* documents are dropped from the shingle universe BEFORE
     the self-join (a stopword-like shingle otherwise contributes df²
     candidate pairs — the one thing that can blow this operator up at
-    corpus scale).  Both |A∩B| and the set sizes are computed over the
-    filtered universe, so the result is the exact Jaccard of the
-    df-filtered shingle sets — identical to the unfiltered answer
-    whenever the cap does not bind.  Still quadratic in (capped)
-    per-shingle document frequency — at 100 TB run it only on MinHash
-    candidates (compose: ``minhash_candidates`` → semi-join → this, or
-    use ``lsh_verified_pairs``)."""
+    corpus scale).  Still quadratic in (capped) per-shingle document
+    frequency — at 100 TB run it only on MinHash candidates (compose:
+    ``minhash_candidates`` → semi-join → this, or use
+    ``lsh_verified_pairs``)."""
     sh = shingles(docs, id_col, text_col, n)
     if df_max is not None:
         rare = (

@@ -74,8 +74,11 @@ def pack_sequences(
     buckets: int = 64,
 ) -> DataFrame:
     """Sequence packing for training-data assembly: assign each document
-    to a training-sequence bin of ~*target_tokens* whitespace tokens, by
-    running greedy boundary packing over a deterministic document order.
+    to a training-sequence bin of ~*target_tokens* whitespace tokens
+    (tokens = maximal non-whitespace runs — split on ``\\s+`` with empty
+    strings filtered, so empty text is 0 tokens and repeated/leading/
+    trailing whitespace adds none), by running greedy boundary packing
+    over a deterministic document order.
 
     The op every LLM data pipeline runs before tokenize-and-concat; the
     relational formulation is a running token total per packing bucket:
@@ -98,7 +101,9 @@ def pack_sequences(
     tok_offset is the document's token start inside its bin."""
     from pyspark.sql import Window
 
-    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    n_tok = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+    ).cast("long")
     base = df.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),

@@ -1585,7 +1585,9 @@ def training_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pack_training_sequences",
     """
 WITH __b AS (
-  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''))
+              AS BIGINT) AS n_tokens,
          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
               ::VARCHAR::UBIGINT % 64 AS BIGINT) AS bucket
   FROM documents),

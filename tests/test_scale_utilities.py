@@ -146,6 +146,23 @@ def test_windowed_quantiles_operator(spark):
     assert next(r["q50"] for r in rows if r["ws"] == first_ws) == expect
 
 
+def test_windowed_quantiles_group_size_guard(spark):
+    """The exact path buffers each window group in one pandas frame; the
+    guard must fail loudly (naming the window) BEFORE buffering when a
+    group exceeds max_group_rows — not silently OOM an executor."""
+    import pytest
+
+    from flinkecuserbehavioranalysis_spark.operators.custom_agg import windowed_quantiles
+
+    ev = load_table(spark, SF_DIR, "events")
+    with pytest.raises(ValueError, match="max_group_rows"):
+        windowed_quantiles(ev, "ts", 86400, "value", (0.5,), max_group_rows=10)
+    # a bound nothing exceeds (and None = guard off) both pass through
+    assert windowed_quantiles(
+        ev, "ts", 86400, "value", (0.5,), max_group_rows=None
+    ).count() == windowed_quantiles(ev, "ts", 86400, "value", (0.5,)).count()
+
+
 def test_as_of_join_semantics(spark):
     from flinkecuserbehavioranalysis_spark.operators.joins import as_of_join
 
