@@ -113,6 +113,105 @@ def pattern_pairs(
     return matched
 
 
+def times(pred: Column, n: int) -> list[Column]:
+    """CEP ``times(n)`` quantifier: the predicate repeated *n* times.
+    Splat into ``pattern_sequence`` steps — with ``'strict'`` on the
+    internal gaps this is flink-cep's ``.times(n).consecutive()``
+    (LoginFailWithCep.scala:56-60 is ``times(2)`` strict over fails)."""
+    if n < 1:
+        raise ValueError(f"times: n must be >= 1, got {n}")
+    return [pred] * n
+
+
+def pattern_sequence(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    steps: list[Column],
+    within_seconds: float,
+    contiguity: str | list[str] = "relaxed",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """N-step quantified sequence pattern — the generalization of
+    ``pattern_pairs`` to flink-cep chains of any length:
+    ``begin.where(s1).next|followedBy.where(s2)...where(sN).within(t)``
+    (LoginFailWithCep.scala:56-60 is the 2-step strict instance; a
+    view→click→purchase funnel is the 3-step relaxed one).  Quantifiers
+    expand via ``times``: ``steps=[*times(fail, 2)]`` + strict internal
+    gaps ≡ ``.times(2).consecutive()``.
+
+    *contiguity* is one gap policy for all N-1 gaps, or a per-gap list:
+
+    - ``'strict'`` (CEP ``next``): step i+1 must be the key's
+      immediately-next event after step i.
+    - ``'relaxed'`` (CEP ``followedBy``): step i+1 may skip intervening
+      events.
+
+    Semantics: per first-step event, the **lexicographically-earliest
+    complete chain** (compare step-1 ts, then step-2 ts, …), then the
+    end-exclusive bound ``last_ts - first_ts < within_seconds`` is
+    applied to that chain.  With all-relaxed gaps this chain
+    simultaneously minimizes every step timestamp (each later step's
+    earliest continuation is monotone in its predecessor), so the
+    within check loses no match — identical to greedy skip-till-next
+    CEP.  Property-tested against a naive chain-enumerating evaluator
+    (tests/test_properties.py).
+
+    Execution shape: the chain is built right-to-left as a running
+    ``min`` over a ``struct(ts, chain)`` — per gap, one window pass in
+    REVERSE key order (``lag`` for strict gaps), so "earliest following
+    completion" is a running min over PRECEDING rows: O(n) per key per
+    step, never the quadratic unbounded-FOLLOWING frame.  All N-1
+    passes share one partitioning+ordering → a single shuffle+sort on
+    *key_col*, which holds at 100 TB because per-key history is
+    bounded.  Returns (key_col, step1_ts … stepN_ts) as epoch-second
+    longs."""
+    n = len(steps)
+    if n < 2:
+        raise ValueError(f"pattern_sequence needs >= 2 steps, got {n}")
+    contigs = [contiguity] * (n - 1) if isinstance(contiguity, str) else list(contiguity)
+    if len(contigs) != n - 1:
+        raise ValueError(f"need {n - 1} gap policies for {n} steps, got {len(contigs)}")
+    for c in contigs:
+        if c not in ("strict", "relaxed"):
+            raise ValueError(f"contiguity must be 'strict' or 'relaxed', got {c!r}")
+    rev = [F.col(ts_col).desc()] + ([F.col(tiebreak_col).desc()] if tiebreak_col else [])
+    w_lag = Window.partitionBy(key_col).orderBy(*rev)
+    w_min = w_lag.rowsBetween(Window.unboundedPreceding, -1)
+    cur = df.withColumn("__tse", F.col(ts_col).cast("double")).withColumn(
+        f"__g{n - 1}",
+        F.when(
+            steps[n - 1],
+            F.struct(F.col("__tse").alias("t"), F.array(F.col("__tse")).alias("chain")),
+        ),
+    )
+    for i in range(n - 2, -1, -1):
+        prev = F.col(f"__g{i + 1}")
+        cand = F.lag(prev, 1).over(w_lag) if contigs[i] == "strict" else F.min(prev).over(w_min)
+        cur = (
+            cur.withColumn("__cand", cand)
+            .withColumn(
+                f"__g{i}",
+                F.when(
+                    steps[i] & F.col("__cand").isNotNull(),
+                    F.struct(
+                        F.col("__tse").alias("t"),
+                        F.concat(F.array(F.col("__tse")), F.col("__cand.chain")).alias("chain"),
+                    ),
+                ),
+            )
+            .drop("__cand", f"__g{i + 1}")
+        )
+    chain = F.col("__g0.chain")
+    return cur.filter(
+        F.col("__g0").isNotNull()
+        & (F.element_at(chain, n) - F.element_at(chain, 1) < F.lit(float(within_seconds)))
+    ).select(
+        F.col(key_col),
+        *[F.element_at(chain, i + 1).cast("long").alias(f"step{i + 1}_ts") for i in range(n)],
+    )
+
+
 def consecutive_fail_alerts(
     df: DataFrame,
     user_col: str = "user_id",

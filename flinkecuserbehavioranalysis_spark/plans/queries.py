@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..operators.distinct import windowed_distinct_count
 from ..operators.joins import interval_join, tx_match_full_outer
-from ..operators.patterns import blacklist_filter, consecutive_fail_alerts, pattern_pairs
+from ..operators.patterns import (
+    blacklist_filter,
+    consecutive_fail_alerts,
+    pattern_pairs,
+    pattern_sequence,
+)
 from ..operators.sessions import sessionize
 from ..operators.timeout import create_pay_status
 from ..operators.windows import sliding_window_count, topn_per_window, tumbling_window_count
@@ -335,6 +340,52 @@ def pattern_view_then_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_pred=F.col("event_type") == "view",
         second_pred=F.col("event_type") == "purchase",
         within_seconds=1800.0,
+        contiguity="relaxed",
+        tiebreak_col="event_id",
+    )
+
+
+@_q(
+    "pattern_funnel_3step",
+    """
+WITH __p AS (
+  SELECT user_id, event_type, event_id, epoch(ts) AS tse,
+         min(CASE WHEN event_type = 'purchase' THEN epoch(ts) END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+  FROM events),
+__c AS (
+  SELECT user_id, event_type, tse,
+         min(CASE WHEN event_type = 'click' AND np IS NOT NULL THEN tse END) OVER w AS t2,
+         min(CASE WHEN event_type = 'click' THEN np END) OVER w AS t3
+  FROM __p
+  WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+SELECT user_id,
+       CAST(floor(tse) AS BIGINT) AS step1_ts,
+       CAST(floor(t2) AS BIGINT) AS step2_ts,
+       CAST(floor(t3) AS BIGINT) AS step3_ts
+FROM __c
+WHERE event_type = 'view' AND t3 IS NOT NULL AND t3 - tse < 86400.0
+""",
+    "N-step quantified CEP (generalized begin/followedBy.../within — the surface "
+    "LoginFailWithCep.scala:56-60 uses at N=2): 3-step view→click→purchase funnel per "
+    "user within 24h, relaxed contiguity, greedy earliest chain.  The oracle exploits "
+    "chain monotonicity to stay scalar (np of the earliest valid click = min np over "
+    "clicks), mirroring the operator's reverse-order running struct-min.",
+)
+def pattern_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return pattern_sequence(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        steps=[
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        within_seconds=86400.0,
         contiguity="relaxed",
         tiebreak_col="event_id",
     )

@@ -218,6 +218,204 @@ EVENTS = st.lists(
 )
 
 
+def _lex_min_chain(seq, preds, contigs, start_idx):
+    """Naive reference for pattern_sequence semantics: the
+    lexicographically-earliest complete chain starting at *start_idx*
+    (strict gap = immediately-next row; relaxed gap = any later row),
+    by exhaustive enumeration.  Exponential, test-sized inputs only."""
+
+    def rec(step, idx):
+        if not preds[step](seq[idx][1]):
+            return None
+        if step == len(preds) - 1:
+            return [seq[idx][0]]
+        if contigs[step] == "strict":
+            if idx + 1 >= len(seq):
+                return None
+            rest = rec(step + 1, idx + 1)
+            return [seq[idx][0]] + rest if rest is not None else None
+        best = None
+        for j in range(idx + 1, len(seq)):
+            rest = rec(step + 1, j)
+            if rest is not None:
+                cand = [seq[idx][0]] + rest
+                if best is None or cand < best:
+                    best = cand
+        return best
+
+    return rec(0, start_idx)
+
+
+SEQ_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2),          # key
+        st.integers(min_value=0, max_value=30),         # ts (seconds)
+        st.sampled_from(["a", "b", "c", "x"]),          # event type
+    ),
+    min_size=0,
+    max_size=18,
+)
+GAPS = st.tuples(
+    st.sampled_from(["strict", "relaxed"]), st.sampled_from(["strict", "relaxed"])
+)
+
+
+@given(SEQ_EVENTS, GAPS)
+@settings(max_examples=15, deadline=None)
+def test_pattern_sequence_matches_naive_cep(spark, events, gaps):
+    """pattern_sequence (3-step a→b→c, per-gap contiguity) vs the naive
+    lex-min chain enumerator, end-exclusive within bound."""
+    from flinkecuserbehavioranalysis_spark.operators.patterns import pattern_sequence
+
+    rows = [(k, t, e, i) for i, (k, t, e) in enumerate(events)]
+    if not rows:
+        return
+    import pyspark.sql.functions as F
+
+    within = 12.0
+    df = spark.createDataFrame(
+        rows, "user_id long, tsd long, event_type string, event_id long"
+    ).selectExpr("user_id", "timestamp_seconds(tsd) as ts", "event_type", "event_id")
+    got = sorted(
+        (r.user_id, r.step1_ts, r.step2_ts, r.step3_ts)
+        for r in pattern_sequence(
+            df,
+            key_col="user_id",
+            ts_col="ts",
+            steps=[F.col("event_type") == s for s in ("a", "b", "c")],
+            within_seconds=within,
+            contiguity=list(gaps),
+            tiebreak_col="event_id",
+        ).collect()
+    )
+
+    by_key: dict[int, list[tuple[int, str]]] = {}
+    for k, t, e, i in sorted(rows, key=lambda r: (r[1], r[3])):
+        by_key.setdefault(k, []).append((t, e))
+    preds = [lambda e: e == "a", lambda e: e == "b", lambda e: e == "c"]
+    expect = []
+    for k, seq in by_key.items():
+        for i in range(len(seq)):
+            chain = _lex_min_chain(seq, preds, list(gaps), i)
+            if chain is not None and chain[-1] - chain[0] < within:
+                expect.append((k, *chain))
+    assert got == sorted(expect)
+
+
+@given(EVENTS, st.sampled_from(["strict", "relaxed"]))
+@settings(max_examples=10, deadline=None)
+def test_pattern_sequence_2step_equals_pattern_pairs(spark, events, contiguity):
+    """At N=2, pattern_sequence must reproduce pattern_pairs exactly
+    (same predicates, bound, contiguity) — the generalization is
+    conservative."""
+    from flinkecuserbehavioranalysis_spark.operators.patterns import (
+        pattern_pairs,
+        pattern_sequence,
+    )
+
+    rows = [(k, t, e, i) for i, (k, t, e) in enumerate(events)]
+    if not rows:
+        return
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        rows, "user_id long, tsd long, event_type string, event_id long"
+    ).selectExpr("user_id", "timestamp_seconds(tsd) as ts", "event_type", "event_id")
+    kwargs = dict(
+        key_col="user_id",
+        ts_col="ts",
+        within_seconds=10.0,
+        contiguity=contiguity,
+        tiebreak_col="event_id",
+    )
+    pairs = sorted(
+        (r.user_id, r.first_ts, r.second_ts)
+        for r in pattern_pairs(
+            df,
+            first_pred=F.col("event_type") == "a",
+            second_pred=F.col("event_type") == "b",
+            **kwargs,
+        ).collect()
+    )
+    seq = sorted(
+        (r.user_id, r.step1_ts, r.step2_ts)
+        for r in pattern_sequence(
+            df, steps=[F.col("event_type") == "a", F.col("event_type") == "b"], **kwargs
+        ).collect()
+    )
+    assert seq == pairs
+
+
+@given(EVENTS, st.integers(min_value=2, max_value=3))
+@settings(max_examples=10, deadline=None)
+def test_fail_burst_is_a_quantified_sequence_instance(spark, events, min_fails):
+    """Cross-check fail_burst_alerts against pattern_sequence: within a
+    success-delimited run, a burst warning (≥ min_fails fails in
+    [anchor, anchor+W]) exists iff times(fail, min_fails) relaxed
+    matches starting AT the run's anchor — the greedy chain minimizes
+    every step timestamp, so the k-th fail of the run is the chain's
+    k-th step.  Integer test timestamps make the batch op's inclusive
+    ≤ W equal to the sequence op's exclusive < W + 0.5."""
+    from pyspark.sql import Window
+    from flinkecuserbehavioranalysis_spark.operators.patterns import (
+        fail_burst_alerts,
+        pattern_sequence,
+        times,
+    )
+
+    rows = [(k, t, e, i) for i, (k, t, e) in enumerate(events)]
+    if not rows:
+        return
+    import pyspark.sql.functions as F
+
+    window_s = 8
+    df = spark.createDataFrame(
+        rows, "user_id long, tsd long, event_type string, event_id long"
+    ).selectExpr("user_id", "timestamp_seconds(tsd) as ts", "event_type", "event_id")
+    bursts = {
+        (r.user_id, r.first_fail_ts)
+        for r in fail_burst_alerts(
+            df,
+            fail_value="a",
+            window_seconds=window_s,
+            min_fails=min_fails,
+            tiebreak_col="event_id",
+        ).collect()
+    }
+
+    # re-express: split runs on successes, key by (user, run), keep only
+    # fails, then quantified times(fail, min_fails) relaxed from the anchor
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    runs = df.withColumn(
+        "run_id",
+        F.sum(F.when(F.col("event_type") != "a", 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).filter(F.col("event_type") == "a")
+    keyed = runs.withColumn("krun", F.concat_ws("#", "user_id", "run_id"))
+    anchors = {
+        (r.krun, r.anchor)
+        for r in keyed.groupBy("krun")
+        .agg(F.min(F.col("ts").cast("long")).alias("anchor"))
+        .collect()
+    }
+    chains = pattern_sequence(
+        keyed,
+        key_col="krun",
+        ts_col="ts",
+        steps=times(F.lit(True), min_fails),
+        within_seconds=window_s + 0.5,
+        contiguity="relaxed",
+        tiebreak_col="event_id",
+    ).collect()
+    quantified = {
+        (int(r.krun.split("#")[0]), r.step1_ts)
+        for r in chains
+        if (r.krun, r.step1_ts) in anchors
+    }
+    assert bursts == quantified
+
+
 @given(EVENTS, st.sampled_from(["strict", "relaxed"]))
 @settings(max_examples=15, deadline=None)
 def test_pattern_pairs_matches_naive_cep(spark, events, contiguity):
