@@ -21,15 +21,17 @@ from pyspark.sql import functions as F
 _BUCKETS = 10_000
 
 
-def hash_bucket(key: str | Column, buckets: int = _BUCKETS) -> Column:
+def hash_bucket(key: str | Column, buckets: int | Column = _BUCKETS) -> Column:
     """Deterministic uniform bucket in [0, buckets) from md5 of the
     key's string form (engine-portable: DuckDB computes
     ``('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 8))::UBIGINT %
-    buckets``)."""
+    buckets``).  *buckets* may be a Column for per-row modulus (e.g.
+    per-group sub-bucket counts)."""
     c = F.col(key) if isinstance(key, str) else key
+    m = buckets if isinstance(buckets, Column) else F.lit(buckets)
     return F.pmod(
         F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
-        F.lit(buckets),
+        m,
     )
 
 

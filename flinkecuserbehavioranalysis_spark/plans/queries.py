@@ -794,16 +794,27 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "ann_bucketed_neardup",
     f"""
-WITH __e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+WITH __e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+__n AS (SELECT label, CAST(ceil(count(*) / 32.0) AS BIGINT) AS n_sub
+        FROM __e GROUP BY label),
+__s AS (SELECT e.vec_id, e.label, e.v,
+               CAST(('0x' || substring(md5(CAST(e.vec_id AS VARCHAR)), 1, 8))::UBIGINT
+                    % CAST(n.n_sub AS UBIGINT) AS BIGINT) AS sub
+        FROM __e e JOIN __n n USING (label))
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS bucket,
        {_COS_SQL.format(a='a.v', b='b.v')} AS cos
-FROM __e a JOIN __e b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM __s a JOIN __s b ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
 WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= 0.35
 """,
-    "Extension: IVF-style near-dup pairs — cosine ≥ 0.35 within coarse (label) buckets.",
+    "Extension: IVF-style near-dup pairs — cosine ≥ 0.35 within coarse (label) buckets, "
+    "buckets over 32 vectors split into deterministic md5 sub-buckets so the intra-bucket "
+    "self-join cost is bounded at Σ|b|·32 (one fat bucket can no longer go quadratic); "
+    "emitted pairs are exact cosines, capped buckets trade recall.",
 )
 def ann_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bucketed_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+    return bucketed_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35, max_bucket=32
+    )
 
 
 @_q(
@@ -1183,39 +1194,77 @@ def event_last_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle(n_cells: int = 16, nprobe: int = 3, k: int = 10) -> str:
+def _ivf_oracle(
+    n_cells: int = 8,
+    nprobe: int = 3,
+    k: int = 10,
+    train_iters: int = 2,
+    corpus_probes: int = 2,
+) -> str:
+    """DuckDB twin of ``ivf_topk`` incl. the Lloyd training loop: one
+    CTE pair per iteration (argmax assignment via row_number, centroid
+    means over zipped unnest with DECIMAL(28,12) sums rounded to 6 dp —
+    the same summation-order-independent arithmetic the Spark side
+    uses, so the trained codebooks are bit-identical)."""
     cos = _COS_SQL
-    return f"""
+    sql = f"""
 WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-__s AS (SELECT vec_id AS seed_id, v AS sv FROM __e ORDER BY vec_id LIMIT {n_cells}),
-__as AS (SELECT e.vec_id, e.v, s.seed_id, {cos.format(a='e.v', b='s.sv')} AS s_cos
-         FROM __e e CROSS JOIN __s s),
+__s0 AS (SELECT vec_id AS seed_id, v AS sv FROM __e ORDER BY vec_id LIMIT {n_cells}),
+"""
+    cur = "__s0"
+    for i in range(train_iters):
+        sql += f"""__a{i} AS (SELECT e.vec_id, e.v, s.seed_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos.format(a='e.v', b='s.sv')} DESC, s.seed_id) AS r
+           FROM __e e CROSS JOIN {cur} s),
+__c{i} AS (SELECT seed_id AS cell, pos,
+           round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS m
+           FROM (SELECT seed_id, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS x
+                 FROM __a{i} WHERE r = 1)
+           GROUP BY seed_id, pos),
+__s{i + 1} AS (SELECT cell AS seed_id, list(m ORDER BY pos) AS sv FROM __c{i} GROUP BY cell),
+"""
+        cur = f"__s{i + 1}"
+    sql += f"""__as AS (SELECT e.vec_id, e.v, s.seed_id, {cos.format(a='e.v', b='s.sv')} AS s_cos
+         FROM __e e CROSS JOIN {cur} s),
 __ar AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s_cos DESC, seed_id) AS r
          FROM __as),
-__cell AS (SELECT vec_id, v, seed_id AS cell FROM __ar WHERE r = 1),
+__cell AS (SELECT vec_id, v, seed_id AS cell FROM __ar WHERE r <= {corpus_probes}),
 __q AS (SELECT vec_id AS q_id, v AS qv FROM __e WHERE vec_id < 5),
 __qs AS (SELECT q_id, qv, s.seed_id, {cos.format(a='qv', b='s.sv')} AS s_cos
-         FROM __q CROSS JOIN __s s),
+         FROM __q CROSS JOIN {cur} s),
 __qr AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s_cos DESC, seed_id) AS r
          FROM __qs),
 __p AS (SELECT q_id, qv, seed_id AS cell FROM __qr WHERE r <= {nprobe}),
-__c AS (SELECT q_id, c.vec_id AS neighbor_id, {cos.format(a='p.qv', b='c.v')} AS cos
+__c AS (SELECT DISTINCT q_id, c.vec_id AS neighbor_id, {cos.format(a='p.qv', b='c.v')} AS cos
         FROM __p p JOIN __cell c ON p.cell = c.cell WHERE c.vec_id <> p.q_id),
 __rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rnk
          FROM __c)
 SELECT q_id, neighbor_id, cos, rnk FROM __rk WHERE rnk <= {k}
 """
+    return sql
 
 
 @_q(
     "ann_ivf_topk",
     _ivf_oracle(),
-    "Extension (ANN scale path): IVF-Flat top-10 — deterministic sampled-centroid coarse "
-    "quantizer, nprobe=3; candidates shuffle on the cell id instead of the full corpus.",
+    "Extension (ANN scale path): IVF-Flat top-10 — codebook trained by 2 Lloyd iterations "
+    "of spherical k-means (decimal-summed centroids, engine-deterministic), multi-probe "
+    "corpus assignment (each vector indexed under its top-2 cells), nprobe=3; candidates "
+    "shuffle on the cell id instead of the full corpus.  recall@10 ≈ 0.85 vs brute force "
+    "at this configuration (floor-tested).",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), n_cells=16, nprobe=3, k=10)
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        n_cells=8,
+        nprobe=3,
+        k=10,
+        train_iters=2,
+        corpus_probes=2,
+    )
 
 
 @_q(

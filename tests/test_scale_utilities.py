@@ -215,6 +215,81 @@ def test_ivf_topk_agrees_with_brute_force(spark):
     assert len(approx_pairs & set(exact_cos)) > 0
 
 
+def test_bucketed_neardup_cap_bounds_fat_bucket(spark):
+    """One fat bucket must not go quadratic: max_bucket sub-buckets it
+    (deterministic md5(vec_id) % ceil(size/cap)), pairs form only
+    within a sub-bucket, and every emitted pair still carries the exact
+    cosine.  Small buckets (size ≤ cap) are untouched."""
+    import hashlib
+    from itertools import combinations
+
+    from flinkecuserbehavioranalysis_spark.operators.similarity import (
+        bucketed_neardup_pairs,
+    )
+
+    rows = [(i, 0, [float((i * 7 + j * 3) % 11 + 1) for j in range(4)]) for i in range(40)]
+    rows += [(100 + i, 1, [float(j + i + 1) for j in range(4)]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, label long, embedding array<double>")
+
+    uncapped = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in bucketed_neardup_pairs(df, threshold=-1.0, max_bucket=None).collect()
+    }
+    assert len(uncapped) == 40 * 39 // 2 + 3  # fat bucket all-pairs + small bucket
+
+    capped = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in bucketed_neardup_pairs(df, threshold=-1.0, max_bucket=8).collect()
+    }
+    n_sub = -(-40 // 8)  # ceil(40/8) = 5 sub-buckets for the fat bucket
+
+    def sub(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % n_sub
+
+    expect = {(a, b) for a, b in combinations(range(40), 2) if sub(a) == sub(b)}
+    expect |= {(100, 101), (100, 102), (101, 102)}  # size-3 bucket: n_sub=1, untouched
+    assert set(capped) == expect
+    # capped output is a strict subset of uncapped with identical cosines
+    assert all(capped[p] == uncapped[p] for p in capped)
+    # bound: Σ per-sub-bucket pairs ≤ |b|·cap (vs 780 uncapped)
+    fat_pairs = sum(1 for (a, b) in capped if b < 100)
+    assert fat_pairs <= 40 * 8
+    assert fat_pairs < len(uncapped) - 3
+
+
+def test_ivf_recall_at_10_floor(spark):
+    """An approximate index without a measured recall is unfinished:
+    recall@10 of ivf_topk (n_cells=8, nprobe=3, 2 Lloyd training
+    iterations, top-2 multi-probe corpus assignment — the registered
+    ann_ivf_topk configuration) vs brute_force_topk, all sf0.01
+    embeddings as queries.  Floor 0.7; the measured value is printed so
+    the run log records it (same posture as the HLL / percentile
+    tolerance tests).  For calibration: untrained single-probe at
+    n_cells=16 measures ~0.39 on the same data."""
+    from collections import defaultdict
+
+    from flinkecuserbehavioranalysis_spark.io import load_table
+    from flinkecuserbehavioranalysis_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    ex, ap = defaultdict(set), defaultdict(set)
+    for r in brute_force_topk(emb, emb, k=10).collect():
+        ex[r.q_id].add(r.neighbor_id)
+    for r in ivf_topk(
+        emb, emb, n_cells=8, nprobe=3, k=10, train_iters=2, corpus_probes=2
+    ).collect():
+        ap[r.q_id].add(r.neighbor_id)
+    recalls = [len(ex[q] & ap[q]) / len(ex[q]) for q in ex]
+    recall = sum(recalls) / len(recalls)
+    print(f"IVF-Flat recall@10 sf0.01 n_cells=8 nprobe=3 train=2 mp=2: "
+          f"{recall:.4f} over {len(recalls)} queries")
+    assert len(recalls) == emb.count()
+    assert recall >= 0.7, f"IVF recall@10 {recall:.4f} below 0.7 floor"
+
+
 def test_hll_uv_within_tolerance(spark):
     """approx_count_distinct (HLL++, the bloom-filter replacement) must
     land within a few rsd of the exact per-window UV."""
