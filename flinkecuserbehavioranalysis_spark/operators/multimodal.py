@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -140,13 +141,19 @@ def frame_sample(with_payload: DataFrame, max_frames: int = 4, id_col: str = "do
         for pdf in it:
             ids = pdf[id_col].astype("int64").to_numpy()
             sizes = pdf["payload"].map(len).astype("int64").to_numpy()
-            rows = []
-            for doc_id, n in zip(ids, sizes):
-                n_frames = int(n % max_frames) + 1
-                for i in range(n_frames):
-                    rows.append((int(doc_id), i, int(n * i // n_frames), int(n // n_frames)))
+            # the whole fan-out is np.repeat arithmetic — no Python row loop
+            n_frames = sizes % max_frames + 1
+            size_rep = np.repeat(sizes, n_frames)
+            nf_rep = np.repeat(n_frames, n_frames)
+            starts = np.cumsum(n_frames) - n_frames
+            idx = np.arange(int(n_frames.sum()), dtype="int64") - np.repeat(starts, n_frames)
             yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "frame_offset", "frame_bytes"]
+                {
+                    "doc_id": np.repeat(ids, n_frames),
+                    "frame_idx": idx.astype("int32"),
+                    "frame_offset": size_rep * idx // nf_rep,
+                    "frame_bytes": size_rep // nf_rep,
+                }
             )
 
     return with_payload.mapInPandas(batches, FRAME_SAMPLE_SCHEMA)

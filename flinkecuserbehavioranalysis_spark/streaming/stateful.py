@@ -18,6 +18,14 @@ Rows inside a micro-batch are sorted by (ts, tiebreak) per key before
 state transitions — Flink gets this ordering from per-key FIFO delivery;
 Spark micro-batches need the explicit sort.
 
+Hot-path discipline: every operator here extracts the pandas frame's
+columns to numpy arrays ONCE per batch (``.astype('int64')`` epoch-ns →
+float seconds) and loops over plain scalars — never ``iterrows`` (whose
+per-row Series construction is ~100× the cost of the transition itself).
+Transitions that are order-free (min/max) or expressible as segment
+boundaries vectorize fully; inherently sequential ones (pending-list
+CEP state) keep a scalar loop over the numpy views.
+
 Watermark gotcha: a row whose event time equals the operator's current
 watermark is dropped as late — in particular, epoch-0 timestamps die
 against the initial watermark of 0.  Event-time timers fire on the
@@ -31,6 +39,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -41,6 +50,12 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+def _epoch_s(col: pd.Series) -> np.ndarray:
+    """datetime64[ns] column → float epoch seconds, one vectorized cast
+    (the array analog of ``pd.Timestamp.timestamp()``)."""
+    return col.astype("int64").to_numpy() / 1e9
+
 
 LOGIN_WARNING_SCHEMA = StructType(
     [
@@ -84,21 +99,22 @@ def streaming_login_fail(
         out: list[tuple[int, int, int, str]] = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"] if "event_id" in pdf else ["ts"])
-            for _, row in pdf.iterrows():
-                ts = row["ts"].timestamp()
-                if row["event_type"] == fail_value:
-                    if last_type == fail_value and ts - last_ts < max_gap_seconds:
-                        out.append(
-                            (
-                                int(user_id),
-                                int(last_ts),
-                                int(ts),
-                                "login fail 2 times in a short time",
-                            )
-                        )
-                    last_type, last_ts = fail_value, ts
-                else:
-                    last_type, last_ts = "success", ts
+            tss = _epoch_s(pdf["ts"])
+            is_fail = (pdf["event_type"] == fail_value).to_numpy()
+            # batch-interior pairs vectorize: previous row is a fail and
+            # the gap is short; the batch boundary uses carried state
+            prev_fail = np.concatenate(([last_type == fail_value], is_fail[:-1]))
+            prev_ts = np.concatenate(
+                ([last_ts if last_ts is not None else np.nan], tss[:-1])
+            )
+            hit = is_fail & prev_fail & (tss - prev_ts < max_gap_seconds)
+            out.extend(
+                (int(user_id), int(prev_ts[i]), int(tss[i]), "login fail 2 times in a short time")
+                for i in np.flatnonzero(hit)
+            )
+            if len(tss):
+                last_type = fail_value if is_fail[-1] else "success"
+                last_ts = float(tss[-1])
         state.update((last_type, last_ts))
         if out:
             yield pd.DataFrame(
@@ -151,11 +167,18 @@ def streaming_blacklist(
         day, cnt, sent = state.get if state.exists else (None, 0, 0)
         out = []
         for pdf in pdfs:
-            for _, row in pdf.sort_values("ts").iterrows():
-                d = int(row["ts"].timestamp() // 86400)
+            pdf = pdf.sort_values("ts")
+            # integer day ids straight from epoch-ns — the count per day
+            # is order-free, so the loop runs over DAY SEGMENTS, not rows
+            days = pdf["ts"].astype("int64").to_numpy() // (86400 * 1_000_000_000)
+            if not len(days):
+                continue
+            bounds = np.concatenate(([0], np.flatnonzero(np.diff(days)) + 1, [len(days)]))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                d = int(days[s])
                 if day is None or d != day:
                     day, cnt, sent = d, 0, 0  # midnight state reset
-                cnt += 1
+                cnt += int(e - s)
                 if cnt > threshold and not sent:
                     out.append(
                         (int(user_id), int(ad_id), day, f"Click over {threshold} times today")
@@ -205,12 +228,14 @@ def streaming_order_timeout(
             return
         create_ts, pay_ts = state.get if state.exists else (None, None)
         for pdf in pdfs:
-            for _, row in pdf.sort_values("ts").iterrows():
-                ts = row["ts"].timestamp()
-                if row["event_type"] == "create":
-                    create_ts = ts if create_ts is None else min(create_ts, ts)
-                else:
-                    pay_ts = ts if pay_ts is None else min(pay_ts, ts)
+            # state is (min create, min pay) — order-free, no sort needed
+            tss = _epoch_s(pdf["ts"])
+            is_create = (pdf["event_type"] == "create").to_numpy()
+            c, p = tss[is_create], tss[~is_create]
+            if c.size:
+                create_ts = float(c.min()) if create_ts is None else min(create_ts, float(c.min()))
+            if p.size:
+                pay_ts = float(p.min()) if pay_ts is None else min(pay_ts, float(p.min()))
         if create_ts is not None and pay_ts is not None:
             status = PAY_OK if pay_ts - create_ts < timeout_seconds else PAID_AFTER_TIMEOUT
             state.remove()
@@ -262,22 +287,22 @@ def streaming_login_fail_tws(
             last_type, last_ts = stored if stored is not None else (None, None)
             out: list[tuple[int, int, int, str]] = []
             for pdf in rows:
-                sort_cols = ["ts", "event_id"] if "event_id" in pdf else ["ts"]
-                for _, row in pdf.sort_values(sort_cols).iterrows():
-                    ts = row["ts"].timestamp()
-                    if row["event_type"] == fail_value:
-                        if last_type == fail_value and ts - last_ts < max_gap_seconds:
-                            out.append(
-                                (
-                                    int(user_id),
-                                    int(last_ts),
-                                    int(ts),
-                                    "login fail 2 times in a short time",
-                                )
-                            )
-                        last_type, last_ts = fail_value, ts
-                    else:
-                        last_type, last_ts = "success", ts
+                pdf = pdf.sort_values(["ts", "event_id"] if "event_id" in pdf else ["ts"])
+                tss = _epoch_s(pdf["ts"])
+                is_fail = (pdf["event_type"] == fail_value).to_numpy()
+                prev_fail = np.concatenate(([last_type == fail_value], is_fail[:-1]))
+                prev_ts = np.concatenate(
+                    ([last_ts if last_ts is not None else np.nan], tss[:-1])
+                )
+                hit = is_fail & prev_fail & (tss - prev_ts < max_gap_seconds)
+                out.extend(
+                    (int(user_id), int(prev_ts[i]), int(tss[i]),
+                     "login fail 2 times in a short time")
+                    for i in np.flatnonzero(hit)
+                )
+                if len(tss):
+                    last_type = fail_value if is_fail[-1] else "success"
+                    last_ts = float(tss[-1])
             self._last.update((last_type, last_ts))
             if out:
                 yield pd.DataFrame(
@@ -347,18 +372,30 @@ def streaming_as_of_enrich(
         stored = state.get if state.exists else (None,) * (1 + n_pay)
         r_ts, pays = stored[0], list(stored[1:])
         out = []
+        k0 = int(key_t[0])
         for pdf in pdfs:
             pdf = pdf.sort_values([ts_col, "__tag"])
-            for _, row in pdf.iterrows():
-                if row["__tag"] == 0:
-                    r_ts = row[ts_col].timestamp()
-                    pays = [int(row[c]) for c in payload_cols]
-                else:
-                    out.append(
-                        (int(key_t[0]), int(row[ts_col].timestamp()))
-                        + tuple(int(row[c]) for c in left_cols)
-                        + tuple(pays)
-                    )
+            tss = _epoch_s(pdf[ts_col])
+            is_right = (pdf["__tag"].to_numpy() == 0)
+            # forward-fill: index of the latest right row at-or-before
+            # each position (-1 = none yet in this batch → carried state)
+            last_right = np.maximum.accumulate(
+                np.where(is_right, np.arange(len(pdf)), -1)
+            )
+            pay_arr = {c: pdf[c].to_numpy() for c in payload_cols}
+            left_arr = {c: pdf[c].to_numpy() for c in left_cols}
+            for pos in np.flatnonzero(~is_right):
+                j = last_right[pos]
+                cur = [int(pay_arr[c][j]) for c in payload_cols] if j >= 0 else pays
+                out.append(
+                    (k0, int(tss[pos]))
+                    + tuple(int(left_arr[c][pos]) for c in left_cols)
+                    + tuple(cur)
+                )
+            if is_right.any():
+                j = int(np.flatnonzero(is_right)[-1])
+                r_ts = float(tss[j])
+                pays = [int(pay_arr[c][j]) for c in payload_cols]
         state.update((r_ts, *pays))
         if out:
             yield pd.DataFrame(
@@ -370,6 +407,120 @@ def streaming_as_of_enrich(
         .groupBy(key)
         .applyInPandasWithState(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+FAIL_BURST_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("first_fail_ts", LongType()),
+        StructField("last_fail_ts", LongType()),
+        StructField("n_fails", LongType()),
+        StructField("warning_msg", StringType()),
+    ]
+)
+_FAIL_BURST_STATE = StructType(
+    [
+        StructField("anchor", DoubleType()),   # first fail of the open run
+        StructField("fails", StringType()),    # ','-joined fail times in [anchor, anchor+W]
+        StructField("done", LongType()),       # 1 = timer fired for this run
+    ]
+)
+
+
+def streaming_fail_burst(
+    events: DataFrame,
+    fail_value: str = "error",
+    window_seconds: float = 3600.0,
+    min_fails: int = 2,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of ``operators.patterns.fail_burst_alerts`` — the
+    LoginFailOne.scala:62-106 timer-buffer variant, the surface the
+    reference exercises hardest: buffer fails per user in ListState,
+    arm an event-time timer at first_fail + window (:74), emit on the
+    timer if ≥ *min_fails* accumulated, success clears (:79-81).
+
+    State machine per user (event-time order within a batch):
+
+    - success → FLUSH the pending run (emit if ≥ *min_fails* buffered),
+      then reset — the fail set in [anchor, anchor+window] is final the
+      moment a success lands, so emitting early is exact.  (The
+      reference's literal ListState clear at LoginFailOne.scala:79-81
+      silently drops a qualifying burst when the success beats the
+      timer; the batch twin counts such runs, so this twin does too.)
+    - fail, no anchor → anchor it, buffer it, arm the timer at
+      anchor + window (``GroupStateTimeout.EventTimeTimeout`` — fired
+      by watermark advance, Flink's event-time timer discipline).
+    - fail inside [anchor, anchor+window] → buffer it.
+    - fail past the window → ignored (the reference's timer has
+      conceptually fired; the batch twin drops these too).
+    - timeout → emit (anchor, max buffered, count) if count ≥
+      *min_fails*; mark the run ``done`` so later fails stay ignored
+      until the next success — exactly the batch operator's one-row-
+      per-run contract.
+
+    A run whose timer the final watermark never passes (anchor +
+    window ≥ max event time) stays pending — the bounded-replay test
+    filters the batch twin the same way.  Input columns: user_id,
+    event_type, ts (+ event_id tiebreak).  Output = batch schema:
+    (user_id, first_fail_ts, last_fail_ts, n_fails, warning_msg)."""
+
+    msg = f"login fail {min_fails} times in {int(window_seconds)}s"
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            anchor, fails_s, done = state.get
+            fails = [float(x) for x in fails_s.split(",") if x] if fails_s else []
+            if not done and len(fails) >= min_fails:
+                yield pd.DataFrame(
+                    [(int(user_id), int(anchor), int(max(fails)), len(fails), msg)],
+                    columns=["user_id", "first_fail_ts", "last_fail_ts", "n_fails", "warning_msg"],
+                )
+            # run stays closed (done=1) until a success resets it; no
+            # timer re-arm — state is one tuple per user, bounded
+            state.update((anchor, "", 1))
+            return
+        anchor, fails_s, done = state.get if state.exists else (None, "", 0)
+        fails = [float(x) for x in fails_s.split(",") if x] if fails_s else []
+        out = []
+        for pdf in pdfs:
+            cols = ["ts", "event_id"] if "event_id" in pdf.columns else ["ts"]
+            pdf = pdf.sort_values(cols)
+            tss = _epoch_s(pdf["ts"])
+            is_fail = (pdf["event_type"] == fail_value).to_numpy()
+            for i in range(len(tss)):
+                ts = float(tss[i])
+                if not is_fail[i]:
+                    if anchor is not None and not done and len(fails) >= min_fails:
+                        out.append(
+                            (int(user_id), int(anchor), int(max(fails)), len(fails), msg)
+                        )
+                    anchor, fails, done = None, [], 0
+                elif done:
+                    continue
+                elif anchor is None:
+                    anchor, fails = ts, [ts]
+                elif ts <= anchor + window_seconds:
+                    fails.append(ts)
+        state.update((anchor, ",".join(repr(t) for t in fails), done))
+        if anchor is not None and not done:
+            state.setTimeoutTimestamp(int((anchor + window_seconds) * 1000))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "first_fail_ts", "last_fail_ts", "n_fails", "warning_msg"],
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, FAIL_BURST_SCHEMA, _FAIL_BURST_STATE, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
 
@@ -409,12 +560,13 @@ def streaming_pattern_pairs(
 
     - strict (``next``): the previous event's (matched-A?, ts) — one
       slot, exactly LoginFailTwo's ListState discipline.
-    - relaxed (``followedBy``): the pending unmatched-A timestamps.  On
-      a B at time tb, the FIRST B after each A is by definition the
-      earliest, so every pending A either matches now (tb - ta <
-      within) or can never match (any later B is later still) — the
-      list empties on every B, which is what bounds the state: its
-      length is ≤ the longest A-run between two B events.
+    - relaxed (``followedBy``): the pending unmatched-A timestamps.
+      The list is PRUNED on every event: an A older than *within* can
+      never match (any future B is later still), and on a B every
+      surviving A matches and the list empties.  State is therefore
+      bounded by the key's A-arrival rate × the within window — also
+      for keys that never see a B (the common view-without-purchase
+      case), which a B-only cleanup would grow forever.
 
     The time bound is strict (<), matching the batch operator and CEP's
     end-exclusive ``within``.  Output: (key, first_ts, second_ts) as
@@ -438,22 +590,34 @@ def streaming_pattern_pairs(
         out: list[tuple[int, int, int]] = []
         for pdf in pdfs:
             cols = [c for c in sort_cols if c in pdf.columns]
-            for _, row in pdf.sort_values(cols).iterrows():
-                ts = row[ts_col].timestamp()
-                is_a, is_b = bool(row["__a"]), bool(row["__b"])
-                if strict:
-                    if is_b and last_a and ts - last_ts < within_seconds:
-                        out.append((int(k), int(last_ts), int(ts)))
-                    last_a, last_ts = (1 if is_a else 0), ts
-                else:
-                    if is_b:
-                        out.extend(
-                            (int(k), int(ta), int(ts))
-                            for ta in pending
-                            if ts - ta < within_seconds
-                        )
+            pdf = pdf.sort_values(cols)
+            tss = _epoch_s(pdf[ts_col])
+            a_arr = pdf["__a"].to_numpy().astype(bool)
+            b_arr = pdf["__b"].to_numpy().astype(bool)
+            if strict:
+                # batch-interior (prev, cur) pairs vectorize; the batch
+                # boundary pair uses the carried one-slot state
+                prev_a = np.concatenate(([bool(last_a)], a_arr[:-1]))
+                prev_ts = np.concatenate(
+                    ([last_ts if last_ts is not None else np.nan], tss[:-1])
+                )
+                hit = b_arr & prev_a & (tss - prev_ts < within_seconds)
+                out.extend(
+                    (int(k), int(prev_ts[i]), int(tss[i])) for i in np.flatnonzero(hit)
+                )
+                if len(tss):
+                    last_a, last_ts = (1 if a_arr[-1] else 0), float(tss[-1])
+            else:
+                for i in range(len(tss)):
+                    ts = float(tss[i])
+                    if pending:
+                        # prune A's that can no longer match: any future
+                        # B is >= ts, so expiry is decidable NOW
+                        pending = [ta for ta in pending if ts - ta < within_seconds]
+                    if b_arr[i]:
+                        out.extend((int(k), int(ta), int(ts)) for ta in pending)
                         pending = []
-                    if is_a:
+                    if a_arr[i]:
                         pending.append(ts)
         state.update((last_a, last_ts, ",".join(repr(t) for t in pending)))
         if out:

@@ -119,6 +119,57 @@ def test_streaming_login_fail_matches_batch(spark):
     assert len(got) > 0
 
 
+def test_streaming_fail_burst_matches_batch(spark):
+    """F2's timer-buffer twin (LoginFailOne.scala:62-106): pending fails
+    + event-time timer at anchor+window.  On a bounded replay it must
+    reproduce every batch run that is DECIDED by end-of-stream: runs
+    flushed by a later success, plus success-free runs whose timer the
+    final watermark passed (anchor + window < max event time)."""
+    from flinkecuserbehavioranalysis_spark.operators.patterns import fail_burst_alerts
+    from flinkecuserbehavioranalysis_spark.streaming.stateful import streaming_fail_burst
+
+    window_s, min_fails = 3600.0, 2
+    stream = read_events_stream(spark, SF_DIR).select("user_id", "event_type", "ts", "event_id")
+    got = run_bounded(
+        streaming_fail_burst(stream, window_seconds=window_s, min_fails=min_fails)
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    batch = fail_burst_alerts(
+        ev,
+        fail_value="error",
+        window_seconds=int(window_s),
+        min_fails=min_fails,
+        tiebreak_col="event_id",
+    ).collect()
+    # which batch runs are decided at end-of-replay?
+    wm = _max_ts(spark)
+    succ_after = {
+        (r.user_id, r.anchor)
+        for r in ev.filter(F.col("event_type") != "error")
+        .select("user_id", F.col("ts").cast("double").alias("sts"))
+        .join(
+            spark.createDataFrame(
+                [(b.user_id, float(b.first_fail_ts)) for b in batch],
+                "user_id long, anchor double",
+            ),
+            "user_id",
+        )
+        .filter(F.col("sts") > F.col("anchor"))
+        .select("user_id", "anchor")
+        .distinct()
+        .collect()
+    }
+    decided = [
+        b
+        for b in batch
+        if (b.user_id, float(b.first_fail_ts)) in succ_after
+        or b.first_fail_ts + window_s < wm
+    ]
+    cols = ["user_id", "first_fail_ts", "last_fail_ts", "n_fails", "warning_msg"]
+    assert _rows(got, cols) == _rows(decided, cols)
+    assert len(got) > 0
+
+
 def test_streaming_order_timeout_pay_paths(spark):
     """Orders with both create+pay present must classify exactly like the
     batch operator; timer-only outcomes need watermark advancement past
