@@ -202,6 +202,86 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+def duplicate_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph — the step that
+    turns pairwise dup evidence into duplicate CLUSTERS so one canonical
+    doc per cluster survives (pairs alone under-delete: a~b, b~c keeps
+    both a and c unless the transitive closure is taken).
+
+    Hash-min label propagation: every node starts labeled with its own
+    id; each round a node takes the min of its own and its neighbors'
+    labels; at fixpoint every member of a component carries the
+    component-min id.  Rounds needed = graph diameter, and near-dup
+    components are shallow (a cluster of rewrites of one page), so this
+    converges in a handful of rounds; each round is one join + one
+    groupBy-min on the (tiny, ∝ #dup-docs) label frontier — never on the
+    corpus.  For adversarially deep graphs swap in large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce"), which is
+    O(log n) rounds of the same join shape.
+
+    The edge set is materialized once via ``localCheckpoint`` so the
+    upstream pair plan (often an LSH pipeline) is not re-executed per
+    round and the loop's lineage stays flat.  On a real cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + reliable ``checkpoint``
+    for fault tolerance; executor-local blocks are fine for this
+    container.  Convergence is detected by the monotone non-increasing
+    sum of labels going flat — one cheap scalar agg per round instead of
+    a changed-rows join.
+
+    Returns (v, label): every node that appears in *pairs*, labeled with
+    its component's min id.  Deterministic (min is order-insensitive).
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
+    prev_sum = None
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["dst"] == labels["v"]).select(
+            edges["src"].alias("v"), labels["label"]
+        )
+        labels = (
+            labels.union(prop).groupBy("v").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        s = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
+def canonicalize_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Full-corpus canonical-id assignment: every doc mapped to the min
+    id of its duplicate component (itself when it has no near-dups).
+    ``filter(doc_id == canonical_id)`` is then the deduplicated corpus.
+
+    The component labels cover only docs that appear in *pairs* (∝ dup
+    docs, a small fraction of the corpus), so the final join is a
+    broadcast-sized enrichment of the full scan, not a corpus shuffle.
+
+    Returns (doc_id, canonical_id) for every doc in *docs*."""
+    comp = duplicate_components(pairs, a_col, b_col).withColumnRenamed("v", id_col)
+    return (
+        docs.select(id_col)
+        .join(F.broadcast(comp), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("label"), F.col(id_col)).alias("canonical_id"),
+        )
+    )
+
+
 def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",

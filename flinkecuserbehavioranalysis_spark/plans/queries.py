@@ -1379,6 +1379,33 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.dedup import canonicalize_duplicates  # noqa: E402
+
+
+@_q(
+    "dedup_components",
+    f"""
+WITH RECURSIVE __p AS ({_lsh_verified_oracle(0.5)}),
+__e AS (SELECT doc_a AS s, doc_b AS d FROM __p
+        UNION SELECT doc_b, doc_a FROM __p),
+__r AS (SELECT s AS v, d AS w FROM __e
+        UNION
+        SELECT r.v, e.d FROM __r r JOIN __e e ON r.w = e.s),
+__lbl AS (SELECT v AS doc_id, least(v, min(w)) AS canonical_id FROM __r GROUP BY v)
+SELECT d.doc_id, coalesce(l.canonical_id, d.doc_id) AS canonical_id
+FROM documents d LEFT JOIN __lbl l USING (doc_id)
+""",
+    "Extension (dedup canonicalization): connected components over LSH-verified near-dup "
+    "pairs via hash-min label propagation; every doc mapped to its duplicate-cluster min id "
+    "(itself when unique). filter(doc_id = canonical_id) is the deduplicated corpus. The "
+    "oracle takes the same transitive closure with a recursive CTE.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(docs, k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5)
+    return canonicalize_duplicates(docs, pairs)
+
+
 from ..operators.similarity import label_centroids  # noqa: E402
 
 

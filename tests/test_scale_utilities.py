@@ -461,3 +461,25 @@ def test_pack_sequences_matches_naive_greedy(spark):
     assert got == expect
     # every doc starts strictly inside its bin
     assert all(off < target for (_, _, _, off) in got.values())
+
+
+def test_duplicate_components_transitive_chain(spark):
+    """a~b, b~c, c~d must collapse to ONE cluster labeled min(a) even
+    though a~d was never emitted as a pair — the transitive closure the
+    pairwise ops deliberately leave to this operator.  Isolated docs
+    keep themselves as canonical."""
+    from flinkecuserbehavioranalysis_spark.operators.dedup import (
+        canonicalize_duplicates,
+        duplicate_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r.v: r.label for r in duplicate_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 10, 11, 99)], "doc_id long")
+    canon = {r.doc_id: r.canonical_id for r in canonicalize_duplicates(docs, pairs).collect()}
+    assert canon == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 10: 10, 11: 10, 99: 99}
