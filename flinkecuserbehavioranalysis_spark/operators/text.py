@@ -202,3 +202,74 @@ def lang_id_ngram(
             F.col("__best.hits").cast("long").alias("profile_hits"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25-style keyword relevance: top-*k* docs for a bag of query
+    *terms*.  Per-term score is the BM25 saturation form
+
+        idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    with the LOG-FREE idf variant idf = (N - df + 0.5) / (df + 0.5):
+    ln() is deliberately omitted because libm rounding differs between
+    JVM and C engines while +,*,/ are IEEE-exact everywhere — the
+    ranking is preserved (ln is monotone) and every engine computes the
+    score bit-identically, which is what the oracle hash requires.
+
+    Scale shape: token explode filters to the query terms BEFORE any
+    shuffle, so tf/df aggregate over |docs containing a term|, not the
+    corpus token stream; doc length rides the same explode (max() per
+    group) so the whole query is two corpus scans (token stream +
+    global N/avgdl aggregate); the per-term score join broadcasts the
+    (|terms|-row) df table; the final top-k is a
+    TakeOrderedAndProject, never a global sort.  Per-
+    term scores are summed in fixed *terms* order (pivoted columns) so
+    float addition order is engine-independent.
+
+    Returns (doc_id, score) — the k highest, doc_id-tiebroken.
+    """
+    ws = F.split(F.col(text_col), " ")
+    # dl rides along the token explode so no separate doc-length scan /
+    # join is needed: it is constant per doc, recovered by max() in the
+    # tf aggregation (2 corpus scans total — token stream + the global
+    # N/avgdl aggregate, which must see term-free docs too).
+    base = docs.select(
+        F.col(id_col), F.size(ws).cast("long").alias("dl"), F.explode(ws).alias("tok")
+    )
+    tf = (
+        base.filter(F.col("tok").isin(*terms))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(F.size(ws).cast("long").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom)
+    )
+    per_term = [
+        F.coalesce(F.max(F.when(F.col("tok") == t, F.col("s"))), F.lit(0.0)).alias(f"_s{i}")
+        for i, t in enumerate(terms)
+    ]
+    pivoted = scored.groupBy(id_col).agg(*per_term)
+    total = pivoted.select(
+        F.col(id_col),
+        sum((F.col(f"_s{i}") for i in range(1, len(terms))), F.col("_s0")).alias("score"),
+    )
+    return total.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

@@ -1805,6 +1805,49 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+from ..operators.text import bm25_topk  # noqa: E402
+
+_BM25_TERMS = ("spark", "hash", "window")
+
+
+def _bm25_oracle(terms: tuple[str, ...], k: int, k1: float = 1.2, b: float = 0.75) -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    pivots = ", ".join(
+        f"coalesce(max(CASE WHEN tok = '{t}' THEN s END), 0.0) AS _s{i}"
+        for i, t in enumerate(terms)
+    )
+    total = " + ".join(f"_s{i}" for i in range(len(terms)))
+    return f"""
+WITH __t AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                    unnest(string_split(text, ' ')) AS tok FROM documents),
+__tf AS (SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl FROM __t
+         WHERE tok IN ({term_list}) GROUP BY 1, 2),
+__df AS (SELECT tok, count(*) AS df FROM __tf GROUP BY tok),
+__n AS (SELECT count(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
+        FROM documents),
+__s AS (SELECT t.doc_id, t.tok,
+               (n.n_docs - d.df + 0.5) / (d.df + 0.5)
+                 * (t.tf * {k1 + 1.0!r}) /
+               (t.tf + {k1!r} * (1.0 - {b!r} + {b!r} * t.dl / n.avgdl)) AS s
+        FROM __tf t JOIN __df d USING (tok) CROSS JOIN __n n),
+__p AS (SELECT doc_id, {pivots} FROM __s GROUP BY doc_id)
+SELECT doc_id, {total} AS score FROM __p
+ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+@_q(
+    "text_bm25_topk",
+    _bm25_oracle(_BM25_TERMS, 20),
+    "Extension (keyword search): BM25-saturation relevance top-20 for a fixed term bag, "
+    "log-free idf variant so the score arithmetic is IEEE-identical across engines. "
+    "Term-filter before any shuffle; broadcast df; TakeOrderedAndProject top-k.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(load_table(spark, sf_dir, "documents"), list(_BM25_TERMS), k=20)
+
+
 @_q(
     "nation_market_share_by_year",
     f"""

@@ -123,3 +123,14 @@ def test_lang_id_ngram_scoring_is_map_only(spark):
 
     n_shuffles = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_shuffles <= 4, plan
+
+
+def test_bm25_topk_plan_shape(spark):
+    plan = _explain(spark, "text_bm25_topk")
+    # global top-k must be a partial TakeOrdered, never Sort+Limit
+    assert "TakeOrderedAndProject" in plan
+    # term filter applies before the tf shuffle (generated-column filter
+    # on the exploded token, present as an IN on the query terms)
+    assert "spark,hash,window" in plan.replace(" ", "").replace("'", ""), plan
+    # the |terms|-row df table joins broadcast
+    assert "BroadcastHashJoin" in plan
