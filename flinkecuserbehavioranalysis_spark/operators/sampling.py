@@ -124,3 +124,52 @@ def pack_sequences(
         F.floor(before / target_tokens).cast("long").alias("bin"),
         F.pmod(before, F.lit(target_tokens)).cast("long").alias("tok_offset"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    quota: int,
+    key: str,
+    margin: float = 4.0,
+) -> DataFrame:
+    """Deterministic per-stratum quota sample: the *quota* rows with the
+    smallest md5-rank within each stratum (same rows every run, every
+    engine, any partitioning — ``rand()``-free for the same reasons as
+    ``hash_sample``).
+
+    Two-phase so the per-stratum sort never sees a whole stratum: a
+    first pass counts each stratum (tiny aggregate, broadcast back),
+    then rows are pre-filtered to an expected ``margin * quota``
+    survivors per stratum by comparing the md5 PREFIX against a
+    per-stratum threshold before the exact ``row_number`` rank.  The
+    pre-filter keys on the same md5 order the rank uses, so the
+    survivor set always contains the stratum's md5-smallest rows —
+    the two-phase result is IDENTICAL to a direct global md5-rank
+    whenever at least *quota* rows survive (expected ``margin*quota``
+    do; P(short) is Chernoff-small at margin 4, and strata smaller
+    than the budget are kept whole).  At 100 TB the rank's window sort
+    is therefore O(margin·quota) per stratum regardless of stratum
+    size, and the only full-corpus work is one map-side filtered scan
+    + the count aggregate.
+
+    Returns the sampled rows of *df* plus a ``rk`` column (1-based rank
+    within the stratum)."""
+    from pyspark.sql import Window
+
+    budget = float(margin * quota)
+    counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("__n"))
+    # md5-prefix threshold: first 8 hex chars as an integer, scaled to
+    # keep ~budget of __n rows.  'g' sorts after every hex digit ⇒
+    # keep-all sentinel when the budget covers the stratum.
+    v = F.ceil(F.lit(4294967296.0) * F.lit(budget) / F.col("__n"))
+    thr = F.when(v >= F.lit(2**32), F.lit("g")).otherwise(F.format_string("%08x", v))
+    pre = (
+        df.join(F.broadcast(counts), list(strata))
+        .filter(F.substring(F.md5(F.col(key).cast("string")), 1, 8) < thr)
+        .drop("__n")
+    )
+    w = Window.partitionBy(*strata).orderBy(
+        F.md5(F.col(key).cast("string")).asc(), F.col(key).asc()
+    )
+    return pre.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= quota)

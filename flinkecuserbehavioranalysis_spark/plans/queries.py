@@ -1902,6 +1902,37 @@ def documents_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(docs, "doc_id", 0.10)
 
 
+from ..operators.sampling import stratified_sample  # noqa: E402
+
+
+@_q(
+    "documents_stratified_sample",
+    f"""
+WITH __cnt AS (SELECT source, count(*) AS __n FROM documents GROUP BY source),
+__pre AS (SELECT d.source, d.doc_id
+          FROM documents d JOIN __cnt c USING (source)
+          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                < CASE WHEN ceil(4294967296.0 * 40.0 / c.__n) >= 4294967296
+                       THEN 'g'
+                       ELSE printf('%08x', CAST(ceil(4294967296.0 * 40.0 / c.__n) AS BIGINT))
+                  END),
+__r AS (SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM __pre)
+SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM __r WHERE rk <= 10
+""",
+    "Extension (training-data): deterministic per-source quota sample (10 docs/stratum) — "
+    "two-phase: stratum counts broadcast back as a hash pre-filter sized to ~4x quota, then "
+    "exact md5-rank within the survivors, so the per-stratum sort is O(margin*quota) at any "
+    "stratum size.",
+)
+def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id")
+    out = stratified_sample(docs, ["source"], quota=10, key="doc_id", margin=4.0)
+    return out.select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
+
+
 @_q(
     "dataset_split_counts",
     f"""

@@ -483,3 +483,30 @@ def test_duplicate_components_transitive_chain(spark):
     docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 10, 11, 99)], "doc_id long")
     canon = {r.doc_id: r.canonical_id for r in canonicalize_duplicates(docs, pairs).collect()}
     assert canon == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 10: 10, 11: 10, 99: 99}
+
+
+def test_stratified_sample_two_phase_equals_direct_rank(spark):
+    """The md5-prefix pre-filter must not change WHICH rows are chosen:
+    on a skewed corpus (one 400-row stratum, one 6-row stratum) the
+    two-phase result equals a direct md5 rank per stratum, quotas are
+    enforced on the fat stratum, and the thin stratum is kept whole."""
+    import hashlib
+
+    from flinkecuserbehavioranalysis_spark.operators.sampling import stratified_sample
+
+    rows = [(f"s{0 if i < 400 else 1}", i) for i in range(406)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    got = {
+        (r.source, r.doc_id): r.rk
+        for r in stratified_sample(df, ["source"], quota=5, key="doc_id").collect()
+    }
+
+    expect = {}
+    for s in ("s0", "s1"):
+        ids = [i for src, i in rows if src == s]
+        ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        for rk, i in enumerate(ranked[:5], start=1):
+            expect[(s, i)] = rk
+    assert got == expect
+    assert sum(1 for (s, _) in got if s == "s0") == 5
+    assert sum(1 for (s, _) in got if s == "s1") == 5
