@@ -1848,6 +1848,29 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(load_table(spark, sf_dir, "documents"), list(_BM25_TERMS), k=20)
 
 
+from ..operators.skew import heavy_hitters  # noqa: E402
+
+
+@_q(
+    "text_hot_tokens",
+    """
+WITH __t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+__n AS (SELECT count(*) AS n FROM __t)
+SELECT tok, count(*) AS freq
+FROM __t GROUP BY tok
+HAVING count(*) >= (SELECT CAST(ceil(0.02 * n) AS BIGINT) FROM __n)
+""",
+    "Extension (sketch): exact phi-heavy hitters (phi=0.02) over the document token "
+    "stream — per-partition Misra-Gries candidate summaries (mapInPandas) pruned by an "
+    "exact broadcast-join recount, so the sketch bounds the candidate space but never the "
+    "answer (stopword / hot-shingle discovery for the dedup df caps).",
+)
+def text_hot_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    return heavy_hitters(toks, "tok", phi=0.02)
+
+
 @_q(
     "nation_market_share_by_year",
     f"""

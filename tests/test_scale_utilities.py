@@ -510,3 +510,23 @@ def test_stratified_sample_two_phase_equals_direct_rank(spark):
     assert got == expect
     assert sum(1 for (s, _) in got if s == "s0") == 5
     assert sum(1 for (s, _) in got if s == "s1") == 5
+
+
+def test_heavy_hitters_exact_under_eviction(spark):
+    """Vocab (203 keys) far above the MG capacity (ceil(2/phi)=20) so
+    per-partition summaries must evict; the exact-recount pass still
+    yields exactly the keys with freq >= ceil(phi*N), matching a naive
+    full count."""
+    import math
+    from collections import Counter
+
+    from flinkecuserbehavioranalysis_spark.operators.skew import heavy_hitters
+
+    rows = ["hot_a"] * 300 + ["hot_b"] * 150 + [f"cold{i}" for i in range(200) for _ in (0, 1)]
+    phi = 0.1
+    df = spark.createDataFrame([(t,) for t in rows], "tok string").repartition(7)
+    got = {(r.tok, r.freq) for r in heavy_hitters(df, "tok", phi).collect()}
+    c = Counter(rows)
+    thr = math.ceil(phi * len(rows))
+    expect = {(t, n) for t, n in c.items() if n >= thr}
+    assert got == expect and expect  # non-vacuous
