@@ -464,3 +464,39 @@ def test_pattern_pairs_matches_naive_cep(spark, events, contiguity):
                     if later_bs and min(later_bs) - ta < 10.0:
                         expect.append((k, ta, min(later_bs)))
     assert got == sorted(expect)
+
+
+@given(doc_inputs())
+@settings(max_examples=10, deadline=None)
+def test_bm25_topk_matches_naive(spark, docs):
+    """bm25_topk must equal a naive Python BM25 (same log-free idf):
+    per-doc scores bitwise-comparable at 1e-12, selection and
+    tie-break identical.  'x' may be absent from some corpora and
+    'omega' always is — absent terms contribute nothing."""
+    from flinkecuserbehavioranalysis_spark.operators.text import bm25_topk
+
+    terms, k1, b, k = ["alpha", "x", "omega"], 1.2, 0.75, 4
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r.doc_id, r.score) for r in bm25_topk(df, terms, k=k).collect()]
+
+    n = len(docs)
+    dls = {i: len(t.split(" ")) for i, t in docs}
+    avgdl = sum(dls.values()) / n
+    dfreq = {t: sum(1 for _, txt in docs if t in txt.split(" ")) for t in terms}
+    scores = {}
+    for i, txt in docs:
+        toks = txt.split(" ")
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0 or dfreq[t] == 0:
+                s += 0.0
+                continue
+            idf = (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            s = s + idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dls[i] / avgdl))
+        if any(t in toks for t in terms):
+            scores[i] = s
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert [i for i, _ in got] == [i for i, _ in expect]
+    for (_, gs), (_, es) in zip(got, expect):
+        assert abs(gs - es) < 1e-12

@@ -530,3 +530,14 @@ def test_heavy_hitters_exact_under_eviction(spark):
     thr = math.ceil(phi * len(rows))
     expect = {(t, n) for t, n in c.items() if n >= thr}
     assert got == expect and expect  # non-vacuous
+
+
+def test_canonicalize_duplicates_empty_pairs(spark):
+    """A corpus with no near-dup pairs must canonicalize every doc to
+    itself (the label-propagation loop sees an empty graph)."""
+    from flinkecuserbehavioranalysis_spark.operators.dedup import canonicalize_duplicates
+
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = {r.doc_id: r.canonical_id for r in canonicalize_duplicates(docs, pairs).collect()}
+    assert got == {i: i for i in range(5)}
