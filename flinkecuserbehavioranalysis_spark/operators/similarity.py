@@ -230,6 +230,7 @@ def ivf_topk(
     k: int = 10,
     train_iters: int = 2,
     corpus_probes: int = 2,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: the scale path for similarity search.
 
@@ -240,8 +241,11 @@ def ivf_topk(
     round to 6 dp so the trained codebook is summation-order
     independent (bit-identical in any engine — float sums are not);
     empty cells drop out.  Each iteration costs one map-only assignment
-    pass + one (cell, dim)-grouped aggregation — at corpus scale run
-    training on a ``hash_sample`` and reuse the codebook.
+    pass + one (cell, dim)-grouped aggregation over the TRAINING set:
+    *train_fraction* < 1 trains on a deterministic ``hash_sample`` of
+    the corpus (seeds drawn from the sample too) — the 100 TB posture,
+    since a quantizer needs only a representative sample while
+    assignment/scoring still cover every vector.
 
     *corpus_probes* (1 or 2) is multi-probe **assignment**: each corpus
     vector is indexed under its best (and second-best) cell, so a
@@ -274,14 +278,24 @@ def ivf_topk(
         .withColumn("q_norm", F.sqrt(dot(F.col("q_vec"), F.col("q_vec"))))
     )
 
+    if train_fraction < 1.0:
+        from .sampling import hash_sample
+
+        train_vectors = hash_sample(vectors, id_col, train_fraction)
+    else:
+        train_vectors = vectors
+    vt = (
+        train_vectors.select(_as_double(vec_col).alias("v_vec"))
+        .withColumn("v_norm", F.sqrt(dot(F.col("v_vec"), F.col("v_vec"))))
+    )
     seeds = (
-        vectors.orderBy(F.col(id_col))
+        train_vectors.orderBy(F.col(id_col))
         .limit(n_cells)
         .select(F.col(id_col).alias("seed_id"), _as_double(vec_col).alias("s_vec"))
         .withColumn("s_norm", F.sqrt(dot(F.col("s_vec"), F.col("s_vec"))))
     )
     for _ in range(train_iters):
-        assigned_t = v.crossJoin(F.broadcast(_pack(seeds))).select(
+        assigned_t = vt.crossJoin(F.broadcast(_pack(seeds))).select(
             "v_vec", _best_cell("v_vec", "v_norm").alias("cell")
         )
         cent = (

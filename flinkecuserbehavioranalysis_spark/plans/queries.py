@@ -656,6 +656,10 @@ from ..operators.text import (  # noqa: E402
     token_stats,
 )
 
+_BUCKET_SQL = (
+    "('0x' || substring(md5(CAST({k} AS VARCHAR)), 1, 8))::VARCHAR::UBIGINT % 10000"
+)
+
 #: shared DuckDB shingle CTE (word trigrams, distinct per doc) — the twin
 #: of operators.dedup.shingles
 _SHINGLE_CTE = """
@@ -1200,23 +1204,31 @@ def _ivf_oracle(
     k: int = 10,
     train_iters: int = 2,
     corpus_probes: int = 2,
+    train_buckets: int | None = None,
 ) -> str:
     """DuckDB twin of ``ivf_topk`` incl. the Lloyd training loop: one
     CTE pair per iteration (argmax assignment via row_number, centroid
     means over zipped unnest with DECIMAL(28,12) sums rounded to 6 dp —
     the same summation-order-independent arithmetic the Spark side
-    uses, so the trained codebooks are bit-identical)."""
+    uses, so the trained codebooks are bit-identical).  *train_buckets*
+    mirrors ``train_fraction`` (md5 bucket < train_buckets of 10000)."""
     cos = _COS_SQL
+    train_where = (
+        f"WHERE {_BUCKET_SQL.format(k='vec_id')} < {train_buckets}"
+        if train_buckets is not None
+        else ""
+    )
     sql = f"""
 WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-__s0 AS (SELECT vec_id AS seed_id, v AS sv FROM __e ORDER BY vec_id LIMIT {n_cells}),
+__et AS (SELECT vec_id, v FROM __e {train_where}),
+__s0 AS (SELECT vec_id AS seed_id, v AS sv FROM __et ORDER BY vec_id LIMIT {n_cells}),
 """
     cur = "__s0"
     for i in range(train_iters):
         sql += f"""__a{i} AS (SELECT e.vec_id, e.v, s.seed_id,
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY {cos.format(a='e.v', b='s.sv')} DESC, s.seed_id) AS r
-           FROM __e e CROSS JOIN {cur} s),
+           FROM __et e CROSS JOIN {cur} s),
 __c{i} AS (SELECT seed_id AS cell, pos,
            round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS m
            FROM (SELECT seed_id, unnest(generate_series(1, len(v))) AS pos, unnest(v) AS x
@@ -1247,12 +1259,13 @@ SELECT q_id, neighbor_id, cos, rnk FROM __rk WHERE rnk <= {k}
 
 @_q(
     "ann_ivf_topk",
-    _ivf_oracle(),
+    _ivf_oracle(train_buckets=5000),
     "Extension (ANN scale path): IVF-Flat top-10 — codebook trained by 2 Lloyd iterations "
-    "of spherical k-means (decimal-summed centroids, engine-deterministic), multi-probe "
-    "corpus assignment (each vector indexed under its top-2 cells), nprobe=3; candidates "
-    "shuffle on the cell id instead of the full corpus.  recall@10 ≈ 0.85 vs brute force "
-    "at this configuration (floor-tested).",
+    "of spherical k-means on a deterministic 50% hash-sample (a quantizer needs a "
+    "representative sample, not the corpus; decimal-summed centroids stay engine-"
+    "deterministic), multi-probe corpus assignment (each vector indexed under its top-2 "
+    "cells), nprobe=3; candidates shuffle on the cell id instead of the full corpus. "
+    "recall@10 floor-tested vs brute force.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1264,6 +1277,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         train_iters=2,
         corpus_probes=2,
+        train_fraction=0.5,
     )
 
 
@@ -1658,9 +1672,6 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BUCKET_SQL = (
-    "('0x' || substring(md5(CAST({k} AS VARCHAR)), 1, 8))::VARCHAR::UBIGINT % 10000"
-)
 
 
 @_q(

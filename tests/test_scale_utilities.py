@@ -289,6 +289,19 @@ def test_ivf_recall_at_10_floor(spark):
     assert len(recalls) == emb.count()
     assert recall >= 0.7, f"IVF recall@10 {recall:.4f} below 0.7 floor"
 
+    # the registered query trains on a 50% hash-sample (the corpus-scale
+    # posture) — the quantizer must not owe its recall to full training
+    aps = defaultdict(set)
+    for r in ivf_topk(
+        emb, emb, n_cells=8, nprobe=3, k=10, train_iters=2, corpus_probes=2,
+        train_fraction=0.5,
+    ).collect():
+        aps[r.q_id].add(r.neighbor_id)
+    recalls_s = [len(ex[q] & aps[q]) / len(ex[q]) for q in ex]
+    recall_s = sum(recalls_s) / len(recalls_s)
+    print(f"IVF-Flat recall@10 sampled-train(0.5): {recall_s:.4f}")
+    assert recall_s >= 0.7, f"sampled-train recall@10 {recall_s:.4f} below 0.7 floor"
+
 
 def test_hll_uv_within_tolerance(spark):
     """approx_count_distinct (HLL++, the bloom-filter replacement) must
