@@ -1420,6 +1420,69 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_duplicates(docs, pairs)
 
 
+def _neardup_stats_oracle() -> str:
+    lsh = _lsh_verified_oracle(0.5)
+    assert lsh.count("FROM documents") == 1
+    lsh_on_ok = lsh.replace("FROM documents", "FROM __ok")
+    stop_list = ", ".join("'" + w + "'" for w in STOPWORDS)
+    return f"""
+WITH RECURSIVE __sig0 AS (
+  SELECT doc_id, source, text,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) AS n_chars,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ({stop_list}))) AS n_stop
+  FROM documents),
+__ok AS (
+  SELECT doc_id, source, text FROM __sig0
+  WHERE n_words >= 5 AND n_words <= 1000
+        AND n_stop * 1.0 / n_words <= 0.5
+        AND (n_chars - (n_words - 1)) * 1.0 / n_words >= 2.0
+        AND (n_chars - (n_words - 1)) * 1.0 / n_words <= 12.0),
+__p AS ({lsh_on_ok}),
+__eg AS (SELECT doc_a AS s, doc_b AS d FROM __p
+         UNION SELECT doc_b, doc_a FROM __p),
+__r AS (SELECT s AS v, d AS w FROM __eg
+        UNION
+        SELECT r.v, e.d FROM __r r JOIN __eg e ON r.w = e.s),
+__lbl AS (SELECT v AS doc_id, least(v, min(w)) AS canonical_id FROM __r GROUP BY v)
+SELECT o.source, count(*) AS n_docs,
+       CAST(SUM(CASE WHEN coalesce(l.canonical_id, o.doc_id) = o.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical
+FROM __ok o LEFT JOIN __lbl l USING (doc_id)
+GROUP BY o.source
+"""
+
+
+@_q(
+    "corpus_neardup_stats",
+    _neardup_stats_oracle(),
+    "Extension (training-data, composed end-to-end NEAR-dup pipeline): map-side quality "
+    "filter -> MinHash+LSH candidates -> exact-Jaccard verify -> connected components -> "
+    "canonical-doc counts per source. The near-dup analog of training_corpus_stats's exact "
+    "pipeline: candidate generation is banded (never all-pairs), the quadratic verify "
+    "touches candidates only, and cluster canonicalization is label propagation on the "
+    "(tiny) dup graph with a broadcast join-back.",
+)
+def corpus_neardup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_ok
+
+    ok = load_table(spark, sf_dir, "documents").filter(quality_ok("text"))
+    pairs = lsh_verified_pairs(ok, k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5)
+    canon = canonicalize_duplicates(ok, pairs)
+    return (
+        ok.select("doc_id", "source")
+        .join(canon, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("canonical_id") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_canonical"),
+        )
+    )
+
+
 from ..operators.similarity import label_centroids  # noqa: E402
 
 
