@@ -151,6 +151,126 @@ def bucketed_neardup_pairs(
     )
 
 
+def rademacher_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane matrix from md5 parity.
+
+    Component (p, d) is +1 when the first hex digit of md5("p_d") is
+    0-7, else -1 — reproducible in any engine with md5 (the oracle
+    derives the identical matrix in SQL), no RNG state to ship."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0] in "01234567"
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def cosine_lsh_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via signed-random-projection
+    LSH — the data-independent scale path (``bucketed_neardup_pairs``
+    needs a precomputed coarse bucket; this needs nothing but the
+    vectors).  Returns (vec_a, vec_b, cos), vec_a < vec_b, cos ≥
+    *threshold* exact.
+
+    Construction (SRP-LSH, Charikar's sim-hash for angles): *n_planes*
+    deterministic ±1 hyperplanes (``rademacher_planes``); bit_p(v) =
+    [v·h_p ≥ 0].  P[bit equal] = 1 − θ/π, so banding *n_planes* bits
+    into *bands* bands of r = n_planes/bands rows gives candidate
+    probability 1 − (1 − (1−θ/π)^r)^bands — steep in cosine: ≈ 0.97
+    at cos 0.9, ≈ 0.23 for orthogonal pairs at the 32/8 default.
+    Candidates are then verified with EXACT cosine, so precision is 1
+    (every emitted pair truly clears *threshold*); banding only bounds
+    recall, measured in tests/test_scale_utilities.py.
+
+    Scale shape (the point): signatures are MAP-ONLY — the plane matrix
+    rides along as one broadcast-literal array-of-arrays and each vector
+    folds over it (projection sums go through DECIMAL so the sign bits
+    are summation-order independent → engine-identical).  The banded
+    self-join shuffles only (id, band_idx, band_key) rows — never the
+    vectors, never all-pairs — and the exact-cosine verify joins the
+    (candidate-count-sized) pair list back to the vectors on id.  This
+    is ``minhash_candidates`` + ``lsh_verified`` re-expressed for the
+    angular metric."""
+    if n_planes % bands:
+        raise ValueError(f"bands ({bands}) must divide n_planes ({n_planes})")
+    r = n_planes // bands
+    planes = rademacher_planes(n_planes, dim)
+    planes_lit = F.array(*[F.array(*[F.lit(s) for s in row]) for row in planes])
+    # decimal(20,12) keeps 12-dp scale through the fold (Spark widens
+    # a+b's precision, so cast back each step — exact: partial sums are
+    # << 10^8); the oracle's SUM(DECIMAL(28,12)) rounds terms to the
+    # same 12 dp, making the sign bits engine-identical
+    zero = F.lit(0).cast("decimal(20,12)")
+    bits = F.transform(
+        planes_lit,
+        lambda pl: (
+            F.aggregate(
+                F.zip_with(F.col("__v"), pl, lambda x, y: (x * y).cast("decimal(20,12)")),
+                zero,
+                lambda acc, x: (acc + x).cast("decimal(20,12)"),
+            )
+            >= 0
+        )
+        .cast("int")
+        .cast("string"),
+    )
+    sig = vectors.select(F.col(id_col), _as_double(vec_col).alias("__v")).select(
+        F.col(id_col),
+        *[
+            F.array_join(F.slice(bits, b * r + 1, r), "").alias(f"k{b}")
+            for b in range(bands)
+        ],
+    )
+    stack_args = ", ".join(f"{b}, k{b}" for b in range(bands))
+    long = sig.select(
+        F.col(id_col), F.expr(f"stack({bands}, {stack_args}) as (band_idx, band_key)")
+    )
+    a, b = long.alias("a"), long.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"), F.col(f"b.{id_col}").alias("vec_b")
+        )
+        .distinct()
+    )
+
+    def side(tag: str) -> DataFrame:
+        return vectors.select(
+            F.col(id_col).alias(f"vec_{tag}"), _as_double(vec_col).alias(f"v_{tag}")
+        ).withColumn(f"norm_{tag}", F.sqrt(dot(F.col(f"v_{tag}"), F.col(f"v_{tag}"))))
+
+    return (
+        cand.join(side("a"), "vec_a")
+        .join(side("b"), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                dot(F.col("v_a"), F.col("v_b")) / (F.col("norm_a") * F.col("norm_b")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def _scos(vec: str, norm: str, s) -> Column:
     """Cosine against one packed-codebook entry, rounded to 6 dp so the
     argmax comparisons are engine-stable."""

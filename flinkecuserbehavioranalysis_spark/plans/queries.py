@@ -645,7 +645,11 @@ from ..operators.dedup import (  # noqa: E402
     simhash,
 )
 from ..operators.multimodal import attach_binary, decode_meta  # noqa: E402
-from ..operators.similarity import brute_force_topk, bucketed_neardup_pairs  # noqa: E402
+from ..operators.similarity import (  # noqa: E402
+    brute_force_topk,
+    bucketed_neardup_pairs,
+    cosine_lsh_pairs,
+)
 from ..operators.text import (  # noqa: E402
     BPE_TOKEN_PATTERN,
     LANG_ID_CASE,
@@ -819,6 +823,45 @@ def ann_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.35, max_bucket=32
     )
+
+
+@_q(
+    "ann_cosine_lsh_neardup",
+    f"""
+WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+__pl AS (
+  SELECT p, d,
+         CASE WHEN substring(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END AS s
+  FROM range(32) tp(p) CROSS JOIN range(64) td(d)
+),
+__proj AS (
+  SELECT e.vec_id, pl.p,
+         SUM(CAST(pl.s * e.v[pl.d + 1] AS DECIMAL(28,12))) >= 0 AS bit
+  FROM __e e CROSS JOIN __pl pl GROUP BY 1, 2
+),
+__sig AS (
+  SELECT vec_id, p // 4 AS band_idx,
+         STRING_AGG(CAST(CAST(bit AS INT) AS VARCHAR), '' ORDER BY p) AS band_key
+  FROM __proj GROUP BY 1, 2
+),
+__cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM __sig a JOIN __sig b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, {_COS_SQL.format(a='ea.v', b='eb.v')} AS cos
+FROM __cand c JOIN __e ea ON ea.vec_id = c.vec_a JOIN __e eb ON eb.vec_id = c.vec_b
+WHERE {_COS_SQL.format(a='ea.v', b='eb.v')} >= 0.4
+""",
+    "Extension: embedding-cosine near-dup pairs via signed-random-projection LSH — "
+    "32 deterministic md5-parity ±1 hyperplanes, 8 bands × 4 bits, banded id-only "
+    "candidate join, exact-cosine verification ≥ 0.4.  Data-independent scale path "
+    "(no precomputed bucket column needed); recall floor asserted on planted "
+    "near-dups in tests/test_scale_utilities.py.",
+)
+def ann_cosine_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_lsh_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 @_q(

@@ -554,3 +554,54 @@ def test_canonicalize_duplicates_empty_pairs(spark):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     got = {r.doc_id: r.canonical_id for r in canonicalize_duplicates(docs, pairs).collect()}
     assert got == {i: i for i in range(5)}
+
+
+def test_cosine_lsh_recall_on_planted_neardups(spark):
+    """SRP-LSH is a near-dup detector: its guarantee is high recall at
+    HIGH cosine (P[candidate] ≈ 1-(1-(1-θ/π)^r)^b → 0.97 at cos 0.9 for
+    r=4, b=8).  The sf0.01 corpus has no true near-dups (max pairwise
+    cosine 0.51), so recall is measured on planted ones: 40 base vectors
+    + a small-angle perturbation of each (cos ≥ 0.95).  Asserts (a)
+    recall ≥ 0.9 on the planted pairs, (b) precision 1 by construction —
+    every emitted pair's cosine clears the threshold when recomputed
+    naively."""
+    import math
+    import random
+
+    import numpy as np
+
+    from flinkecuserbehavioranalysis_spark.operators.similarity import cosine_lsh_pairs
+
+    rng = random.Random(7)
+    dim, n_base = 64, 40
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_base)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # perturb by ~18 degrees worth of noise: cos >= ~0.95
+        pert = [x + rng.gauss(0, 0.18) * abs(x) for x in v]
+        rows.append((i + n_base, [float(x) for x in pert]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in cosine_lsh_pairs(df, threshold=0.9).collect()
+    }
+
+    V = np.array([r[1] for r in sorted(rows)], dtype=np.float64)  # index == vec_id
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = Vn @ Vn.T
+    planted = {
+        (i, i + n_base)
+        for i in range(n_base)
+        if C[i, i + n_base] >= 0.9
+    }
+    assert len(planted) >= 30  # the perturbation really plants near-dups
+    found = planted & set(got)
+    recall = len(found) / len(planted)
+    print(f"cosine-LSH planted-near-dup recall@0.9: {recall:.4f} "
+          f"({len(found)}/{len(planted)})")
+    assert recall >= 0.9
+    for (a, b), cos in got.items():
+        naive = C[a, b]
+        assert math.isclose(cos, round(naive, 6), abs_tol=2e-6)
+        assert cos >= 0.9
