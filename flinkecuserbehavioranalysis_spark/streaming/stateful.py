@@ -630,3 +630,106 @@ def streaming_pattern_pairs(
             fn, PATTERN_PAIR_SCHEMA, _PATTERN_STATE, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+_SEQUENCE_STATE = StructType([StructField("chains", StringType())])
+
+
+def streaming_pattern_sequence(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    steps: list,
+    within_seconds: float,
+    contiguity: str = "relaxed",
+    tiebreak_col: str | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of ``operators.patterns.pattern_sequence`` — the
+    N-step CEP chain as a keyed NFA over ``applyInPandasWithState``.
+
+    State per key: the active partial chains (each a ts-list at step
+    k < N).  Per event, in (ts, tiebreak) order:
+
+    1. PRUNE doomed chains (ts − t1 ≥ within: any completion is later
+       still) — state stays bounded by the key's step-1 arrival rate ×
+       the within window, also for keys that never complete.
+    2. Advance: a chain waiting at step k advances when the event
+       matches step k+1 (relaxed), or advances-or-dies on it (strict —
+       at most N−1 strict chains can ever be live, one per step).
+       A chain advances at most one step per event ("strictly later").
+    3. A chain reaching step N emits (within already guaranteed by 1).
+    4. An event matching step 1 starts a new chain.
+
+    Greedy first-match advancement equals the batch operator's
+    lexicographically-earliest chain ONLY under uniform contiguity
+    (relaxed continuations are monotone: if any later completion
+    exists, the earliest matching event also completes; strict chains
+    have no choice at all).  Mixed per-gap policies would need
+    lookahead a streaming NFA cannot commit to greedily, so they are
+    rejected — use the batch operator for those.  Output: (key,
+    step1_ts … stepN_ts) epoch-second longs, identical to the batch
+    operator on a bounded ordered replay
+    (tests/test_streaming.py::test_streaming_pattern_sequence_matches_batch).
+    """
+    n = len(steps)
+    if n < 2:
+        raise ValueError(f"streaming_pattern_sequence needs >= 2 steps, got {n}")
+    if contiguity not in ("strict", "relaxed"):
+        raise ValueError(
+            "streaming twin supports uniform 'strict' or 'relaxed' contiguity only, "
+            f"got {contiguity!r} (mixed per-gap policies need the batch operator)"
+        )
+    tagged = events
+    for i, pred in enumerate(steps):
+        tagged = tagged.withColumn(f"__m{i}", pred.cast("int"))
+    out_schema = StructType(
+        [StructField("key", LongType())]
+        + [StructField(f"step{i + 1}_ts", LongType()) for i in range(n)]
+    )
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    strict = contiguity == "strict"
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        (chains_s,) = state.get if state.exists else ("",)
+        chains = [
+            [float(x) for x in c.split(",")] for c in chains_s.split(";") if c
+        ]
+        out: list[tuple[int, ...]] = []
+        for pdf in pdfs:
+            cols = [c for c in sort_cols if c in pdf.columns]
+            pdf = pdf.sort_values(cols)
+            tss = _epoch_s(pdf[ts_col])
+            m = [pdf[f"__m{i}"].to_numpy().astype(bool) for i in range(n)]
+            for i in range(len(tss)):
+                ts = float(tss[i])
+                nxt: list[list[float]] = []
+                for c in chains:
+                    if ts - c[0] >= within_seconds:
+                        continue  # doomed: prune on every event
+                    if m[len(c)][i]:
+                        c2 = c + [ts]
+                        if len(c2) == n:
+                            out.append((int(k), *(int(t) for t in c2)))
+                        else:
+                            nxt.append(c2)
+                    elif not strict:
+                        nxt.append(c)
+                chains = nxt
+                if m[0][i]:
+                    chains.append([ts])
+        state.update((";".join(",".join(repr(t) for t in c) for c in chains),))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["key"] + [f"step{j + 1}_ts" for j in range(n)]
+            )
+
+    return (
+        tagged.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, _SEQUENCE_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )

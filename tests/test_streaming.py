@@ -593,3 +593,54 @@ def test_streaming_pattern_pairs_matches_batch(spark):
         )
         assert got == batch, contiguity
         assert len(got) > 0, contiguity
+
+
+def test_streaming_pattern_sequence_matches_batch(spark):
+    """The N-step streaming CEP twin must reproduce the batch
+    pattern_sequence on a time-ordered replay: the 3-step relaxed
+    view→click→purchase funnel (the registered pattern_funnel_3step
+    parameterization) and a 3-step strict consecutive-views chain."""
+    from flinkecuserbehavioranalysis_spark.operators.patterns import pattern_sequence
+    from flinkecuserbehavioranalysis_spark.streaming.stateful import (
+        streaming_pattern_sequence,
+    )
+
+    stream = read_events_stream(spark, SF_DIR).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    batch_df = load_table(spark, SF_DIR, "events")
+    cases = [
+        (
+            [
+                F.col("event_type") == "view",
+                F.col("event_type") == "click",
+                F.col("event_type") == "purchase",
+            ],
+            86400.0,
+            "relaxed",
+        ),
+        (
+            [
+                F.col("event_type") == "view",
+                F.col("event_type") == "click",
+                F.col("event_type") == "click",
+            ],
+            86400.0,
+            "strict",
+        ),
+    ]
+    for steps, within, contiguity in cases:
+        kw = dict(
+            key_col="user_id",
+            ts_col="ts",
+            steps=steps,
+            within_seconds=within,
+            contiguity=contiguity,
+            tiebreak_col="event_id",
+        )
+        got = sorted(
+            tuple(r) for r in run_bounded(streaming_pattern_sequence(stream, **kw))
+        )
+        batch = sorted(tuple(r) for r in pattern_sequence(batch_df, **kw).collect())
+        assert got == batch, contiguity
+        assert len(got) > 0, contiguity
