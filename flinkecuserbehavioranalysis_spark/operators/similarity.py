@@ -514,3 +514,38 @@ def label_centroids(
         ).alias("centroid_val"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
+
+
+def quantize_embeddings(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/bandwidth
+    step of an embedding pipeline (4× smaller than float32, unchanged
+    top-k order for dot-product search when both sides share the scale).
+
+    scale = max|v| / 127; q_i = round(v_i / scale) ∈ [-127, 127].
+    MAP-ONLY: two higher-order folds per row, no shuffle, no Python.
+    The division uses the UNROUNDED scale (IEEE division is
+    engine-deterministic; rounding the scale first would compound two
+    rounding boundaries), and round() is half-away-from-zero in both
+    Spark and DuckDB, so the quantized array is oracle-exact.  An
+    all-zero vector keeps scale 0 and quantizes to zeros (guarded
+    division).  Returns (id, scale rounded 9dp for display, q
+    array<int>)."""
+    v = _as_double(vec_col)
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (maxabs / F.lit(127.0)).alias("__scale")
+    return vectors.select(F.col(id_col), v.alias("__v"), scale).select(
+        F.col(id_col),
+        F.round(F.col("__scale"), 9).alias("scale"),
+        F.when(
+            F.col("__scale") > 0,
+            F.transform(
+                F.col("__v"), lambda x: F.round(x / F.col("__scale")).cast("int")
+            ),
+        )
+        .otherwise(F.transform(F.col("__v"), lambda x: F.lit(0)))
+        .alias("q"),
+    )

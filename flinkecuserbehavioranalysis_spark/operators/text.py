@@ -273,3 +273,70 @@ def bm25_topk(
         sum((F.col(f"_s{i}") for i in range(1, len(terms))), F.col("_s0")).alias("score"),
     )
     return total.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def build_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_size: int = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Vocabulary construction: global token counts → contiguous ids —
+    the tokenizer-training front half of an LLM data pipeline.
+
+    Whitespace tokens (empties filtered — leading/trailing/double spaces
+    add no phantom tokens), counted corpus-wide, ranked by (count desc,
+    token asc) for a deterministic id assignment, truncated to
+    *max_size*.  Scale shape: one partial/final count shuffle over
+    distinct tokens (vocab-sized, not corpus-sized, after the map-side
+    combine), then a TakeOrderedAndProject for the cut and a final
+    row_number over the ≤ *max_size* survivors — the only
+    single-partition stage is bounded by the vocab size, never the
+    corpus.  Returns (token, cnt, vocab_id 1-based)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda w: w != "")).alias(
+            "token"
+        )
+    )
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(max_size)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return counts.withColumn("vocab_id", F.row_number().over(w).cast("long"))
+
+
+def top_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 100,
+) -> DataFrame:
+    """Top-*k* word n-grams corpus-wide — LM-style co-occurrence counts.
+
+    N-gram assembly is MAP-ONLY Catalyst (filtered whitespace split →
+    transform over a position sequence → slice+join), the count shuffles
+    once on the gram (map-side combined), and the cut is a
+    TakeOrderedAndProject.  Docs shorter than *n* words contribute
+    nothing (guarded — F.sequence would otherwise count DOWN for a
+    negative span).  Returns (gram, cnt) ranked desc, gram-tiebroken."""
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    grams = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram").asc())
+        .limit(k)
+    )

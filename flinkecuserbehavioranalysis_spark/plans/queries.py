@@ -654,10 +654,12 @@ from ..operators.text import (  # noqa: E402
     BPE_TOKEN_PATTERN,
     LANG_ID_CASE,
     STOPWORDS,
+    build_vocab,
     fingerprint,
     lang_id,
     quality_score,
     token_stats,
+    top_ngrams,
 )
 
 _BUCKET_SQL = (
@@ -1986,6 +1988,86 @@ def text_hot_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
     return heavy_hitters(toks, "tok", phi=0.02)
+
+
+@_q(
+    "text_vocab",
+    """
+WITH __tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+),
+__c AS (
+  SELECT token, count(*) AS cnt FROM __tok GROUP BY token
+  ORDER BY cnt DESC, token LIMIT 1000
+)
+SELECT token, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS vocab_id
+FROM __c
+""",
+    "Extension: vocabulary construction (tokenizer-training front half) — corpus-wide "
+    "whitespace-token counts, deterministic (cnt desc, token) rank → contiguous 1-based "
+    "vocab ids, truncated to 1000; the only single-partition stage is vocab-sized.",
+)
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_vocab(load_table(spark, sf_dir, "documents"), max_size=1000)
+
+
+@_q(
+    "text_top_bigrams",
+    """
+WITH __w AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents
+)
+SELECT ws[i] || ' ' || ws[i + 1] AS gram, count(*) AS cnt
+FROM __w, unnest(range(1, len(ws))) AS t(i)
+GROUP BY 1 ORDER BY cnt DESC, gram LIMIT 100
+""",
+    "Extension: top-100 word bigrams corpus-wide (LM-style co-occurrence counts) — "
+    "map-only n-gram assembly via transform over a position sequence, one map-side-"
+    "combined count shuffle, TakeOrderedAndProject cut.",
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_ngrams(load_table(spark, sf_dir, "documents"), n=2, k=100)
+
+
+@_q(
+    "embedding_quantize_stats",
+    """
+WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+__s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM __e
+),
+__q AS (
+  SELECT vec_id, round(sc, 9) AS scale,
+         CASE WHEN sc > 0 THEN list_transform(v, x -> CAST(round(x / sc) AS INT))
+              ELSE list_transform(v, x -> 0) END AS q
+  FROM __s
+)
+SELECT vec_id, scale,
+       q[1] AS q0, q[2] AS q1, q[3] AS q2, q[4] AS q3,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       CAST(list_min(q) AS INT) AS q_min,
+       CAST(list_max(q) AS INT) AS q_max
+FROM __q
+""",
+    "Extension: symmetric per-vector int8 quantization (scale = max|v|/127, q = "
+    "round(v/scale)) — map-only, no Python; emitted as head components + summary "
+    "stats (driver-safe scalars; full-array equality in tests).",
+)
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_embeddings
+
+    q = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    qsum = F.aggregate(F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x)
+    return q.select(
+        "vec_id",
+        "scale",
+        *[F.col("q")[i].alias(f"q{i}") for i in range(4)],
+        qsum.alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+    )
 
 
 @_q(

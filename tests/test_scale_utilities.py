@@ -605,3 +605,30 @@ def test_cosine_lsh_recall_on_planted_neardups(spark):
         naive = C[a, b]
         assert math.isclose(cos, round(naive, 6), abs_tol=2e-6)
         assert cos >= 0.9
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    """int8 quantization invariants on the real embeddings: q matches the
+    numpy reference exactly, every component is within [-127, 127], and
+    dequantization (q * scale) reconstructs each component to within
+    scale/2 (the symmetric-quantizer error bound)."""
+    import numpy as np
+
+    from flinkecuserbehavioranalysis_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    rows = {r.vec_id: (r.scale, r.q) for r in quantize_embeddings(emb).collect()}
+    src = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    assert rows.keys() == src.keys()
+    for vid, v in src.items():
+        scale_out, q = rows[vid]
+        q = np.array(q)
+        sc = np.abs(v).max() / 127.0
+        assert abs(scale_out - round(sc, 9)) < 1e-12
+        # np.round is half-even; the operator is half-away — compare via floor(x+0.5*sign)
+        ref = np.sign(v / sc) * np.floor(np.abs(v / sc) + 0.5)
+        assert (q == ref.astype(int)).all()
+        assert q.max() <= 127 and q.min() >= -127
+        assert (np.abs(v - q * sc) <= sc / 2 + 1e-12).all()
