@@ -343,3 +343,55 @@ def lsh_verified_pairs(
         )
     )
     return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing word
+    *n*-gram shingles with a held-out *benchmark* set — the overlap
+    check every serious training-data pipeline runs so eval questions
+    don't leak into the training split.
+
+    Returns (id, n_overlap, n_grams, overlap_share) for documents with
+    at least *min_overlap* DISTINCT shared shingles, where ``n_grams``
+    is the document's own distinct-shingle count and ``overlap_share``
+    the contaminated fraction — thresholdable downstream (drop, or
+    re-route to the eval split).
+
+    Scale shape: the benchmark shingle set is distinct-reduced and
+    BROADCAST (benchmarks are MBs against a 100 TB corpus); corpus
+    shingling is map-side (per-row ``array_distinct`` keeps the explode
+    duplicate-free without a (doc, shingle) shuffle), so the only
+    shuffle is the per-doc overlap count — group count bounded by the
+    contaminated-doc count.  If the benchmark ever outgrows broadcast
+    range, swap the broadcast join for a bloom-filter pre-filter plus a
+    shuffle semi-join; the rest of the plan is unchanged."""
+    arr = F.array_distinct(F.expr(_shingle_expr(text_col, n)))
+    bench = (
+        benchmark.select(F.explode(F.array_distinct(F.expr(_shingle_expr(text_col, n)))).alias("sh"))
+        .distinct()
+    )
+    base = corpus.select(
+        F.col(id_col), F.size(arr).cast("long").alias("__n_grams"), F.explode(arr).alias("sh")
+    )
+    hits = (
+        base.join(F.broadcast(bench), "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.max("__n_grams").alias("n_grams"),
+        )
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+    return hits.select(
+        F.col(id_col),
+        "n_overlap",
+        "n_grams",
+        F.round(F.col("n_overlap") / F.col("n_grams"), 6).alias("overlap_share"),
+    )

@@ -44,3 +44,36 @@ def sessionize(
         )
         .select(key_col, "session_id", "session_start", "session_end", "n_events")
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Retention triangle: users grouped by first-seen day (cohort),
+    activity counted per (cohort_day, day_offset) — the standard
+    user-behavior analysis downstream of every event pipeline.
+
+    Returns (cohort_day, day_offset, n_users) where ``n_users`` is the
+    number of the cohort's users active ``day_offset`` days after their
+    first day (offset 0 = cohort size).
+
+    Scale shape: both the first-seen min and the per-(user, day)
+    distinct shuffle on the USER key, so AQE can reuse the exchange;
+    the join is user-keyed co-partitioned (never broadcast — at 100 TB
+    the user dimension is itself huge), and the final (cohort, offset)
+    aggregation groups to a triangle bounded by days², independent of
+    event volume.  Per-user state is O(1); skew equals the busiest
+    single user's distinct days."""
+    day = F.col(ts_col).cast("date")
+    first = events.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
+    active = events.select(F.col(user_col), day.alias("day")).distinct()
+    return (
+        active.join(first, user_col)
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -275,6 +275,108 @@ def bm25_topk(
     return total.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals (Gopher-style quality filters):
+    the fraction-of-repeated-content family used to drop boilerplate and
+    degenerate generations from a training corpus.
+
+    Emits per doc:
+
+    - ``n_tokens`` — whitespace tokens (empties filtered);
+    - ``distinct_token_ratio`` — |distinct| / n (low → repetitive);
+    - ``top_token_share`` — share of the single most frequent token,
+      computed MAP-ONLY as the longest run in the sorted token array
+      (one O(n log n) ``sort_array`` + one linear fold — never the
+      O(distinct x n) per-token recount, and no (doc, token) shuffle);
+    - ``adjacent_repeat_ratio`` — immediately-repeated tokens / (n-1);
+    - ``dup_bigram_ratio`` — 1 - |distinct bigrams| / |bigrams|.
+
+    Everything is a per-row Catalyst expression: zero shuffles, zero
+    Python, whole-stage codegen at scan speed — the right shape for a
+    first-pass corpus filter at 100 TB."""
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    n = F.size(ws)
+    # longest run in the sorted array == count of the most frequent token
+    run_init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def run_step(acc, x):
+        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc.best, run).alias("best")
+        )
+
+    top_cnt = F.aggregate(F.sort_array(ws), run_init, run_step).best
+    idx = F.sequence(F.lit(1), n - F.lit(1))
+    adj = F.size(F.filter(idx, lambda i: F.element_at(ws, i) == F.element_at(ws, i + 1)))
+    bigrams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1))
+    )
+    n_big = F.size(bigrams)
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.when(n > 0, F.round(F.size(F.array_distinct(ws)) / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("distinct_token_ratio"),
+        F.when(n > 0, F.round(top_cnt / n, 6)).otherwise(F.lit(0.0)).alias("top_token_share"),
+        F.when(n >= 2, F.round(adj / (n - F.lit(1)), 6))
+        .otherwise(F.lit(0.0))
+        .alias("adjacent_repeat_ratio"),
+        F.when(n >= 2, F.round(F.lit(1.0) - F.size(F.array_distinct(bigrams)) / n_big, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_ratio"),
+    )
+
+
+#: PII-ish detector patterns — plain alternation-free regexes that parse
+#: identically under Java regex (Spark) and RE2 (DuckDB).  Ordered: the
+#: redaction applies them in this sequence, so an email is masked before
+#: the digit-run pattern can match its numeric fragments.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("url", "https?://[^ ]+"),
+    ("digit_run", "[0-9]{2,}"),
+)
+
+
+def pii_scan(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+    mask: str = "<PII>",
+) -> DataFrame:
+    """PII detection + redaction over a text column — the scrubbing pass
+    a training-data pipeline runs before anything else sees the text.
+
+    Per pattern family (email / URL / long digit run by default) emits a
+    match count ``n_<name>``, plus the fully redacted text (every match
+    replaced by *mask*, applied in declaration order so broader patterns
+    mask before their fragments can re-match) and its length.  MAP-ONLY
+    Catalyst regex — no shuffle, no
+    Python; at 100 TB this runs at scan speed and composes into the
+    corpus pipelines as a projection, exactly like ``quality_ok``."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in patterns
+    ]
+    redacted = F.col(text_col)
+    for _, pat in patterns:
+        redacted = F.regexp_replace(redacted, pat, mask)
+    return df.select(
+        F.col(id_col),
+        *counts,
+        redacted.alias("redacted"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
 def build_vocab(
     docs: DataFrame,
     text_col: str = "text",

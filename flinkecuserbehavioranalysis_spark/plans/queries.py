@@ -2219,3 +2219,132 @@ FROM documents d LEFT JOIN __best b ON d.doc_id = b.doc_id
 )
 def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id_ngram(load_table(spark, sf_dir, "documents"), profile_fraction=0.5)
+
+
+# =====================================================================
+# Round 3 extensions — repetition quality, PII scrub, decontamination,
+# retention cohorts, k-means cluster stats
+# =====================================================================
+
+from ..operators.text import pii_scan, repetition_stats  # noqa: E402
+
+
+@_q(
+    "text_repetition_stats",
+    """
+WITH __w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents
+),
+__s AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         CASE WHEN len(ws) >= 2
+              THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+              ELSE CAST([] AS VARCHAR[]) END AS bg
+  FROM __w
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CASE WHEN n > 0 THEN round(CAST(len(list_distinct(ws)) AS DOUBLE) / n, 6)
+            ELSE 0.0 END AS distinct_token_ratio,
+       CASE WHEN n > 0 THEN round(CAST(list_max(list_transform(list_distinct(ws),
+                 t -> len(list_filter(ws, x -> x = t)))) AS DOUBLE) / n, 6)
+            ELSE 0.0 END AS top_token_share,
+       CASE WHEN n >= 2 THEN round(CAST(len(list_filter(range(1, n),
+                 i -> ws[i] = ws[i + 1])) AS DOUBLE) / (n - 1), 6)
+            ELSE 0.0 END AS adjacent_repeat_ratio,
+       CASE WHEN n >= 2 THEN round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+            ELSE 0.0 END AS dup_bigram_ratio
+FROM __s
+""",
+    "Extension (Gopher-style repetition quality): per-doc distinct-token ratio, top-token "
+    "share (longest sorted run — map-only, no per-token recount), adjacent-repeat ratio "
+    "and duplicate-bigram ratio; pure Catalyst projections, zero shuffle.",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "events_pii_scan",
+    """
+SELECT event_id,
+       CAST(len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(props, 'https?://[^ ]+')) AS BIGINT) AS n_url,
+       CAST(len(regexp_extract_all(props, '[0-9]{2,}')) AS BIGINT) AS n_digit_run,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<PII>', 'g'),
+           'https?://[^ ]+', '<PII>', 'g'),
+         '[0-9]{2,}', '<PII>', 'g') AS redacted,
+       CAST(len(regexp_replace(
+         regexp_replace(
+           regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<PII>', 'g'),
+           'https?://[^ ]+', '<PII>', 'g'),
+         '[0-9]{2,}', '<PII>', 'g')) AS BIGINT) AS redacted_len
+FROM events
+""",
+    "Extension (PII scrub): detection counts + mask redaction for email / URL / long "
+    "digit-run patterns over the event props payload — map-only Catalyst regex (the "
+    "pre-training scrubbing pass); pattern hits on real PII shapes are fixture-tested.",
+)
+def events_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return pii_scan(ev, "event_id", "props")
+
+
+from ..operators.dedup import ngram_contamination  # noqa: E402
+
+
+@_q(
+    "corpus_decontaminate",
+    f"""
+WITH __d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                    {_BUCKET_SQL.format(k='doc_id')} AS b
+             FROM documents),
+__sh AS (SELECT DISTINCT doc_id, b,
+           unnest(list_transform(range(1, len(ws) - 1),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+         FROM __d WHERE len(ws) >= 3),
+__bench AS (SELECT DISTINCT sh FROM __sh WHERE b < 500),
+__tot AS (SELECT doc_id, count(*) AS n_grams FROM __sh WHERE b >= 500 GROUP BY doc_id),
+__hit AS (SELECT s.doc_id, count(*) AS n_overlap
+          FROM __sh s JOIN __bench USING (sh) WHERE s.b >= 500 GROUP BY s.doc_id)
+SELECT h.doc_id, h.n_overlap, t.n_grams,
+       round(CAST(h.n_overlap AS DOUBLE) / t.n_grams, 6) AS overlap_share
+FROM __hit h JOIN __tot t USING (doc_id)
+WHERE h.n_overlap >= 3
+""",
+    "Extension (decontamination): corpus docs sharing >=3 distinct word-trigram shingles "
+    "with a held-out 5% hash-sampled benchmark — broadcast benchmark shingle set, "
+    "map-side per-doc distinct shingling, one overlap-count shuffle (the eval-leakage "
+    "check before a training run).",
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    return ngram_contamination(
+        docs.filter(b >= 500), docs.filter(b < 500), n=3, min_overlap=3
+    )
+
+
+from ..operators.sessions import retention_cohorts  # noqa: E402
+
+
+@_q(
+    "user_retention_cohorts",
+    """
+WITH __first AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1),
+__act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT f.cohort_day, CAST(datediff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+       count(*) AS n_users
+FROM __act a JOIN __first f USING (user_id)
+GROUP BY 1, 2
+""",
+    "Extension (product analytics): classic retention triangle — each user's first-seen "
+    "day defines the cohort, activity counted per (cohort, day-offset); two user-keyed "
+    "shuffles reused back-to-back plus one final (cohort, offset) aggregation.",
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retention_cohorts(load_table(spark, sf_dir, "events"))

@@ -632,3 +632,121 @@ def test_quantize_embeddings_roundtrip(spark):
         assert (q == ref.astype(int)).all()
         assert q.max() <= 127 and q.min() >= -127
         assert (np.abs(v - q * sc) <= sc / 2 + 1e-12).all()
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-computed repetition signals, including the n<2 edge cases."""
+    from flinkecuserbehavioranalysis_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # top=3/4, adj=2/3, bigrams: [a a, a a, a b] -> dup 1/3
+            (2, "x y x y"),          # all distinct-adjacent; bigrams x y, y x, x y -> dup 1/3
+            (3, "solo"),             # n=1: ratios 0 except distinct=1
+            (4, "  spaced   out  "), # empties filtered -> 2 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    r1 = out[1]
+    assert r1.n_tokens == 4
+    assert r1.distinct_token_ratio == 0.5
+    assert r1.top_token_share == 0.75
+    assert r1.adjacent_repeat_ratio == round(2 / 3, 6)
+    assert r1.dup_bigram_ratio == round(1 - 2 / 3, 6)
+    r2 = out[2]
+    assert r2.top_token_share == 0.5 and r2.adjacent_repeat_ratio == 0.0
+    assert r2.dup_bigram_ratio == round(1 - 2 / 3, 6)
+    r3 = out[3]
+    assert r3.n_tokens == 1 and r3.distinct_token_ratio == 1.0
+    assert r3.top_token_share == 1.0
+    assert r3.adjacent_repeat_ratio == 0.0 and r3.dup_bigram_ratio == 0.0
+    r4 = out[4]
+    assert r4.n_tokens == 2 and r4.distinct_token_ratio == 1.0
+
+
+def test_pii_scan_detects_and_redacts(spark):
+    """Real PII shapes (the synthetic corpus has none): emails, URLs and
+    long digit runs are counted and masked; masking order prevents an
+    email's digits from double-counting as a digit run."""
+    from flinkecuserbehavioranalysis_spark.operators.text import pii_scan
+
+    rows = [
+        (1, "contact bob99@example.com or visit https://ex.org/x?id=42 now"),
+        (2, "call 5551234567 twice: 5551234567"),
+        (3, "clean text with no sensitive content"),
+        (4, "edge a@b.io 7 77"),
+    ]
+    df = spark.createDataFrame(rows, "id long, body string")
+    out = {r.id: r for r in pii_scan(df, "id", "body").collect()}
+    r1 = out[1]
+    assert (r1.n_email, r1.n_url) == (1, 1)
+    assert "bob99@example.com" not in r1.redacted and "https://" not in r1.redacted
+    assert r1.redacted == "contact <PII> or visit <PII> now"
+    r2 = out[2]
+    assert r2.n_digit_run == 2 and r2.redacted == "call <PII> twice: <PII>"
+    r3 = out[3]
+    assert (r3.n_email, r3.n_url, r3.n_digit_run) == (0, 0, 0)
+    assert r3.redacted_len == len(rows[2][1])
+    r4 = out[4]
+    # single digit '7' is not a run; '77' is; the email is masked first
+    assert r4.n_email == 1 and r4.n_digit_run == 1
+    assert r4.redacted == "edge <PII> 7 <PII>"
+
+
+def test_ngram_contamination_planted_overlap(spark):
+    """A corpus doc sharing a planted 3-gram window with a benchmark doc
+    is flagged with the exact distinct-overlap count; clean docs are not
+    emitted; min_overlap thresholds."""
+    from flinkecuserbehavioranalysis_spark.operators.dedup import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the 6 shingles of "quick brown fox jumps over the lazy dog"... compute exactly below
+            (1, "a quick brown fox jumps away"),
+            (2, "totally unrelated words here only"),
+            (3, "over the lazy dog sleeps"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_contamination(corpus, bench, min_overlap=1).collect()}
+    # doc 1 shingles: {a quick brown, quick brown fox, brown fox jumps, fox jumps away}
+    # shared: quick brown fox, brown fox jumps -> 2
+    assert out[1].n_overlap == 2 and out[1].n_grams == 4
+    assert out[1].overlap_share == 0.5
+    # doc 3: {over the lazy, the lazy dog, lazy dog sleeps} -> shared 2
+    assert out[3].n_overlap == 2 and out[3].n_grams == 3
+    assert 2 not in out
+    strict = ngram_contamination(corpus, bench, min_overlap=3).collect()
+    assert strict == []
+
+
+def test_retention_cohorts_triangle(spark):
+    """Hand-built two-cohort fixture: offsets anchor at each user's own
+    first day and offset 0 equals cohort size."""
+    import datetime as dt
+
+    from flinkecuserbehavioranalysis_spark.operators.sessions import retention_cohorts
+
+    d = lambda day, h=0: dt.datetime(2024, 1, day, h)  # noqa: E731
+    rows = [
+        (1, d(1)), (1, d(1, 5)), (1, d(2)), (1, d(4)),
+        (2, d(1)), (2, d(2)),
+        (3, d(2)), (3, d(4)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort_day.isoformat(), r.day_offset): r.n_users
+        for r in retention_cohorts(ev).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,  # users 1,2
+        ("2024-01-01", 1): 2,  # both active day 2
+        ("2024-01-01", 3): 1,  # user 1 on day 4
+        ("2024-01-02", 0): 1,  # user 3
+        ("2024-01-02", 2): 1,  # user 3 on day 4
+    }
