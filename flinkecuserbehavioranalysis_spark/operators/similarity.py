@@ -285,14 +285,14 @@ def _pack(seeds: DataFrame) -> DataFrame:
     )
 
 
-def _best_cell(vec: str, norm: str) -> Column:
-    """Map-side argmax over the packed codebook: fold keeping the
-    strictly-greater cosine, so the first (lowest seed_id) wins ties
-    — identical to ORDER BY cos DESC, seed_id."""
+def _best_cell_scored(vec: str, norm: str) -> Column:
+    """Map-side argmax over the packed codebook as a (c, id) struct:
+    fold keeping the strictly-greater cosine, so the first (lowest
+    seed_id) wins ties — identical to ORDER BY cos DESC, seed_id."""
     init = F.struct(
         F.lit(-2.0).cast("double").alias("c"), F.lit(-1).cast("bigint").alias("id")
     )
-    folded = F.aggregate(
+    return F.aggregate(
         F.col("cells"),
         init,
         lambda acc, s: F.when(
@@ -300,7 +300,10 @@ def _best_cell(vec: str, norm: str) -> Column:
             F.struct(_scos(vec, norm, s).alias("c"), s.seed_id.alias("id")),
         ).otherwise(acc),
     )
-    return folded.id
+
+
+def _best_cell(vec: str, norm: str) -> Column:
+    return _best_cell_scored(vec, norm).id
 
 
 def _top2_cells(vec: str, norm: str) -> Column:
@@ -337,6 +340,153 @@ def _top2_cells(vec: str, norm: str) -> Column:
     folded = F.aggregate(F.col("cells"), init, step)
     # a 1-cell codebook leaves slot 2 empty (id2 = -1): emit only slot 1
     return F.filter(F.array(folded.id1, folded.id2), lambda c: c >= 0)
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    train_iters: int = 2,
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """Distributed spherical k-means (Lloyd's): the coarse-quantizer
+    training loop shared by ``ivf_topk`` and ``kmeans_cluster_stats``.
+
+    Deterministic everywhere: seeds are the *n_cells* smallest-id
+    training vectors; assignment is the map-only packed-codebook cosine
+    fold (6 dp-rounded cosines, lowest seed id on ties); centroid
+    updates go through DECIMAL(28,12) sums rounded to 6 dp so the
+    trained codebook is summation-order independent — bit-identical in
+    any engine, which is what lets a SQL oracle replay the training
+    loop.  Empty cells drop out.
+
+    Cost per iteration: one map-only assignment pass (codebook rides as
+    a single broadcast array row, no per-vector shuffle) + one
+    (cell, dim)-grouped aggregation — n_cells x dim groups regardless
+    of corpus size.  *train_fraction* < 1 trains on a deterministic
+    ``hash_sample``: the 100 TB posture, since a quantizer needs a
+    representative sample, not the corpus.  Returns (seed_id, s_vec,
+    s_norm)."""
+    if train_fraction < 1.0:
+        from .sampling import hash_sample
+
+        train_vectors = hash_sample(vectors, id_col, train_fraction)
+    else:
+        train_vectors = vectors
+    vt = (
+        train_vectors.select(_as_double(vec_col).alias("v_vec"))
+        .withColumn("v_norm", F.sqrt(dot(F.col("v_vec"), F.col("v_vec"))))
+    )
+    seeds = (
+        train_vectors.orderBy(F.col(id_col))
+        .limit(n_cells)
+        .select(F.col(id_col).alias("seed_id"), _as_double(vec_col).alias("s_vec"))
+        .withColumn("s_norm", F.sqrt(dot(F.col("s_vec"), F.col("s_vec"))))
+    )
+    for _ in range(train_iters):
+        assigned_t = vt.crossJoin(F.broadcast(_pack(seeds))).select(
+            "v_vec", _best_cell("v_vec", "v_norm").alias("cell")
+        )
+        cent = (
+            assigned_t.select("cell", F.posexplode("v_vec").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("m")
+            )
+        )
+        seeds = (
+            cent.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+                ).alias("s_vec")
+            )
+            .select(F.col("cell").alias("seed_id"), "s_vec")
+            .withColumn("s_norm", F.sqrt(dot(F.col("s_vec"), F.col("s_vec"))))
+        )
+    return seeds
+
+
+def kmeans_cluster_stats(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = "label",
+    n_cells: int = 8,
+    train_iters: int = 2,
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """K-means as a first-class corpus operation (topic bucketing /
+    domain discovery over embeddings): train with ``kmeans_fit``, assign
+    every vector map-only, and emit per-cluster diagnostics:
+
+    - ``n_vecs`` — cluster size;
+    - ``avg_cos`` — mean cosine of members to their centroid (the
+      spherical-k-means inertia analog; per-member cosines are already
+      6 dp-rounded, summed through DECIMAL so the mean is
+      engine-exact);
+    - ``top_label`` / ``top_label_share`` — majority ground-truth label
+      and its share (cluster purity), when *label_col* is given.
+
+    The only post-assignment shuffles group on the cluster id (and
+    (cluster, label) for purity) — k-bounded group counts, never corpus-
+    bounded."""
+    seeds = kmeans_fit(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        train_iters=train_iters,
+        train_fraction=train_fraction,
+    )
+    label_cols = [F.col(label_col)] if label_col else []
+    v = vectors.select(
+        F.col(id_col), *label_cols, _as_double(vec_col).alias("v_vec")
+    ).withColumn("v_norm", F.sqrt(dot(F.col("v_vec"), F.col("v_vec"))))
+    best = _best_cell_scored("v_vec", "v_norm")
+    assigned = v.crossJoin(F.broadcast(_pack(seeds))).select(
+        F.col(id_col),
+        *label_cols,
+        best.id.alias("cluster_id"),
+        best.c.alias("cos"),
+    )
+    stats = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.col("cos").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("avg_cos"),
+    )
+    if not label_col:
+        return stats
+    from pyspark.sql import Window
+
+    lc = assigned.groupBy("cluster_id", label_col).agg(F.count(F.lit(1)).alias("__n"))
+    wl = Window.partitionBy("cluster_id").orderBy(
+        F.col("__n").desc(), F.col(label_col).asc()
+    )
+    top = (
+        lc.withColumn("__r", F.row_number().over(wl))
+        .filter(F.col("__r") == 1)
+        .select(
+            "cluster_id", F.col(label_col).alias("top_label"), F.col("__n").alias("__top_n")
+        )
+    )
+    return (
+        stats.join(top, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_vecs",
+            "avg_cos",
+            "top_label",
+            F.round(F.col("__top_n") / F.col("n_vecs"), 6).alias("top_label_share"),
+        )
+    )
 
 
 def ivf_topk(
@@ -398,47 +548,14 @@ def ivf_topk(
         .withColumn("q_norm", F.sqrt(dot(F.col("q_vec"), F.col("q_vec"))))
     )
 
-    if train_fraction < 1.0:
-        from .sampling import hash_sample
-
-        train_vectors = hash_sample(vectors, id_col, train_fraction)
-    else:
-        train_vectors = vectors
-    vt = (
-        train_vectors.select(_as_double(vec_col).alias("v_vec"))
-        .withColumn("v_norm", F.sqrt(dot(F.col("v_vec"), F.col("v_vec"))))
+    seeds = kmeans_fit(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        train_iters=train_iters,
+        train_fraction=train_fraction,
     )
-    seeds = (
-        train_vectors.orderBy(F.col(id_col))
-        .limit(n_cells)
-        .select(F.col(id_col).alias("seed_id"), _as_double(vec_col).alias("s_vec"))
-        .withColumn("s_norm", F.sqrt(dot(F.col("s_vec"), F.col("s_vec"))))
-    )
-    for _ in range(train_iters):
-        assigned_t = vt.crossJoin(F.broadcast(_pack(seeds))).select(
-            "v_vec", _best_cell("v_vec", "v_norm").alias("cell")
-        )
-        cent = (
-            assigned_t.select("cell", F.posexplode("v_vec").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(
-                F.round(
-                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
-                    / F.count(F.lit(1)),
-                    6,
-                ).alias("m")
-            )
-        )
-        seeds = (
-            cent.groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
-                ).alias("s_vec")
-            )
-            .select(F.col("cell").alias("seed_id"), "s_vec")
-            .withColumn("s_norm", F.sqrt(dot(F.col("s_vec"), F.col("s_vec"))))
-        )
     packed = _pack(seeds)
 
     cell_expr = (

@@ -1243,20 +1243,14 @@ def event_last_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle(
-    n_cells: int = 8,
-    nprobe: int = 3,
-    k: int = 10,
-    train_iters: int = 2,
-    corpus_probes: int = 2,
-    train_buckets: int | None = None,
-) -> str:
-    """DuckDB twin of ``ivf_topk`` incl. the Lloyd training loop: one
-    CTE pair per iteration (argmax assignment via row_number, centroid
-    means over zipped unnest with DECIMAL(28,12) sums rounded to 6 dp —
-    the same summation-order-independent arithmetic the Spark side
-    uses, so the trained codebooks are bit-identical).  *train_buckets*
-    mirrors ``train_fraction`` (md5 bucket < train_buckets of 10000)."""
+def _kmeans_train_ctes(
+    n_cells: int, train_iters: int, train_buckets: int | None
+) -> tuple[str, str]:
+    """Shared DuckDB CTE prefix replaying ``kmeans_fit`` exactly: seed
+    selection, then one (assignment, centroid-mean) CTE pair per Lloyd
+    iteration — 6 dp-rounded cosines for the argmax, DECIMAL(28,12)
+    sums rounded to 6 dp for the means, so the trained codebook is
+    bit-identical to Spark's.  Returns (sql_prefix, final_seed_cte)."""
     cos = _COS_SQL
     train_where = (
         f"WHERE {_BUCKET_SQL.format(k='vec_id')} < {train_buckets}"
@@ -1282,6 +1276,26 @@ __c{i} AS (SELECT seed_id AS cell, pos,
 __s{i + 1} AS (SELECT cell AS seed_id, list(m ORDER BY pos) AS sv FROM __c{i} GROUP BY cell),
 """
         cur = f"__s{i + 1}"
+    return sql, cur
+
+
+def _ivf_oracle(
+    n_cells: int = 8,
+    nprobe: int = 3,
+    k: int = 10,
+    train_iters: int = 2,
+    corpus_probes: int = 2,
+    train_buckets: int | None = None,
+) -> str:
+    """DuckDB twin of ``ivf_topk`` incl. the Lloyd training loop: one
+    CTE pair per iteration (argmax assignment via row_number, centroid
+    means over zipped unnest with DECIMAL(28,12) sums rounded to 6 dp —
+    the same summation-order-independent arithmetic the Spark side
+    uses, so the trained codebooks are bit-identical).  *train_buckets*
+    mirrors ``train_fraction`` (md5 bucket < train_buckets of 10000)."""
+    cos = _COS_SQL
+    prefix, cur = _kmeans_train_ctes(n_cells, train_iters, train_buckets)
+    sql = prefix
     sql += f"""__as AS (SELECT e.vec_id, e.v, s.seed_id, {cos.format(a='e.v', b='s.sv')} AS s_cos
          FROM __e e CROSS JOIN {cur} s),
 __ar AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s_cos DESC, seed_id) AS r
@@ -2348,3 +2362,50 @@ GROUP BY 1, 2
 )
 def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+from ..operators.similarity import kmeans_cluster_stats  # noqa: E402
+
+
+def _kmeans_stats_oracle(n_cells: int, train_iters: int, train_buckets: int | None) -> str:
+    """DuckDB twin of ``kmeans_cluster_stats``: the shared Lloyd-training
+    CTE prefix, then full-corpus assignment and per-cluster size /
+    mean-cosine / majority-label aggregation."""
+    cos = _COS_SQL
+    prefix, cur = _kmeans_train_ctes(n_cells, train_iters, train_buckets)
+    return (
+        prefix
+        + f"""__asg AS (SELECT e.vec_id, s.seed_id, {cos.format(a='e.v', b='s.sv')} AS c,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos.format(a='e.v', b='s.sv')} DESC, s.seed_id) AS r
+           FROM __e e CROSS JOIN {cur} s),
+__fin AS (SELECT a.vec_id, a.seed_id AS cluster_id, a.c, em.label
+         FROM __asg a JOIN embeddings em USING (vec_id) WHERE a.r = 1),
+__st AS (SELECT cluster_id, count(*) AS n_vecs,
+                round(CAST(sum(CAST(c AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_cos
+         FROM __fin GROUP BY 1),
+__lc AS (SELECT cluster_id, label, count(*) AS n FROM __fin GROUP BY 1, 2),
+__top AS (SELECT cluster_id, label AS top_label, n
+          FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                             ORDER BY n DESC, label) AS r FROM __lc)
+          WHERE r = 1)
+SELECT s.cluster_id, s.n_vecs, s.avg_cos, t.top_label,
+       round(CAST(t.n AS DOUBLE) / s.n_vecs, 6) AS top_label_share
+FROM __st s JOIN __top t USING (cluster_id)
+"""
+    )
+
+
+@_q(
+    "embedding_kmeans_stats",
+    _kmeans_stats_oracle(8, 3, None),
+    "Extension (iterative algorithm): distributed spherical k-means (k=8, 3 Lloyd "
+    "iterations, smallest-id seeds) over the embeddings — map-only packed-codebook "
+    "assignment, decimal-stable centroid updates (engine-bit-identical codebook, so the "
+    "oracle replays the full training loop in SQL); emits per-cluster size, mean member "
+    "cosine (inertia analog) and majority-label purity.",
+)
+def embedding_kmeans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_cluster_stats(
+        load_table(spark, sf_dir, "embeddings"), n_cells=8, train_iters=3
+    )

@@ -750,3 +750,53 @@ def test_retention_cohorts_triangle(spark):
         ("2024-01-02", 0): 1,  # user 3
         ("2024-01-02", 2): 1,  # user 3 on day 4
     }
+
+
+def test_kmeans_cluster_stats_matches_naive_lloyd(spark):
+    """kmeans_cluster_stats against a naive numpy replay of the same
+    deterministic algorithm (smallest-id seeds, 6dp-rounded cosine
+    argmax with lowest-id ties, per-dim means rounded to 6dp): cluster
+    assignments and sizes must agree exactly, avg_cos to 1e-9."""
+    import numpy as np
+
+    from flinkecuserbehavioranalysis_spark.operators.similarity import (
+        kmeans_cluster_stats,
+        kmeans_fit,
+        _pack,
+        _best_cell_scored,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    k, iters = 4, 2
+    rows = sorted(
+        ((r.vec_id, np.array(r.embedding, dtype=np.float64)) for r in emb.collect())
+    )
+    ids = np.array([i for i, _ in rows])
+    X = np.stack([v for _, v in rows])
+    cents = X[:k].copy()
+
+    def assign(C):
+        cos = X @ C.T / (
+            np.linalg.norm(X, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
+        )
+        cos = np.round(cos, 6)
+        # argmax with lowest-index tiebreak (np.argmax already keeps first)
+        return cos.argmax(axis=1), cos.max(axis=1)
+
+    for _ in range(iters):
+        a, _ = assign(cents)
+        cents = np.stack(
+            [np.round(X[a == c].mean(axis=0), 6) for c in range(k)]
+        )  # seeds are distinct vectors -> no empty cell in this fixture
+    a, c = assign(cents)
+
+    out = {
+        r.cluster_id: r
+        for r in kmeans_cluster_stats(emb, n_cells=k, train_iters=iters).collect()
+    }
+    # spark cluster ids are seed vec_ids = the k smallest ids, in id order
+    sizes = {int(ids[j]): int((a == j).sum()) for j in range(k)}
+    assert {cid: r.n_vecs for cid, r in out.items()} == sizes
+    for j in range(k):
+        cid = int(ids[j])
+        assert abs(out[cid].avg_cos - round(float(np.mean(c[a == j])), 6)) < 1e-5
