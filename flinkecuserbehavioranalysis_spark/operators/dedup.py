@@ -167,6 +167,24 @@ def ngram_jaccard_pairs(
     frequency — at 100 TB run it only on MinHash candidates (compose:
     ``minhash_candidates`` → semi-join → this, or use
     ``lsh_verified_pairs``)."""
+    jac = _pair_intersections(docs, id_col, text_col, n, df_max).withColumn(
+        "jaccard",
+        F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def _pair_intersections(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    df_max: int | None = None,
+) -> DataFrame:
+    """Shared inverted-index core of the exact set-overlap operators:
+    (doc_a, doc_b, common, sza, szb) for every pair sharing ≥1
+    (df-surviving) shingle.  See ``ngram_jaccard_pairs`` for the df_max
+    semantics and the quadratic-cost caveat."""
     sh = shingles(docs, id_col, text_col, n)
     if df_max is not None:
         rare = (
@@ -191,15 +209,43 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("szb"))
-    jac = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")),
-        )
+    return common.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    df_max: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT — |A∩B| / min(|A|, |B|) — the
+    partial-duplication detector Jaccard structurally misses: a short
+    document quoted wholesale inside a long one has tiny Jaccard (the
+    union is dominated by the long side) but containment ≈ 1.  This is
+    the check that catches boilerplate wrappers, quoted articles and
+    prompt-template expansions in a training corpus.
+
+    Returns (doc_a, doc_b, containment_a, containment_b, containment)
+    where containment_a = |A∩B|/|A| (fraction of A inside B),
+    containment_b likewise, and ``containment`` = the max of the two =
+    |A∩B|/min(|A|,|B|); pairs with ``containment`` ≥ *threshold*.
+    Ratios are raw IEEE doubles (engine-identical; no decimal rounding
+    — dyadic ratios would round differently across engines).
+
+    Same inverted-index core and *df_max* discipline as
+    ``ngram_jaccard_pairs`` (and the same 100 TB advice: run on LSH
+    candidates, not the raw corpus)."""
+    c = _pair_intersections(docs, id_col, text_col, n, df_max)
+    out = c.select(
+        "doc_a",
+        "doc_b",
+        (F.col("common") / F.col("sza")).alias("containment_a"),
+        (F.col("common") / F.col("szb")).alias("containment_b"),
+        (F.col("common") / F.least(F.col("sza"), F.col("szb"))).alias("containment"),
     )
-    return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+    return out.filter(F.col("containment") >= threshold)
 
 
 def duplicate_components(

@@ -2409,3 +2409,38 @@ def embedding_kmeans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cluster_stats(
         load_table(spark, sf_dir, "embeddings"), n_cells=8, train_iters=3
     )
+
+
+from ..operators.dedup import containment_pairs  # noqa: E402
+
+
+@_q(
+    "dedup_containment",
+    """
+WITH __w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+__sh AS (SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(ws) - 1),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+         FROM __w WHERE len(ws) >= 3),
+__rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM __sh GROUP BY sh)
+           WHERE df <= 64),
+__f AS (SELECT s.doc_id, s.sh FROM __sh s JOIN __rare USING (sh)),
+__sz AS (SELECT doc_id, count(*) AS sz FROM __f GROUP BY doc_id),
+__c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM __f a JOIN __f b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b,
+       CAST(c.common AS DOUBLE) / x.sz AS containment_a,
+       CAST(c.common AS DOUBLE) / y.sz AS containment_b,
+       CAST(c.common AS DOUBLE) / least(x.sz, y.sz) AS containment
+FROM __c c JOIN __sz x ON c.doc_a = x.doc_id JOIN __sz y ON c.doc_b = y.doc_id
+WHERE CAST(c.common AS DOUBLE) / least(x.sz, y.sz) >= 0.2
+""",
+    "Extension (partial-dup detection): asymmetric shingle containment |A∩B|/min(|A|,|B|) "
+    "— catches a short doc quoted inside a long one (tiny Jaccard, containment ~1); same "
+    "df-capped inverted-index core as dedup_ngram_jaccard.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2, df_max=64
+    )

@@ -800,3 +800,27 @@ def test_kmeans_cluster_stats_matches_naive_lloyd(spark):
     for j in range(k):
         cid = int(ids[j])
         assert abs(out[cid].avg_cos - round(float(np.mean(c[a == j])), 6)) < 1e-5
+
+
+def test_containment_catches_quoted_subset(spark):
+    """A short doc fully quoted inside a long one: Jaccard is small but
+    containment is 1.0 — the asymmetric metric finds what Jaccard
+    can't."""
+    from flinkecuserbehavioranalysis_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short + " " + filler.replace("w", "z"))],
+        "doc_id long, text string",
+    )
+    out = containment_pairs(docs, threshold=0.9).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.containment == 1.0 and r.containment_a == 1.0 and r.containment_b < 0.1
+    # the same pair is invisible to Jaccard at any usable threshold
+    assert ngram_jaccard_pairs(docs, threshold=0.5).collect() == []
