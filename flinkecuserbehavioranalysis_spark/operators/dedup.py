@@ -414,28 +414,30 @@ def ngram_contamination(
     BROADCAST (benchmarks are MBs against a 100 TB corpus); corpus
     shingling is map-side (per-row ``array_distinct`` keeps the explode
     duplicate-free without a (doc, shingle) shuffle), so the only
-    shuffle is the per-doc overlap count — group count bounded by the
-    contaminated-doc count.  If the benchmark ever outgrows broadcast
-    range, swap the broadcast join for a bloom-filter pre-filter plus a
-    shuffle semi-join; the rest of the plan is unchanged."""
+    shuffles are the per-doc overlap count — group count bounded by the
+    contaminated-doc count — and the id-keyed join attaching each
+    contaminated doc's own shingle count.  The per-doc total rides a
+    SEPARATE map-only branch rather than a column next to the explode:
+    a non-generator expression projected alongside ``explode`` is
+    re-evaluated per OUTPUT row (the whole shingle transform × shingles
+    per doc — measured 29x on this query), the classic Generate
+    pitfall.  If the benchmark ever outgrows broadcast range, swap the
+    broadcast join for a bloom-filter pre-filter plus a shuffle
+    semi-join; the rest of the plan is unchanged."""
     arr = F.array_distinct(F.expr(_shingle_expr(text_col, n)))
     bench = (
         benchmark.select(F.explode(F.array_distinct(F.expr(_shingle_expr(text_col, n)))).alias("sh"))
         .distinct()
     )
-    base = corpus.select(
-        F.col(id_col), F.size(arr).cast("long").alias("__n_grams"), F.explode(arr).alias("sh")
-    )
     hits = (
-        base.join(F.broadcast(bench), "sh")
+        corpus.select(F.col(id_col), F.explode(arr).alias("sh"))
+        .join(F.broadcast(bench), "sh")
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_overlap"),
-            F.max("__n_grams").alias("n_grams"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
     )
-    return hits.select(
+    totals = corpus.select(F.col(id_col), F.size(arr).cast("long").alias("n_grams"))
+    return hits.join(totals, id_col).select(
         F.col(id_col),
         "n_overlap",
         "n_grams",

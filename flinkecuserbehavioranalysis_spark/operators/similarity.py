@@ -197,8 +197,12 @@ def cosine_lsh_pairs(
 
     Scale shape (the point): signatures are MAP-ONLY — the plane matrix
     rides along as one broadcast-literal array-of-arrays and each vector
-    folds over it (projection sums go through DECIMAL so the sign bits
-    are summation-order independent → engine-identical).  The banded
+    folds over it.  Components are quantized ONCE per vector to
+    round(x·10⁶) longs, so every projection is pure 64-bit integer
+    arithmetic: exact, summation-order independent, engine-identical
+    sign bits (the round-2 DECIMAL(20,12) fold bought the same
+    determinism at ~5× the interpreter cost — a quantizer step of 10⁻⁶
+    is noise against any usable banding resolution).  The banded
     self-join shuffles only (id, band_idx, band_key) rows — never the
     vectors, never all-pairs — and the exact-cosine verify joins the
     (candidate-count-sized) pair list back to the vectors on id.  This
@@ -208,31 +212,33 @@ def cosine_lsh_pairs(
         raise ValueError(f"bands ({bands}) must divide n_planes ({n_planes})")
     r = n_planes // bands
     planes = rademacher_planes(n_planes, dim)
-    planes_lit = F.array(*[F.array(*[F.lit(s) for s in row]) for row in planes])
-    # decimal(20,12) keeps 12-dp scale through the fold (Spark widens
-    # a+b's precision, so cast back each step — exact: partial sums are
-    # << 10^8); the oracle's SUM(DECIMAL(28,12)) rounds terms to the
-    # same 12 dp, making the sign bits engine-identical
-    zero = F.lit(0).cast("decimal(20,12)")
+    planes_lit = F.array(*[F.array(*[F.lit(int(s)) for s in row]) for row in planes])
+    qv = F.transform(
+        F.col("__v"), lambda x: F.round(x * F.lit(1000000.0)).cast("long")
+    )
     bits = F.transform(
         planes_lit,
         lambda pl: (
             F.aggregate(
-                F.zip_with(F.col("__v"), pl, lambda x, y: (x * y).cast("decimal(20,12)")),
-                zero,
-                lambda acc, x: (acc + x).cast("decimal(20,12)"),
+                F.zip_with(F.col("__q"), pl, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
             )
             >= 0
         )
         .cast("int")
         .cast("string"),
     )
-    sig = vectors.select(F.col(id_col), _as_double(vec_col).alias("__v")).select(
-        F.col(id_col),
-        *[
-            F.array_join(F.slice(bits, b * r + 1, r), "").alias(f"k{b}")
-            for b in range(bands)
-        ],
+    sig = (
+        vectors.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+        .select(F.col(id_col), qv.alias("__q"))
+        .select(
+            F.col(id_col),
+            *[
+                F.array_join(F.slice(bits, b * r + 1, r), "").alias(f"k{b}")
+                for b in range(bands)
+            ],
+        )
     )
     stack_args = ", ".join(f"{b}, k{b}" for b in range(bands))
     long = sig.select(

@@ -237,17 +237,19 @@ def bm25_topk(
     Returns (doc_id, score) — the k highest, doc_id-tiebroken.
     """
     ws = F.split(F.col(text_col), " ")
-    # dl rides along the token explode so no separate doc-length scan /
-    # join is needed: it is constant per doc, recovered by max() in the
-    # tf aggregation (2 corpus scans total — token stream + the global
-    # N/avgdl aggregate, which must see term-free docs too).
-    base = docs.select(
-        F.col(id_col), F.size(ws).cast("long").alias("dl"), F.explode(ws).alias("tok")
-    )
+    # dl rides a SEPARATE map-only branch joined onto the (term-filtered,
+    # small) tf relation — NOT a column next to the explode: a
+    # non-generator expression projected alongside explode() is
+    # re-evaluated per output row, i.e. the split would run once per
+    # token instead of once per doc (the Generate pitfall measured 29x
+    # on ngram_contamination).
+    base = docs.select(F.col(id_col), F.explode(ws).alias("tok"))
+    dls = docs.select(F.col(id_col), F.size(ws).cast("long").alias("dl"))
     tf = (
         base.filter(F.col("tok").isin(*terms))
         .groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(dls, id_col)
     )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     stats = docs.select(F.size(ws).cast("long").alias("dl")).agg(
@@ -312,11 +314,19 @@ def repetition_stats(
         )
 
     top_cnt = F.aggregate(F.sort_array(ws), run_init, run_step).best
-    idx = F.sequence(F.lit(1), n - F.lit(1))
-    adj = F.size(F.filter(idx, lambda i: F.element_at(ws, i) == F.element_at(ws, i + 1)))
-    bigrams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1))
+    # adjacent pairs via zip_with(ws, ws[2..]) — NOT element_at(ws, i)
+    # over a position sequence: an array referenced inside a lambda is
+    # re-evaluated per ELEMENT (the split would run n times per row,
+    # O(n²) — measured 10x on this operator); zip_with/slice arguments
+    # evaluate once per row
+    tail = F.slice(ws, 2, F.greatest(n - F.lit(1), F.lit(0)))
+    pairs = F.slice(
+        F.zip_with(ws, tail, lambda x, y: F.struct(x.alias("a"), y.alias("b"))),
+        1,
+        F.greatest(n - F.lit(1), F.lit(0)),
     )
+    adj = F.size(F.filter(pairs, lambda p: p.a == p.b))
+    bigrams = F.transform(pairs, lambda p: F.concat_ws(" ", p.a, p.b))
     n_big = F.size(bigrams)
     return docs.select(
         F.col(id_col),
@@ -441,4 +451,46 @@ def top_ngrams(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("gram").asc())
         .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-*k* TF-IDF terms per document — the per-doc keyword/topic
+    signal (feature extraction for clustering, labeling, routing).
+
+    Score = tf × N/df with the LOG-FREE idf ratio (same rationale as
+    ``bm25_topk``: ln() rounds differently across libm implementations
+    while integer division is IEEE-exact everywhere, and ln is monotone
+    so per-term ranking is unchanged; absolute scores are therefore on
+    the N/df scale, not the ln(N/df) scale).
+
+    Shape: one (doc, term) tf shuffle (map-side combined); df derives
+    from tf by a term-keyed count whose output is vocabulary-sized and
+    BROADCAST back; the per-doc top-k ranks inside a doc-partitioned
+    window over each doc's distinct terms — never a global sort.
+    Returns (id, term, tf, score, rnk), score desc / term-asc ties."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda w: w != "")).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * (F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(F.col(id_col), "term", "tf", "score", "rnk")
     )

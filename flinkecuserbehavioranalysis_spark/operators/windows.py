@@ -97,3 +97,52 @@ def topn_per_window(
         counts.withColumn(rank_alias, F.row_number().over(w).cast("long"))
         .filter(F.col(rank_alias) <= n)
     )
+
+
+def rolling_anomaly_zscore(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    lookback: int = 7,
+    min_prior: int = 3,
+) -> DataFrame:
+    """Daily-count anomaly scoring: each (key, day)'s event count
+    z-scored against its own trailing *lookback* OBSERVED days (a ROWS
+    frame — for a key with gap days the frame reaches further back) —
+    the monitoring query every event pipeline runs over its volumes.
+
+    The trailing mean/variance are computed from INTEGER sum /
+    sum-of-squares window frames (exact in any engine; a Welford-style
+    ``stddev`` builtin would drift between engines), variance via
+    E[x²] − E[x]², z rounded to 6 dp at the output boundary.  Days with
+    fewer than *min_prior* trailing days or zero variance emit NULL z.
+
+    Scale shape: ONE shuffle builds the (day, key) counts — map-side
+    combined, so the windowed stage ranks over day-granularity rows
+    (|keys| × |days|, corpus-size independent); the per-key ordered
+    frame is O(lookback) state, partition-parallel across keys."""
+    day = F.col(ts_col).cast("date")
+    counts = df.groupBy(
+        F.col(key_col), day.alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-lookback, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("cnt").over(w)
+    s2 = F.sum(F.col("cnt") * F.col("cnt")).over(w)
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    z = F.when(
+        (n >= min_prior) & (var > 0),
+        F.round((F.col("cnt") - mean) / F.sqrt(var), 6),
+    )
+    return counts.select(
+        F.col(key_col),
+        "day",
+        "cnt",
+        n.cast("long").alias("n_prior"),
+        z.alias("z"),
+    )

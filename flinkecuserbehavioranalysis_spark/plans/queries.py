@@ -834,12 +834,12 @@ WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 __pl AS (
   SELECT p, d,
          CASE WHEN substring(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)
-                   IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END AS s
+                   IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS s
   FROM range(32) tp(p) CROSS JOIN range(64) td(d)
 ),
 __proj AS (
   SELECT e.vec_id, pl.p,
-         SUM(CAST(pl.s * e.v[pl.d + 1] AS DECIMAL(28,12))) >= 0 AS bit
+         SUM(pl.s * CAST(round(e.v[pl.d + 1] * 1000000) AS BIGINT)) >= 0 AS bit
   FROM __e e CROSS JOIN __pl pl GROUP BY 1, 2
 ),
 __sig AS (
@@ -2444,3 +2444,63 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.2, df_max=64
     )
+
+
+from ..operators.text import tfidf_top_terms  # noqa: E402
+from ..operators.windows import rolling_anomaly_zscore  # noqa: E402
+
+
+@_q(
+    "text_tfidf_top_terms",
+    """
+WITH __t AS (SELECT doc_id,
+                    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+             FROM documents),
+__tf AS (SELECT doc_id, term, count(*) AS tf FROM __t GROUP BY 1, 2),
+__df AS (SELECT term, count(*) AS df FROM __tf GROUP BY term),
+__n AS (SELECT count(*) AS n_docs FROM documents),
+__s AS (SELECT t.doc_id, t.term, t.tf,
+               t.tf * (CAST(n.n_docs AS DOUBLE) / d.df) AS score
+        FROM __tf t JOIN __df d USING (term) CROSS JOIN __n n)
+SELECT doc_id, term, tf, score,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rnk FROM __s)
+WHERE rnk <= 3
+""",
+    "Extension (feature extraction): top-3 TF-IDF terms per document — log-free N/df idf "
+    "(IEEE-exact cross-engine, ranking-equivalent), vocabulary-sized df broadcast, per-doc "
+    "windowed top-k.",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@_q(
+    "events_daily_anomaly",
+    """
+WITH __c AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+             FROM events GROUP BY 1, 2),
+__w AS (SELECT event_type, day, cnt,
+               count(*) OVER w AS n_prior,
+               sum(cnt) OVER w AS s1,
+               sum(cnt * cnt) OVER w AS s2
+        FROM __c
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT event_type, day, cnt, CAST(n_prior AS BIGINT) AS n_prior,
+       CASE WHEN n_prior >= 3
+                 AND (CAST(s2 AS DOUBLE) / n_prior
+                      - (CAST(s1 AS DOUBLE) / n_prior) * (CAST(s1 AS DOUBLE) / n_prior)) > 0
+            THEN round((cnt - CAST(s1 AS DOUBLE) / n_prior)
+                       / sqrt(CAST(s2 AS DOUBLE) / n_prior
+                              - (CAST(s1 AS DOUBLE) / n_prior) * (CAST(s1 AS DOUBLE) / n_prior)), 6)
+       END AS z
+FROM __w
+""",
+    "Extension (monitoring): per-type daily volumes z-scored against their own trailing "
+    "7-observation frame — integer sum/sum-of-squares window math (engine-exact, no "
+    "Welford drift), one map-side-combined count shuffle, day-granularity windowed stage.",
+)
+def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_anomaly_zscore(load_table(spark, sf_dir, "events"))
