@@ -173,3 +173,52 @@ def stratified_sample(
         F.md5(F.col(key).cast("string")).asc(), F.col(key).asc()
     )
     return pre.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= quota)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Overlapping fixed-size character chunking — the context-window
+    prep step for RAG indexing and long-document training.
+
+    Chunk i covers [1 + i·stride, 1 + i·stride + chunk_chars) 1-based,
+    stride = chunk_chars − overlap; the chunk count is
+    max(1, ceil((len − overlap) / stride)) so the final chunk always
+    reaches the end of the document and every character belongs to at
+    least one chunk.  Returns (id, chunk_idx, chunk_start, chunk_len,
+    chunk_text) — one row per chunk.
+
+    MAP-ONLY: the chunk structs are built inside the generator
+    expression itself (sequence → transform → explode), so per-chunk
+    work is exactly one substring extraction — no shuffle, no Python,
+    and no non-generator sibling expression for Generate to re-evaluate
+    per output row."""
+    if overlap >= chunk_chars:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_chars ({chunk_chars})")
+    stride = chunk_chars - overlap
+    ln = F.length(F.col(text_col))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((ln - F.lit(overlap)) / F.lit(stride)).cast("long")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.struct(
+            i.cast("long").alias("idx"),
+            (i * F.lit(stride) + F.lit(1)).cast("long").alias("start"),
+            F.substring(F.col(text_col), (i * F.lit(stride) + F.lit(1)).cast("int"), chunk_chars).alias(
+                "txt"
+            ),
+        ),
+    )
+    c = F.explode(chunks).alias("c")
+    return docs.select(F.col(id_col), c).select(
+        F.col(id_col),
+        F.col("c.idx").alias("chunk_idx"),
+        F.col("c.start").alias("chunk_start"),
+        F.length("c.txt").cast("long").alias("chunk_len"),
+        F.col("c.txt").alias("chunk_text"),
+    )

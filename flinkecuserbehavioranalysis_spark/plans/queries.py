@@ -2504,3 +2504,66 @@ FROM __w
 )
 def events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_anomaly_zscore(load_table(spark, sf_dir, "events"))
+
+
+from ..operators.sampling import chunk_documents  # noqa: E402
+
+
+@_q(
+    "documents_chunked",
+    """
+WITH __d AS (SELECT doc_id, text, len(text) AS ln FROM documents),
+__n AS (SELECT doc_id, text,
+               greatest(1, CAST(ceil((ln - 50.0) / 150.0) AS BIGINT)) AS nc
+        FROM __d)
+SELECT doc_id, i AS chunk_idx, i * 150 + 1 AS chunk_start,
+       CAST(len(substring(text, CAST(i * 150 + 1 AS INT), 200)) AS BIGINT) AS chunk_len,
+       substring(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text
+FROM __n, unnest(range(nc)) t(i)
+""",
+    "Extension (RAG/context prep): overlapping fixed-size character chunks (200 chars, "
+    "50 overlap) — chunk structs built inside the generator expression so per-chunk work "
+    "is one substring; map-only, no shuffle.",
+)
+def documents_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "events_rolling_active_users",
+    """
+WITH __ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+__x AS (SELECT user_id, day + CAST(o AS INT) AS day_w, o
+        FROM __ud, unnest(range(7)) t(o))
+SELECT day_w AS day, count(DISTINCT CASE WHEN o = 0 THEN user_id END) AS dau,
+       count(DISTINCT user_id) AS wau
+FROM __x GROUP BY 1
+""",
+    "Extension (product analytics): exact DAU + trailing-7-day WAU per day — the "
+    "user-day distinct relation fans out map-side to the <=7 window days it serves, one "
+    "distinct-count aggregation per window day; at larger windows swap the exact "
+    "countDistinct for mergeable HLL sketches (unique_visitors_approx pattern).",
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    exp = ud.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda o: F.struct(
+                    o.cast("long").alias("o"),
+                    F.date_add(F.col("day"), o.cast("int")).alias("day_w"),
+                ),
+            )
+        ).alias("w"),
+    )
+    return (
+        exp.select("user_id", F.col("w.o").alias("o"), F.col("w.day_w").alias("day_w"))
+        .groupBy(F.col("day_w").alias("day"))
+        .agg(
+            F.countDistinct(F.when(F.col("o") == 0, F.col("user_id"))).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+    )

@@ -824,3 +824,31 @@ def test_containment_catches_quoted_subset(spark):
     assert r.containment == 1.0 and r.containment_a == 1.0 and r.containment_b < 0.1
     # the same pair is invisible to Jaccard at any usable threshold
     assert ngram_jaccard_pairs(docs, threshold=0.5).collect() == []
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunking invariants: every character of every doc appears in at
+    least one chunk, consecutive chunks overlap by exactly `overlap`
+    (except a possibly-shorter final chunk), short docs yield one
+    chunk, and reassembling chunk starts reconstructs the text."""
+    from flinkecuserbehavioranalysis_spark.operators.sampling import chunk_documents
+
+    texts = {1: "x" * 199, 2: "".join(chr(97 + i % 26) for i in range(450)), 3: "", 4: "y" * 200}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    rows = chunk_documents(docs, chunk_chars=200, overlap=50).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_len == 199
+    assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_len == 0
+    assert len(by_doc[4]) == 1
+    c2 = sorted(by_doc[2], key=lambda r: r.chunk_idx)
+    # stride 150: starts 1, 151, 301; covers 450 chars
+    assert [r.chunk_start for r in c2] == [1, 151, 301]
+    assert [r.chunk_len for r in c2] == [200, 200, 150]
+    # overlap: last 50 chars of chunk i == first 50 of chunk i+1
+    for a, b in zip(c2, c2[1:]):
+        assert a.chunk_text[-50:] == b.chunk_text[:50]
+    # reconstruction from strides
+    rebuilt = c2[0].chunk_text + "".join(r.chunk_text[50:] for r in c2[1:])
+    assert rebuilt == texts[2]
