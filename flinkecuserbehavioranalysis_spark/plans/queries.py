@@ -2567,3 +2567,87 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("wau"),
         )
     )
+
+
+_PII_REDACT_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<PII>', 'g'), "
+    "'https?://[^ ]+', '<PII>', 'g'), "
+    "'[0-9]{2,}', '<PII>', 'g')"
+)
+
+
+@_q(
+    "corpus_prepare_stats",
+    f"""
+WITH __r AS (
+  SELECT doc_id, lang, {_PII_REDACT_SQL} AS text,
+         {_BUCKET_SQL.format(k='doc_id')} AS b
+  FROM documents),
+__s AS (
+  SELECT doc_id, lang, text,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) AS n_chars,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ({', '.join("'" + w + "'" for w in STOPWORDS)}))) AS n_stop
+  FROM __r WHERE b >= 500),
+__ok AS (
+  SELECT doc_id, lang, text FROM __s
+  WHERE n_words >= 5 AND n_words <= 1000
+        AND n_stop * 1.0 / n_words <= 0.5
+        AND (n_chars - (n_words - 1)) * 1.0 / n_words >= 2.0
+        AND (n_chars - (n_words - 1)) * 1.0 / n_words <= 12.0),
+__keep AS (SELECT min(doc_id) AS doc_id FROM __ok GROUP BY md5(text)),
+__surv AS (SELECT o.doc_id, o.lang, o.text FROM __ok o JOIN __keep USING (doc_id)),
+__sw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM __surv),
+__sh AS (SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(ws) - 1),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+         FROM __sw WHERE len(ws) >= 3),
+__bw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         WHERE {_BUCKET_SQL.format(k='doc_id')} < 500),
+__bsh AS (SELECT DISTINCT
+            unnest(list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+          FROM __bw WHERE len(ws) >= 3),
+__cont AS (SELECT s.doc_id FROM __sh s JOIN __bsh USING (sh)
+           GROUP BY s.doc_id HAVING count(*) >= 3),
+__clean AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens
+  FROM __surv WHERE doc_id NOT IN (SELECT doc_id FROM __cont))
+SELECT CASE WHEN {_BUCKET_SQL.format(k='doc_id')} < 8000 THEN 'train'
+            WHEN {_BUCKET_SQL.format(k='doc_id')} < 9000 THEN 'validation'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM __clean GROUP BY 1, 2
+""",
+    "Extension (the end-to-end corpus-preparation flagship): PII scrub -> quality filter "
+    "-> exact dedup -> benchmark decontamination -> deterministic split, with per-"
+    "(split, lang) doc and token counts. One plan: map-side scrub+quality, one dedup "
+    "shuffle on the fingerprint, broadcast benchmark shingles + anti-join, map-side "
+    "split, one final count shuffle.",
+)
+def corpus_prepare_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+    from ..operators.sampling import hash_bucket
+    from ..operators.text import PII_PATTERNS, quality_ok
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    bench = docs.filter(b < 500)
+    red = F.col("text")
+    for _, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, "<PII>")
+    scrubbed = docs.filter(b >= 500).select("doc_id", "lang", red.alias("text"))
+    ok = scrubbed.filter(quality_ok("text"))
+    keep = exact_dedup(ok).select(F.col("keep_id").alias("doc_id"))
+    surv = ok.join(keep, "doc_id")
+    cont = ngram_contamination(surv, bench, n=3, min_overlap=3).select("doc_id")
+    clean = surv.join(cont, "doc_id", "left_anti")
+    toks = F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).cast("long")
+    return (
+        hash_split(clean.select("doc_id", "lang", toks.alias("n_tokens")), "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+    )

@@ -134,3 +134,27 @@ def test_bm25_topk_plan_shape(spark):
     assert "spark,hash,window" in plan.replace(" ", "").replace("'", ""), plan
     # the |terms|-row df table joins broadcast
     assert "BroadcastHashJoin" in plan
+
+
+def test_map_only_text_ops_have_zero_exchange(spark):
+    """The per-row quality/scrub/chunk operators claim map-only plans —
+    pin it: no Exchange anywhere (a shuffle appearing here means a
+    regression broke the 100 TB scan-speed story)."""
+    for name in ("text_repetition_stats", "events_pii_scan", "documents_chunked"):
+        plan = _explain(spark, name)
+        assert "Exchange" not in plan, f"{name} gained a shuffle:\n{plan}"
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast (never shuffle the
+    corpus gram stream against it), and the only SortMergeJoin allowed
+    is the id-keyed totals join."""
+    plan = _explain(spark, "corpus_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_tfidf_broadcasts_df_and_ranks_per_doc(spark):
+    plan = _explain(spark, "text_tfidf_top_terms")
+    assert plan.count("BroadcastHashJoin") >= 1  # vocabulary-sized df table
+    assert "TakeOrderedAndProject" not in plan  # per-doc window rank, no global sort
