@@ -672,3 +672,68 @@ def quantize_embeddings(
         .otherwise(F.transform(F.col("__v"), lambda x: F.lit(0)))
         .alias("q"),
     )
+
+
+def idot(a: Column, b: Column) -> Column:
+    """Sequential int64 fold dot product over int arrays — exact (no
+    floating point until the caller divides), engine-identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k over INT8-QUANTIZED vectors — the
+    storage/bandwidth production pattern (4× smaller index than
+    float32).  The symmetric per-vector scales cancel out of the
+    cosine — cos(s_a·qa, s_b·qb) = (qa·qb) / (√(qa·qa)·√(qb·qb)) — so
+    the entire score is integer dot products (exact int64 folds,
+    engine-identical) with one IEEE division at the end: deterministic
+    without any decimal machinery.  Quantization error only perturbs
+    ranks near ties; recall@10 vs the float baseline is floor-tested.
+
+    Same plan shape as ``brute_force_topk`` (broadcast query set,
+    embarrassingly-parallel corpus scan, per-query window rank) with
+    the corpus-side math running on int8 codes — at 100 TB this is the
+    scan you can actually afford to keep hot.  Output schema matches
+    the float baseline: (q_id, neighbor_id, cos, rnk)."""
+    from pyspark.sql import Window
+
+    qz = quantize_embeddings(vectors, id_col, vec_col).select(
+        F.col(id_col), F.col("q")
+    )
+    v = qz.select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("v_q")
+    ).withColumn("v_n", F.sqrt(idot(F.col("v_q"), F.col("v_q")).cast("double")))
+    qs = qz.join(
+        queries.select(F.col(query_id_col).alias(id_col)).distinct(), id_col
+    ).select(F.col(id_col).alias("q_id"), F.col("q").alias("q_q"))
+    qs = qs.withColumn("q_n", F.sqrt(idot(F.col("q_q"), F.col("q_q")).cast("double")))
+    scored = (
+        v.crossJoin(F.broadcast(qs))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(
+                idot(F.col("q_q"), F.col("v_q")).cast("double")
+                / (F.col("q_n") * F.col("v_n")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "cos", "rnk")
+    )

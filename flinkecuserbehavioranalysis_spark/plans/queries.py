@@ -2651,3 +2651,94 @@ def corpus_prepare_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
     )
+
+
+from ..operators.similarity import quantized_topk  # noqa: E402
+
+
+@_q(
+    "ann_quantized_topk",
+    """
+WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+__s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM __e),
+__q AS (SELECT vec_id,
+               CASE WHEN sc > 0 THEN list_transform(v, x -> CAST(round(x / sc) AS DOUBLE))
+                    ELSE list_transform(v, x -> 0.0) END AS q
+        FROM __s),
+__qs AS (SELECT vec_id AS q_id, q AS qq FROM __q WHERE vec_id < 5),
+__sc AS (SELECT q_id, e.vec_id AS neighbor_id,
+                round(list_dot_product(qq, e.q)
+                      / (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(e.q, e.q))), 6) AS cos
+         FROM __qs CROSS JOIN __q e WHERE e.vec_id <> q_id),
+__rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rnk
+         FROM __sc)
+SELECT q_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk FROM __rk WHERE rnk <= 10
+""",
+    "Extension (quantized search): exact cosine top-10 over int8-quantized vectors — the "
+    "symmetric scales cancel out of the cosine so the whole score is exact int64 dot "
+    "products with one IEEE division (engine-identical, no decimal machinery); 4x smaller "
+    "index than float32, recall@10 vs the float baseline floor-tested.",
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+_COSINE_LSH_ORACLE_CORE = """
+__el AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+__pl AS (
+  SELECT p, d,
+         CASE WHEN substring(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS s
+  FROM range(32) tp(p) CROSS JOIN range(64) td(d)
+),
+__proj AS (
+  SELECT e.vec_id, pl.p,
+         SUM(pl.s * CAST(round(e.v[pl.d + 1] * 1000000) AS BIGINT)) >= 0 AS bit
+  FROM __el e CROSS JOIN __pl pl GROUP BY 1, 2
+),
+__sig AS (
+  SELECT vec_id, p // 4 AS band_idx,
+         STRING_AGG(CAST(CAST(bit AS INT) AS VARCHAR), '' ORDER BY p) AS band_key
+  FROM __proj GROUP BY 1, 2
+),
+__cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM __sig a JOIN __sig b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+),
+__vp AS (
+  SELECT c.vec_a, c.vec_b
+  FROM __cand c JOIN __el ea ON ea.vec_id = c.vec_a JOIN __el eb ON eb.vec_id = c.vec_b
+  WHERE round(list_dot_product(ea.v, eb.v) /
+        (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.4
+)"""
+
+
+@_q(
+    "embedding_neardup_components",
+    f"""
+WITH RECURSIVE {_COSINE_LSH_ORACLE_CORE},
+__eg AS (SELECT vec_a AS s, vec_b AS d FROM __vp
+         UNION SELECT vec_b, vec_a FROM __vp),
+__r AS (SELECT s AS v, d AS w FROM __eg
+        UNION
+        SELECT r.v, e.d FROM __r r JOIN __eg e ON r.w = e.s),
+__lbl AS (SELECT v AS vec_id, least(v, min(w)) AS canonical_id FROM __r GROUP BY v)
+SELECT e.vec_id, coalesce(l.canonical_id, e.vec_id) AS canonical_id
+FROM embeddings e LEFT JOIN __lbl l USING (vec_id)
+""",
+    "Extension (cross-modal composition): connected components over the EMBEDDING "
+    "near-dup graph — SRP-LSH candidates -> exact-cosine verify (>= 0.4) -> hash-min "
+    "label propagation -> full-corpus canonical-id assignment; the semantic-dedup "
+    "analog of dedup_components' lexical pipeline.",
+)
+def embedding_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import canonicalize_duplicates
+    from ..operators.similarity import cosine_lsh_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_lsh_pairs(emb, threshold=0.4)
+    return canonicalize_duplicates(
+        emb, pairs, id_col="vec_id", a_col="vec_a", b_col="vec_b"
+    )

@@ -500,3 +500,93 @@ def test_bm25_topk_matches_naive(spark, docs):
     assert [i for i, _ in got] == [i for i, _ in expect]
     for (_, gs), (_, es) in zip(got, expect):
         assert abs(gs - es) < 1e-12
+
+
+@given(doc_inputs())
+@settings(max_examples=10, deadline=None)
+def test_containment_matches_naive(spark, docs):
+    from flinkecuserbehavioranalysis_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.containment_a, r.containment_b, r.containment)
+        for r in containment_pairs(df, threshold=0.0).collect()
+    }
+
+    def sh(text):
+        ws = text.split(" ")
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)} if len(ws) >= 3 else set()
+
+    expect = {}
+    for i, ta in docs:
+        for j, tb in docs:
+            if i < j:
+                a, b = sh(ta), sh(tb)
+                inter = len(a & b)
+                if inter:
+                    expect[(i, j)] = (inter / len(a), inter / len(b), inter / min(len(a), len(b)))
+    assert got == expect
+
+
+@given(doc_inputs())
+@settings(max_examples=10, deadline=None)
+def test_repetition_stats_matches_naive(spark, docs):
+    from collections import Counter
+
+    from flinkecuserbehavioranalysis_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            r.n_tokens,
+            r.distinct_token_ratio,
+            r.top_token_share,
+            r.adjacent_repeat_ratio,
+            r.dup_bigram_ratio,
+        )
+        for r in repetition_stats(df).collect()
+    }
+    for i, text in docs:
+        ws = [w for w in text.split(" ") if w]
+        n = len(ws)
+        if n == 0:
+            expect = (0, 0.0, 0.0, 0.0, 0.0)
+        else:
+            big = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+            expect = (
+                n,
+                round(len(set(ws)) / n, 6),
+                round(max(Counter(ws).values()) / n, 6),
+                round(sum(a == b for a, b in zip(ws, ws[1:])) / (n - 1), 6) if n >= 2 else 0.0,
+                round(1 - len(set(big)) / len(big), 6) if n >= 2 else 0.0,
+            )
+        assert got[i] == expect, (i, text, got[i], expect)
+
+
+@given(
+    st.lists(st.text(alphabet="abc ", min_size=0, max_size=60), min_size=1, max_size=6),
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=10, deadline=None)
+def test_chunking_reassembles_any_text(spark, texts, chunk, overlap):
+    from hypothesis import assume
+
+    from flinkecuserbehavioranalysis_spark.operators.sampling import chunk_documents
+
+    assume(overlap < chunk)
+    stride = chunk - overlap
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = chunk_documents(docs, chunk_chars=chunk, overlap=overlap).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, text in enumerate(texts):
+        cs = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert [r.chunk_start for r in cs] == [1 + j * stride for j in range(len(cs))]
+        rebuilt = "".join(
+            r.chunk_text if j == 0 else r.chunk_text[overlap:] for j, r in enumerate(cs)
+        )
+        assert rebuilt == text
+        # every chunk except possibly the last is full-size
+        assert all(r.chunk_len == min(chunk, len(text) - (r.chunk_start - 1)) for r in cs)

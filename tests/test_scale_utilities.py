@@ -852,3 +852,24 @@ def test_chunk_documents_coverage_and_overlap(spark):
     # reconstruction from strides
     rebuilt = c2[0].chunk_text + "".join(r.chunk_text[50:] for r in c2[1:])
     assert rebuilt == texts[2]
+
+
+def test_quantized_topk_recall_vs_float_baseline(spark):
+    """int8-quantized exact search must agree closely with the float
+    baseline: recall@10 >= 0.9 averaged over the query set (int8 only
+    perturbs near-ties)."""
+    from flinkecuserbehavioranalysis_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = {}
+    for r in brute_force_topk(emb, qs, k=10).collect():
+        exact.setdefault(r.q_id, set()).add(r.neighbor_id)
+    quant = {}
+    for r in quantized_topk(emb, qs, k=10).collect():
+        quant.setdefault(r.q_id, set()).add(r.neighbor_id)
+    recalls = [len(exact[q] & quant[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
