@@ -590,3 +590,62 @@ def test_chunking_reassembles_any_text(spark, texts, chunk, overlap):
         assert rebuilt == text
         # every chunk except possibly the last is full-size
         assert all(r.chunk_len == min(chunk, len(text) - (r.chunk_start - 1)) for r in cs)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_rolling_anomaly_zscore_matches_naive(spark, rows):
+    """rolling_anomaly_zscore vs a naive per-key Python replay: same
+    trailing-frame counts, same z to 1e-9 (integer sum/sum-of-squares
+    math on both sides)."""
+    import datetime as dt
+    import math
+    from collections import Counter
+
+    from flinkecuserbehavioranalysis_spark.operators.windows import (
+        rolling_anomaly_zscore,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(k, base + dt.timedelta(days=d, hours=1)) for k, d in rows],
+        "event_type string, ts timestamp",
+    )
+    got = {
+        (r.event_type, r.day.isoformat()): (r.cnt, r.n_prior, r.z)
+        for r in rolling_anomaly_zscore(ev, lookback=7, min_prior=3).collect()
+    }
+    counts: dict[str, Counter] = {}
+    for k, d in rows:
+        counts.setdefault(k, Counter())[d] += 1
+    expect = {}
+    for k, cnt in counts.items():
+        days = sorted(cnt)
+        for i, d in enumerate(days):
+            frame = [cnt[days[j]] for j in range(max(0, i - 7), i)]
+            n = len(frame)
+            z = None
+            if n >= 3:
+                mean = sum(frame) / n
+                var = sum(x * x for x in frame) / n - mean * mean
+                if var > 0:
+                    z = round((cnt[d] - mean) / math.sqrt(var), 6)
+            expect[(k, (base + dt.timedelta(days=d)).date().isoformat())] = (cnt[d], n, z)
+    assert got.keys() == expect.keys()
+    for key in expect:
+        gc, gn, gz = got[key]
+        ec, en, ez = expect[key]
+        assert (gc, gn) == (ec, en), (key, got[key], expect[key])
+        if ez is None:
+            assert gz is None
+        else:
+            assert gz is not None and abs(gz - ez) < 1e-9

@@ -644,3 +644,32 @@ def test_streaming_pattern_sequence_matches_batch(spark):
         batch = sorted(tuple(r) for r in pattern_sequence(batch_df, **kw).collect())
         assert got == batch, contiguity
         assert len(got) > 0, contiguity
+
+
+def test_streaming_map_only_text_ops_match_batch(spark):
+    """The map-only corpus operators (quality, repetition, PII scrub)
+    are stateless projections, so they must run unchanged on a
+    streaming source and produce exactly the batch result on a bounded
+    replay — the 'filter the firehose at ingest' deployment shape."""
+    from flinkecuserbehavioranalysis_spark.io import load_table
+    from flinkecuserbehavioranalysis_spark.operators.text import (
+        pii_scan,
+        quality_score,
+        repetition_stats,
+    )
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import (
+        read_events_stream,
+        run_bounded,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream_docs = read_events_stream(spark, sf, table="documents")
+    batch_docs = load_table(spark, sf, "documents")
+    for op in (
+        lambda d: quality_score(d),
+        lambda d: repetition_stats(d),
+        lambda d: pii_scan(d, "doc_id", "text"),
+    ):
+        got = sorted(map(tuple, run_bounded(op(stream_docs))))
+        want = sorted(map(tuple, op(batch_docs).collect()))
+        assert got == want
