@@ -21,6 +21,8 @@ Reference semantics reproduced:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -321,3 +323,60 @@ def blacklist_filter(
         F.lit(f"Click over {threshold} times today").alias("warning_msg"),
     )
     return passed, warnings
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: Sequence[str] = ("view", "click", "purchase"),
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Daily funnel conversion: per day, how many users reached each
+    ordered step — step i counts a user only if an event of type
+    steps[i] occurred STRICTLY AFTER their step-(i-1) anchor that same
+    day (first-touch semantics: each anchor is the EARLIEST qualifying
+    timestamp, the standard product-analytics funnel and the
+    aggregation-shaped complement of ``pattern_sequence``'s per-match
+    CEP output).
+
+    Returns (day, n_step1 .. n_stepK, conv_k = n_stepk / n_step1
+    rounded 6dp).  Shape: one (key, day)-grouped conditional-min
+    aggregation per step, each joined to the previous anchor —
+    K co-partitioned shuffles on the same (key, day) key (exchange
+    reuse), group state O(1), final counts day-granularity.  No
+    per-user event buffering, no window explosion."""
+    day = F.col(ts_col).cast("date")
+    base = events.select(
+        F.col(key_col), day.alias("day"), F.col(type_col), F.col(ts_col)
+    )
+    anchors = (
+        base.filter(F.col(type_col) == steps[0])
+        .groupBy(key_col, "day")
+        .agg(F.min(ts_col).alias("t0"))
+    )
+    reached = [anchors]
+    for i, step in enumerate(steps[1:], start=1):
+        prev = reached[-1]
+        nxt = (
+            base.filter(F.col(type_col) == step)
+            .join(prev.select(key_col, "day", f"t{i-1}"), [key_col, "day"])
+            .filter(F.col(ts_col) > F.col(f"t{i-1}"))
+            .groupBy(key_col, "day")
+            .agg(F.min(ts_col).alias(f"t{i}"))
+        )
+        reached.append(nxt)
+    counts = None
+    for i, r in enumerate(reached):
+        c = r.groupBy("day").agg(F.count(F.lit(1)).alias(f"n_step{i + 1}"))
+        counts = c if counts is None else counts.join(c, "day", "left")
+    out = counts
+    for i in range(1, len(steps)):
+        out = out.withColumn(
+            f"conv_{i + 1}",
+            F.round(
+                F.coalesce(F.col(f"n_step{i + 1}"), F.lit(0)) / F.col("n_step1"), 6
+            ),
+        )
+    fills = {f"n_step{i + 1}": 0 for i in range(1, len(steps))}
+    return out.fillna(fills)

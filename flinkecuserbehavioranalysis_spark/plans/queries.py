@@ -2742,3 +2742,38 @@ def embedding_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_duplicates(
         emb, pairs, id_col="vec_id", a_col="vec_a", b_col="vec_b"
     )
+
+
+from ..operators.patterns import funnel_conversion  # noqa: E402
+
+
+@_q(
+    "funnel_daily_conversion",
+    """
+WITH __b AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts FROM events),
+__s1 AS (SELECT user_id, day, min(ts) AS t0 FROM __b
+         WHERE event_type = 'view' GROUP BY 1, 2),
+__s2 AS (SELECT b.user_id, b.day, min(b.ts) AS t1
+         FROM __b b JOIN __s1 s USING (user_id, day)
+         WHERE b.event_type = 'click' AND b.ts > s.t0 GROUP BY 1, 2),
+__s3 AS (SELECT b.user_id, b.day, min(b.ts) AS t2
+         FROM __b b JOIN __s2 s USING (user_id, day)
+         WHERE b.event_type = 'purchase' AND b.ts > s.t1 GROUP BY 1, 2),
+__c1 AS (SELECT day, count(*) AS n_step1 FROM __s1 GROUP BY day),
+__c2 AS (SELECT day, count(*) AS n_step2 FROM __s2 GROUP BY day),
+__c3 AS (SELECT day, count(*) AS n_step3 FROM __s3 GROUP BY day)
+SELECT c1.day, c1.n_step1,
+       coalesce(c2.n_step2, 0) AS n_step2,
+       coalesce(c3.n_step3, 0) AS n_step3,
+       round(CAST(coalesce(c2.n_step2, 0) AS DOUBLE) / c1.n_step1, 6) AS conv_2,
+       round(CAST(coalesce(c3.n_step3, 0) AS DOUBLE) / c1.n_step1, 6) AS conv_3
+FROM __c1 c1 LEFT JOIN __c2 c2 USING (day) LEFT JOIN __c3 c3 USING (day)
+""",
+    "Extension (funnel analytics): daily view->click->purchase conversion with "
+    "first-touch anchors (each step strictly after the previous step's earliest "
+    "qualifying event, same day) — K co-partitioned (user, day) conditional-min "
+    "aggregations, day-granularity counts; the aggregation-shaped complement of "
+    "pattern_sequence's CEP match output.",
+)
+def funnel_daily_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_conversion(load_table(spark, sf_dir, "events"))

@@ -649,3 +649,59 @@ def test_rolling_anomaly_zscore_matches_naive(spark, rows):
             assert gz is None
         else:
             assert gz is not None and abs(gz - ez) < 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),              # user
+            st.integers(min_value=0, max_value=500),            # minute offset
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_funnel_conversion_matches_naive(spark, rows):
+    """funnel_conversion vs a naive first-touch replay: per (user, day)
+    the step-i anchor is the earliest step-i event strictly after the
+    step-(i-1) anchor."""
+    import datetime as dt
+
+    from flinkecuserbehavioranalysis_spark.operators.patterns import funnel_conversion
+
+    base = dt.datetime(2024, 3, 1)
+    ev = spark.createDataFrame(
+        [(u, base + dt.timedelta(minutes=m), t) for u, m, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r.day.isoformat(): (r.n_step1, r.n_step2, r.n_step3, r.conv_2, r.conv_3)
+        for r in funnel_conversion(ev).collect()
+    }
+    per_ud: dict[tuple, list] = {}
+    for u, m, t in rows:
+        ts = base + dt.timedelta(minutes=m)
+        per_ud.setdefault((u, ts.date()), []).append((ts, t))
+    daily = {}
+    for (u, day), evs in per_ud.items():
+        anchor = None
+        reached = 0
+        for step in ("view", "click", "purchase"):
+            cand = [ts for ts, t in evs if t == step and (anchor is None or ts > anchor)]
+            if step == "view":
+                cand = [ts for ts, t in evs if t == step]
+            if not cand:
+                break
+            anchor = min(cand)
+            reached += 1
+        if reached:
+            d = daily.setdefault(day.isoformat(), [0, 0, 0])
+            for i in range(reached):
+                d[i] += 1
+    expect = {
+        d: (c[0], c[1], c[2], round(c[1] / c[0], 6), round(c[2] / c[0], 6))
+        for d, c in daily.items()
+    }
+    assert got == expect
