@@ -2777,3 +2777,26 @@ FROM __c1 c1 LEFT JOIN __c2 c2 USING (day) LEFT JOIN __c3 c3 USING (day)
 )
 def funnel_daily_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_conversion(load_table(spark, sf_dir, "events"))
+
+
+@_q(
+    "small_quantity_order_revenue",
+    """
+WITH __avg AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS lim
+               FROM lineitem GROUP BY l_partkey)
+SELECT CAST(sum(l_extendedprice) / 7.0 AS DOUBLE) AS avg_yearly, count(*) AS n_items
+FROM lineitem l JOIN __avg a ON l.l_partkey = a.l_partkey
+WHERE l.l_quantity < a.lim
+""",
+    "Extension (TPC-H Q17-style): revenue from below-one-fifth-of-average-quantity line "
+    "items — the correlated-aggregate shape decorrelated into a per-part average joined "
+    "back on the SAME partkey (co-partitioned, exchange-reusable at scale).",
+)
+def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    avg = l.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.2).alias("lim"))
+    j = l.join(avg, "l_partkey").filter(F.col("l_quantity") < F.col("lim"))
+    return j.agg(
+        (F.sum("l_extendedprice") / 7.0).cast("double").alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
