@@ -2800,3 +2800,37 @@ def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("l_extendedprice") / 7.0).cast("double").alias("avg_yearly"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+@_q(
+    "events_daily_type_pivot",
+    """
+SELECT CAST(ts AS DATE) AS day,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+FROM events GROUP BY 1
+""",
+    "Extension (reporting surface): daily event counts pivoted to one column per type — "
+    "an explicit pivot value list keeps the schema static (no discovery scan), compiling "
+    "to a single conditional-count aggregation: one shuffle, map-side combined.",
+)
+def events_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    return p.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
