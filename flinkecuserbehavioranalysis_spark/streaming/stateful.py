@@ -42,9 +42,11 @@ from typing import Any
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -731,5 +733,78 @@ def streaming_pattern_sequence(
         .groupBy(key_col)
         .applyInPandasWithState(
             fn, out_schema, _SEQUENCE_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("day", StringType()),
+        StructField("step", IntegerType()),
+        StructField("step_ts", LongType()),
+    ]
+)
+
+_FUNNEL_STATE = StructType(
+    [
+        StructField("t0", DoubleType()),
+        StructField("t1", DoubleType()),
+        StructField("t2", DoubleType()),
+    ]
+)
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of ``operators.patterns.funnel_conversion`` (3-step
+    form): keyed by (user, day), state = the three first-touch anchors.
+
+    On a time-ordered stream the greedy transition — take a step event
+    iff the step is unclaimed and the previous anchor is strictly
+    earlier — selects exactly the batch operator's conditional-min
+    chain, so a bounded replay reproduces the batch funnel (asserted in
+    tests/test_streaming.py).  One row is emitted per step advancement
+    (update-style progress feed); aggregating max(step) per (user, day)
+    gives the batch reach counts.  State is three scalar slots per
+    active (user, day) — bounded, watermark-evictable."""
+    day = F.date_format(F.col(ts_col), "yyyy-MM-dd")
+    tagged = events.select(
+        F.col(key_col), day.alias("__day"), F.col(type_col), F.col(ts_col)
+    )
+    step_idx = {s: i for i, s in enumerate(steps)}
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        u, d = key
+        t: list[float | None] = list(state.get) if state.exists else [None, None, None]
+        out: list[tuple[int, str, int, int]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col])
+            tss = _epoch_s(pdf[ts_col])
+            types = pdf[type_col].to_numpy()
+            for ts, et in zip(tss, types):
+                i = step_idx.get(et)
+                if i is None or t[i] is not None:
+                    continue
+                if i == 0 or (t[i - 1] is not None and float(ts) > t[i - 1]):
+                    t[i] = float(ts)
+                    out.append((int(u), str(d), i + 1, int(ts)))
+        state.update(tuple(t))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "day", "step", "step_ts"])
+
+    return (
+        tagged.withWatermark(ts_col, watermark)
+        .groupBy(key_col, "__day")
+        .applyInPandasWithState(
+            fn, FUNNEL_SCHEMA, _FUNNEL_STATE, "append", GroupStateTimeout.NoTimeout
         )
     )

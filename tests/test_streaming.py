@@ -673,3 +673,36 @@ def test_streaming_map_only_text_ops_match_batch(spark):
         got = sorted(map(tuple, run_bounded(op(stream_docs))))
         want = sorted(map(tuple, op(batch_docs).collect()))
         assert got == want
+
+
+def test_streaming_funnel_matches_batch(spark):
+    """Bounded replay of the keyed funnel twin reproduces the batch
+    funnel_conversion reach counts: max(step) per (user, day) from the
+    stream's advancement feed aggregates to the same per-day
+    n_step1/2/3."""
+    from collections import Counter
+
+    from flinkecuserbehavioranalysis_spark.io import load_table
+    from flinkecuserbehavioranalysis_spark.operators.patterns import funnel_conversion
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import (
+        read_events_stream,
+        run_bounded,
+    )
+    from flinkecuserbehavioranalysis_spark.streaming.stateful import streaming_funnel
+
+    sf = "/root/testdata/sf0.001"
+    rows = run_bounded(streaming_funnel(read_events_stream(spark, sf)))
+    best: dict[tuple, int] = {}
+    for r in rows:
+        k = (r.user_id, r.day)
+        best[k] = max(best.get(k, 0), r.step)
+    got: dict[str, list] = {}
+    for (u, day), step in best.items():
+        d = got.setdefault(day, [0, 0, 0])
+        for i in range(step):
+            d[i] += 1
+    batch = {
+        r.day.isoformat(): (r.n_step1, r.n_step2, r.n_step3)
+        for r in funnel_conversion(load_table(spark, sf, "events")).collect()
+    }
+    assert {d: tuple(v) for d, v in got.items()} == batch
