@@ -2834,3 +2834,83 @@ def events_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _EVENT_TYPES
         ],
     )
+
+
+@_q(
+    "corpus_source_report",
+    f"""
+WITH __s AS (
+  SELECT source, text,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) AS n_chars,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ({', '.join("'" + w + "'" for w in STOPWORDS)}))) AS n_stop
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       round(CAST(count(CASE WHEN n_words >= 5 AND n_words <= 1000
+                   AND n_stop * 1.0 / n_words <= 0.5
+                   AND (n_chars - (n_words - 1)) * 1.0 / n_words >= 2.0
+                   AND (n_chars - (n_words - 1)) * 1.0 / n_words <= 12.0
+                  THEN 1 END) AS DOUBLE) / count(*), 6) AS quality_ok_share,
+       round(CAST(sum(n_words) AS DOUBLE) / count(*), 6) AS avg_tokens,
+       round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6) AS dup_rate
+FROM __s GROUP BY source
+""",
+    "Extension (corpus governance): per-source health report — doc counts, quality-pass "
+    "share, mean token length, exact-duplicate rate — one grouped scan (count DISTINCT "
+    "fingerprint rides the same shuffle); the dashboard a data-curation team watches "
+    "per ingestion source.",
+)
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_ok
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    return (
+        docs.select(
+            "source",
+            F.size(ws).cast("long").alias("n_words"),
+            quality_ok("text").cast("int").alias("ok"),
+            F.md5(F.col("text")).alias("fp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("ok") / F.count(F.lit(1)), 6).alias("quality_ok_share"),
+            F.round(F.sum("n_words").cast("double") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+            F.round(
+                F.lit(1.0) - F.countDistinct("fp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@_q(
+    "token_frequency_histogram",
+    """
+WITH __c AS (
+  SELECT tok, count(*) AS cnt
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY tok)
+SELECT CAST(length(printf('%b', cnt)) - 1 AS BIGINT) AS log2_bucket,
+       count(*) AS n_tokens,
+       CAST(sum(cnt) AS BIGINT) AS total_occurrences
+FROM __c GROUP BY 1
+""",
+    "Extension (corpus diagnostics): Zipf histogram — distinct tokens and total "
+    "occurrences per floor(log2(frequency)) bucket, the vocabulary-shape fingerprint "
+    "used to spot boilerplate floods; bucket via binary-string length (exact integer "
+    "math, no float log parity issues), two vocab-sized aggregations.",
+)
+def token_frequency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    bucket = (F.length(F.bin(F.col("cnt"))) - F.lit(1)).cast("long")
+    return counts.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("cnt").alias("total_occurrences"),
+    )
