@@ -737,3 +737,102 @@ def quantized_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", "neighbor_id", "cos", "rnk")
     )
+
+
+def ivf_quantized_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    n_cells: int = 8,
+    nprobe: int = 3,
+    k: int = 10,
+    train_iters: int = 2,
+    corpus_probes: int = 2,
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """IVF + int8 codes — the full production ANN shape: the coarse
+    quantizer (``kmeans_fit``) restricts each query to Σ_probed |cell|
+    candidates, and candidate scoring runs on INT8-QUANTIZED vectors
+    (``quantize_embeddings``; scales cancel out of the cosine, so
+    scores are exact int64 dot products — see ``quantized_topk``).
+    Against ``ivf_topk`` this reads 4× less vector data per candidate
+    and does integer math in the hot loop; against ``quantized_topk``
+    it scans Σ_probed |cell| instead of the corpus.  Recall compounds
+    the IVF probe loss with int8 rank perturbation — floor-tested vs
+    the float brute force.  Output schema matches the other top-k
+    variants: (q_id, neighbor_id, cos, rnk)."""
+    from pyspark.sql import Window
+
+    if corpus_probes not in (1, 2):
+        raise ValueError(f"corpus_probes must be 1 or 2, got {corpus_probes}")
+
+    seeds = kmeans_fit(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        train_iters=train_iters,
+        train_fraction=train_fraction,
+    )
+    packed = _pack(seeds)
+    qz = quantize_embeddings(vectors, id_col, vec_col).select(F.col(id_col), F.col("q"))
+
+    v = (
+        vectors.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v_vec"))
+        .withColumn("v_norm", F.sqrt(dot(F.col("v_vec"), F.col("v_vec"))))
+    )
+    cell_expr = (
+        F.array(_best_cell("v_vec", "v_norm"))
+        if corpus_probes == 1
+        else _top2_cells("v_vec", "v_norm")
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(packed))
+        .select("neighbor_id", F.explode(cell_expr).alias("cell"))
+        .join(qz.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+        .withColumnRenamed("q", "v_q")
+        .withColumn("v_n", F.sqrt(idot(F.col("v_q"), F.col("v_q")).cast("double")))
+    )
+    q = (
+        queries.select(F.col(query_id_col).alias("q_id"), _as_double(vec_col).alias("q_vec"))
+        .withColumn("q_norm", F.sqrt(dot(F.col("q_vec"), F.col("q_vec"))))
+    )
+    q_scored = q.crossJoin(F.broadcast(seeds)).select(
+        "q_id",
+        F.col("seed_id").alias("cell"),
+        _scos("q_vec", "q_norm", F.struct(F.col("seed_id"), F.col("s_vec"), F.col("s_norm"))).alias(
+            "s_cos"
+        ),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("s_cos").desc(), F.col("cell").asc())
+    probes = (
+        q_scored.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select("q_id", "cell")
+        .join(qz.withColumnRenamed(id_col, "q_id"), "q_id")
+        .withColumnRenamed("q", "q_q")
+        .withColumn("q_n", F.sqrt(idot(F.col("q_q"), F.col("q_q")).cast("double")))
+    )
+    scored = (
+        assigned.join(probes, "cell")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(
+                idot(F.col("q_q"), F.col("v_q")).cast("double")
+                / (F.col("q_n") * F.col("v_n")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    if corpus_probes > 1:
+        scored = scored.dropDuplicates(["q_id", "neighbor_id"])
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "cos", "rnk")
+    )

@@ -2914,3 +2914,73 @@ def token_frequency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("cnt").alias("total_occurrences"),
     )
+
+
+from ..operators.similarity import ivf_quantized_topk  # noqa: E402
+
+
+def _ivf_quantized_oracle(
+    n_cells: int = 8,
+    nprobe: int = 3,
+    k: int = 10,
+    train_iters: int = 2,
+    corpus_probes: int = 2,
+    train_buckets: int | None = None,
+) -> str:
+    """DuckDB twin of ``ivf_quantized_topk``: the shared Lloyd-training
+    prefix, float-cosine cell assignment/probes, int8 candidate
+    scoring (scales cancel; integer dot products exact)."""
+    cos = _COS_SQL
+    prefix, cur = _kmeans_train_ctes(n_cells, train_iters, train_buckets)
+    return (
+        prefix
+        + f"""__qz AS (
+  SELECT vec_id,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN list_transform(v, x -> CAST(round(x / (list_max(list_transform(v, y -> abs(y))) / 127.0)) AS DOUBLE))
+              ELSE list_transform(v, x -> 0.0) END AS q
+  FROM __e),
+__as2 AS (SELECT e.vec_id, e.v, s.seed_id, {cos.format(a='e.v', b='s.sv')} AS s_cos
+          FROM __e e CROSS JOIN {cur} s),
+__ar2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s_cos DESC, seed_id) AS r
+          FROM __as2),
+__cell2 AS (SELECT a.vec_id, a.seed_id AS cell, z.q
+            FROM __ar2 a JOIN __qz z USING (vec_id) WHERE a.r <= {corpus_probes}),
+__q2 AS (SELECT vec_id AS q_id, v AS qv FROM __e WHERE vec_id < 5),
+__qs2 AS (SELECT q_id, s.seed_id, {cos.format(a='qv', b='s.sv')} AS s_cos
+          FROM __q2 CROSS JOIN {cur} s),
+__qr2 AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s_cos DESC, seed_id) AS r
+          FROM __qs2),
+__p2 AS (SELECT p.q_id, p.seed_id AS cell, z.q AS qq
+         FROM __qr2 p JOIN __qz z ON z.vec_id = p.q_id WHERE p.r <= {nprobe}),
+__c2 AS (SELECT DISTINCT p.q_id, c.vec_id AS neighbor_id,
+                round(list_dot_product(p.qq, c.q)
+                      / (sqrt(list_dot_product(p.qq, p.qq)) * sqrt(list_dot_product(c.q, c.q))), 6) AS cos
+         FROM __p2 p JOIN __cell2 c ON p.cell = c.cell WHERE c.vec_id <> p.q_id),
+__rk2 AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM __c2)
+SELECT q_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk FROM __rk2 WHERE rnk <= {k}
+"""
+    )
+
+
+@_q(
+    "ann_ivf_quantized_topk",
+    _ivf_quantized_oracle(train_buckets=5000),
+    "Extension (production ANN shape): IVF coarse quantizer + int8-compressed candidate "
+    "scoring — trained codebook restricts each query to its probed cells, the int8 codes "
+    "cut candidate bytes 4x and make the hot-loop math exact int64; recall floor-tested "
+    "vs float brute force.",
+)
+def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_quantized_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        n_cells=8,
+        nprobe=3,
+        k=10,
+        train_iters=2,
+        corpus_probes=2,
+        train_fraction=0.5,
+    )

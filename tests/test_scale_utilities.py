@@ -381,6 +381,10 @@ def test_results_invariant_under_partitioning(spark):
         "event_last_order_asof",  # per-key ordered window
         "dedup_minhash_lsh",      # hash aggregation + self-join
         "embedding_label_centroids",  # decimal vector sums
+        "embedding_kmeans_stats",     # iterative decimal centroid updates
+        "ann_cosine_lsh_neardup",     # int64 projection folds + banded join
+        "funnel_daily_conversion",    # chained conditional-min joins
+        "corpus_prepare_stats",       # composed scrub/dedup/decontaminate
     ]
     sf = "/root/testdata/sf0.001"
     before = spark.conf.get("spark.sql.shuffle.partitions")
@@ -873,3 +877,27 @@ def test_quantized_topk_recall_vs_float_baseline(spark):
         quant.setdefault(r.q_id, set()).add(r.neighbor_id)
     recalls = [len(exact[q] & quant[q]) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ivf_quantized_recall_floor(spark):
+    """The composed IVF+int8 index keeps recall@10 >= 0.7 vs the float
+    brute force at n_cells=8/nprobe=3 — the compounded probe + int8
+    loss stays within the documented floor."""
+    from flinkecuserbehavioranalysis_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_quantized_topk,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = {}
+    for r in brute_force_topk(emb, qs, k=10).collect():
+        exact.setdefault(r.q_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in ivf_quantized_topk(
+        emb, qs, n_cells=8, nprobe=3, k=10, train_iters=2, corpus_probes=2,
+        train_fraction=0.5,
+    ).collect():
+        approx.setdefault(r.q_id, set()).add(r.neighbor_id)
+    recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
