@@ -2984,3 +2984,144 @@ def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_probes=2,
         train_fraction=0.5,
     )
+
+
+@_q(
+    "text_top_pmi_bigrams",
+    """
+WITH __w AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+__uni AS (SELECT unnest(ws) AS tok FROM __w),
+__uc AS (SELECT tok, count(*) AS c FROM __uni GROUP BY tok),
+__un AS (SELECT count(*) AS n_uni FROM __uni),
+__bg AS (SELECT ws[i] AS a, ws[i + 1] AS b
+         FROM __w, unnest(range(1, len(ws))) t(i) WHERE len(ws) >= 2),
+__bc AS (SELECT a, b, count(*) AS c_ab FROM __bg GROUP BY 1, 2),
+__bn AS (SELECT count(*) AS n_big FROM __bg)
+SELECT bc.a || ' ' || bc.b AS gram, bc.c_ab,
+       round((CAST(bc.c_ab AS DOUBLE) * un.n_uni * un.n_uni)
+             / (CAST(bn.n_big AS DOUBLE) * ua.c * ub.c), 6) AS pmi_ratio
+FROM __bc bc
+JOIN __uc ua ON bc.a = ua.tok
+JOIN __uc ub ON bc.b = ub.tok
+CROSS JOIN __un un CROSS JOIN __bn bn
+WHERE bc.c_ab >= 5
+ORDER BY pmi_ratio DESC, gram LIMIT 50
+""",
+    "Extension (collocation mining): top-50 bigrams by PMI expressed as the LOG-FREE "
+    "ratio p(ab)/(p(a)p(b)) (ln is monotone — identical ranking, engine-exact "
+    "arithmetic); vocabulary-sized unigram counts broadcast onto the bigram counts, "
+    "min-count 5 support filter, TakeOrderedAndProject cut.",
+)
+def text_top_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    n = F.size(ws)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            ws,
+            F.slice(ws, 2, F.greatest(n - F.lit(1), F.lit(0))),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bg = docs.select(
+        F.explode(F.slice(pairs, 1, F.greatest(n - F.lit(1), F.lit(0)))).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    uni = docs.select(F.explode(ws).alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    un = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    bc = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab")).filter(F.col("c_ab") >= 5)
+    bn = bg.agg(F.count(F.lit(1)).alias("n_big"))
+    scored = (
+        bc.join(F.broadcast(uc.withColumnRenamed("tok", "a").withColumnRenamed("c", "ca")), "a")
+        .join(F.broadcast(uc.withColumnRenamed("tok", "b").withColumnRenamed("c", "cb")), "b")
+        .crossJoin(F.broadcast(un))
+        .crossJoin(F.broadcast(bn))
+        .select(
+            F.concat_ws(" ", F.col("a"), F.col("b")).alias("gram"),
+            F.col("c_ab"),
+            F.round(
+                (F.col("c_ab").cast("double") * F.col("n_uni") * F.col("n_uni"))
+                / (F.col("n_big").cast("double") * F.col("ca") * F.col("cb")),
+                6,
+            ).alias("pmi_ratio"),
+        )
+    )
+    return scored.orderBy(F.col("pmi_ratio").desc(), F.col("gram")).limit(50)
+
+
+@_q(
+    "session_funnel_conversion",
+    """
+WITH __e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+__s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+        FROM __e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+__sid AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sid
+          FROM __s),
+__s1 AS (SELECT user_id, sid, min(us) AS t0 FROM __sid
+         WHERE event_type = 'view' GROUP BY 1, 2),
+__s2 AS (SELECT b.user_id, b.sid, min(b.us) AS t1
+         FROM __sid b JOIN __s1 s USING (user_id, sid)
+         WHERE b.event_type = 'click' AND b.us > s.t0 GROUP BY 1, 2),
+__s3 AS (SELECT b.user_id, b.sid, min(b.us) AS t2
+         FROM __sid b JOIN __s2 s USING (user_id, sid)
+         WHERE b.event_type = 'purchase' AND b.us > s.t1 GROUP BY 1, 2)
+SELECT (SELECT count(*) FROM __s1) AS n_step1,
+       (SELECT count(*) FROM __s2) AS n_step2,
+       (SELECT count(*) FROM __s3) AS n_step3,
+       round(CAST((SELECT count(*) FROM __s2) AS DOUBLE)
+             / (SELECT count(*) FROM __s1), 6) AS conv_2,
+       round(CAST((SELECT count(*) FROM __s3) AS DOUBLE)
+             / (SELECT count(*) FROM __s1), 6) AS conv_3
+""",
+    "Extension (session analytics): the funnel measured per 30-minute SESSION instead of "
+    "per day — gaps-and-islands session ids (lag + running sum over the user-time window, "
+    "exact integer-microsecond gap math) feeding the same first-touch conditional-min "
+    "chain, counted session-level.",
+)
+def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("us").asc(), F.col("event_id").asc())
+    prev = F.lag("us").over(w)
+    new_s = (
+        prev.isNull() | ((F.col("us") - prev) > 1800 * 1_000_000)
+    ).cast("long")
+    sess = ev.withColumn("sid", F.sum(new_s).over(w))
+    s1 = (
+        sess.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("t0"))
+    )
+    s2 = (
+        sess.filter(F.col("event_type") == "click")
+        .join(s1, ["user_id", "sid"])
+        .filter(F.col("us") > F.col("t0"))
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("t1"))
+    )
+    s3 = (
+        sess.filter(F.col("event_type") == "purchase")
+        .join(s2, ["user_id", "sid"])
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("t2"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_step1"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_step2"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_step3"))
+    return (
+        c1.crossJoin(c2)
+        .crossJoin(c3)
+        .select(
+            "n_step1",
+            "n_step2",
+            "n_step3",
+            F.round(F.col("n_step2") / F.col("n_step1"), 6).alias("conv_2"),
+            F.round(F.col("n_step3") / F.col("n_step1"), 6).alias("conv_3"),
+        )
+    )
