@@ -242,3 +242,66 @@ def streaming_dedup(
     semantic delta vs the batch global dedup; widen *watermark* to
     trade state for exactness)."""
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def streaming_anomaly_foreach_batch(
+    day_counts_store: dict,
+    sink: list,
+    lookback: int = 7,
+    min_prior: int = 3,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch half of the streaming daily-anomaly monitor: each
+    micro-batch of CLOSED day windows (append mode — a (type, day)
+    count arrives exactly once, complete, after the watermark passes
+    the day end) upserts into the external per-(type, day) count store
+    — the ``foreach_batch_upsert`` / Redis discipline — and re-scores
+    the affected keys' trailing z incrementally in plain Python (the
+    store is key×days-sized, not event-sized).  A bounded replay
+    therefore reproduces ``rolling_anomaly_zscore`` exactly
+    (tests/test_streaming.py)."""
+    import math
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.collect()
+        touched = set()
+        for r in rows:
+            day_counts_store[(r["event_type"], r["day"])] = r["cnt"]
+            touched.add(r["event_type"])
+        for et in touched:
+            days = sorted(d for (t, d) in day_counts_store if t == et)
+            for i, d in enumerate(days):
+                frame = [day_counts_store[(et, days[j])] for j in range(max(0, i - lookback), i)]
+                n = len(frame)
+                z = None
+                if n >= min_prior:
+                    mean = sum(frame) / n
+                    var = sum(x * x for x in frame) / n - mean * mean
+                    if var > 0:
+                        z = round((day_counts_store[(et, d)] - mean) / math.sqrt(var), 6)
+                sink[:] = [s for s in sink if not (s[0] == et and s[1] == d)]
+                sink.append((et, d, day_counts_store[(et, d)], n, z))
+
+    return process
+
+
+def streaming_daily_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked tumbling day-window counts per key — the streaming
+    half feeding ``streaming_anomaly_foreach_batch`` (append mode emits
+    each (key, day) once, after the watermark closes the day)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), "1 day").alias("w"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col(key_col),
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            F.col("cnt"),
+        )
+    )

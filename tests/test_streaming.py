@@ -706,3 +706,36 @@ def test_streaming_funnel_matches_batch(spark):
         for r in funnel_conversion(load_table(spark, sf, "events")).collect()
     }
     assert {d: tuple(v) for d, v in got.items()} == batch
+
+
+def test_streaming_anomaly_matches_batch(spark):
+    """Bounded replay of the day-window count stream + foreachBatch
+    z-scoring reproduces rolling_anomaly_zscore exactly (the
+    append-mode window close plays the role of the day boundary)."""
+    from flinkecuserbehavioranalysis_spark.io import load_table
+    from flinkecuserbehavioranalysis_spark.operators.windows import (
+        rolling_anomaly_zscore,
+    )
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import (
+        read_events_stream,
+        run_bounded,
+        streaming_anomaly_foreach_batch,
+        streaming_daily_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    store: dict = {}
+    sink: list = []
+    counts = streaming_daily_counts(read_events_stream(spark, sf), watermark="0 seconds")
+    run_bounded(counts, "append", foreach_batch=streaming_anomaly_foreach_batch(store, sink))
+    got = {(et, d): (c, n, z) for et, d, c, n, z in sink}
+    batch = {
+        (r.event_type, r.day.isoformat()): (r.cnt, r.n_prior, r.z)
+        for r in rolling_anomaly_zscore(load_table(spark, sf, "events")).collect()
+    }
+    # append mode can only emit windows the final watermark passed: the
+    # last (possibly partial) day never closes on a bounded replay
+    last_day = max(d for _, d in batch)
+    closeable = {k: v for k, v in batch.items() if k[1] < last_day}
+    assert got == closeable
+    assert len(got) > 0
