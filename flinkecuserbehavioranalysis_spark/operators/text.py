@@ -494,3 +494,46 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select(F.col(id_col), "term", "tf", "score", "rnk")
     )
+
+
+def hashed_vectorize(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 16,
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) vectorizer: each whitespace token
+    increments dimension md5(token) % *dim* — the stateless,
+    vocabulary-free text→vector bridge (no fitted vocab to ship, any
+    engine reproduces it bit-exactly), feeding the embedding-side
+    operators (centroids, LSH, k-means) from raw text.
+
+    MAP-ONLY and single-pass: the per-token buckets are computed once
+    into an array, then ONE fold builds the histogram by rebuilding a
+    *dim*-slot accumulator per token (O(dim·n) slot copies — the fold
+    accumulator is fold state, not a re-evaluated expression, so the
+    in-lambda re-evaluation pitfall does not apply).  Returns
+    (id, vec array<long>, l2_norm rounded 6dp)."""
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    bucket = lambda w: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"), F.lit(dim)
+    )
+    bks = F.transform(ws, bucket)
+    init = F.array_repeat(F.lit(0).cast("long"), dim)
+    hist = F.aggregate(
+        bks,
+        init,
+        lambda acc, b: F.transform(
+            acc, lambda x, i: F.when(i.cast("long") == b, x + 1).otherwise(x)
+        ),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("vec"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).cast("double")
+    )
+    return docs.select(F.col(id_col), hist.alias("vec")).select(
+        F.col(id_col), F.col("vec"), F.round(norm, 6).alias("l2_norm")
+    )

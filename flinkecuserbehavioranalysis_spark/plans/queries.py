@@ -3125,3 +3125,39 @@ def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_step3") / F.col("n_step1"), 6).alias("conv_3"),
         )
     )
+
+
+from ..operators.text import hashed_vectorize  # noqa: E402
+
+
+@_q(
+    "text_hashed_vectors",
+    """
+WITH __w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             FROM documents),
+__b AS (SELECT doc_id,
+               list_transform(ws, w ->
+                 CAST(('0x' || substring(md5(w), 1, 8))::VARCHAR::UBIGINT % 16 AS BIGINT)) AS bks
+        FROM __w),
+__v AS (SELECT doc_id,
+               list_transform(range(16), d -> CAST(len(list_filter(bks, b -> b = d)) AS BIGINT)) AS vec
+        FROM __b)
+SELECT doc_id, vec[1] AS v0, vec[2] AS v1, vec[3] AS v2, vec[4] AS v3,
+       CAST(list_sum(vec) AS BIGINT) AS n_tokens,
+       round(sqrt(CAST(list_sum(list_transform(vec, x -> x * x)) AS DOUBLE)), 6) AS l2_norm
+FROM __v
+""",
+    "Extension (hashing-trick vectorizer): vocabulary-free text -> 16-dim count vector "
+    "via md5(token) % dim — the stateless text-to-embedding bridge feeding the vector "
+    "operators from raw text; map-only single fold, engine-bit-identical. Emitted as "
+    "head components + scalar summaries (full-array equality in tests).",
+)
+def text_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = hashed_vectorize(load_table(spark, sf_dir, "documents"), dim=16)
+    tok_sum = F.aggregate(F.col("vec"), F.lit(0).cast("long"), lambda a, x: a + x)
+    return out.select(
+        "doc_id",
+        *[F.col("vec")[i].alias(f"v{i}") for i in range(4)],
+        tok_sum.alias("n_tokens"),
+        "l2_norm",
+    )

@@ -901,3 +901,24 @@ def test_ivf_quantized_recall_floor(spark):
         approx.setdefault(r.q_id, set()).add(r.neighbor_id)
     recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_hashed_vectorize_matches_python(spark):
+    """Full-array equality of the hashing-trick vectors against a pure
+    Python replay (md5-bucket per token, histogram, l2 norm)."""
+    import hashlib
+    import math
+
+    from flinkecuserbehavioranalysis_spark.operators.text import hashed_vectorize
+
+    docs = spark.createDataFrame(
+        [(1, "spark hash spark window"), (2, ""), (3, "  a  b a ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (list(r.vec), r.l2_norm) for r in hashed_vectorize(docs, dim=8).collect()}
+    for i, text in [(1, "spark hash spark window"), (2, ""), (3, "  a  b a ")]:
+        vec = [0] * 8
+        for w in [w for w in text.split(" ") if w]:
+            vec[int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 8] += 1
+        assert got[i][0] == vec
+        assert abs(got[i][1] - round(math.sqrt(sum(x * x for x in vec)), 6)) < 1e-12
