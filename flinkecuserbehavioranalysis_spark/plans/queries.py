@@ -3161,3 +3161,71 @@ def text_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok_sum.alias("n_tokens"),
         "l2_norm",
     )
+
+
+@_q(
+    "idle_rich_customers_by_nation",
+    """
+WITH __avg AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0),
+__last AS (SELECT o_custkey, max(o_orderdate) AS last_o FROM orders GROUP BY 1)
+SELECT c.c_nationkey, count(*) AS n_cust,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer c CROSS JOIN __avg a JOIN __last l ON l.o_custkey = c.c_custkey
+WHERE c.c_acctbal > a.ab AND l.last_o < TIMESTAMP '2000-06-01'
+GROUP BY c.c_nationkey
+""",
+    "Extension (TPC-H Q22-style, dormancy variant): above-average-balance customers "
+    "whose LAST order predates the cutoff, counted per nation — scalar-subquery "
+    "threshold (one broadcast row) + custkey-grouped last-order date joined "
+    "co-partitioned, decimal-exact balance sums surfaced as double.",
+)
+def idle_rich_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    last = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_o")
+    )
+    idle = rich.join(last, "c_custkey").filter(
+        F.col("last_o") < F.lit("2000-06-01").cast("timestamp")
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+    )
+
+
+@_q(
+    "part_type_supplier_counts",
+    """
+SELECT p.p_brand, p.p_type, count(DISTINCT ps.s_suppkey) AS n_suppliers
+FROM part p
+JOIN (SELECT l_partkey, l_suppkey AS s_suppkey FROM lineitem) ps
+  ON p.p_partkey = ps.l_partkey
+WHERE ps.s_suppkey NOT IN (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < -500)
+GROUP BY 1, 2
+""",
+    "Extension (TPC-H Q16-style): distinct supplier counts per (brand, type) with a "
+    "NOT-IN supplier exclusion — the exclusion list is tiny and broadcasts as an anti "
+    "join; the distinct count rides the (partkey-joined) fact relation.",
+)
+def part_type_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_suppkey").alias("s_suppkey")
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < -500)
+        .select("s_suppkey")
+    )
+    j = (
+        li.join(bad, "s_suppkey", "left_anti")
+        .join(F.broadcast(p.select("p_partkey", "p_brand", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return j.groupBy("p_brand", "p_type").agg(
+        F.countDistinct("s_suppkey").alias("n_suppliers")
+    )
