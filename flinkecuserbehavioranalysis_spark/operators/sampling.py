@@ -222,3 +222,34 @@ def chunk_documents(
         F.length("c.txt").cast("long").alias("chunk_len"),
         F.col("c.txt").alias("chunk_text"),
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key: str,
+    weight: Column,
+    fraction: float,
+) -> DataFrame:
+    """Deterministic weight-proportional sampling: row keep-probability
+    scales with *weight* (P = fraction · w / max_w, so the heaviest row
+    keeps with probability *fraction* and everything else
+    proportionally less) — the length-weighted document sampling used
+    to bias a training mix toward long documents, with hash-sampling's
+    reproducibility guarantees (same key + same weights → same sample
+    on any engine, any partitioning, any run).
+
+    The single max-weight scalar broadcasts; the keep test is map-side
+    (md5 bucket < threshold).  Deliberately NOT normalized to hit an
+    exact output fraction — that would need a weight-sum shuffle and
+    break per-row decision locality; callers wanting a target size
+    compose with ``stratified_sample``-style exact ranking."""
+    mx = df.agg(F.max(weight).alias("__mx"))
+    return (
+        df.withColumn("__w", weight)
+        .crossJoin(F.broadcast(mx))
+        .filter(
+            hash_bucket(key).cast("double")
+            < F.lit(float(fraction) * _BUCKETS) * F.col("__w") / F.col("__mx")
+        )
+        .drop("__w", "__mx")
+    )

@@ -836,3 +836,34 @@ def ivf_quantized_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", "neighbor_id", "cos", "rnk")
     )
+
+
+def label_feature_stats(
+    vectors: DataFrame,
+    bucket_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-bucket per-dimension mean AND standard deviation — the
+    feature-normalization statistics a training pipeline fits before
+    z-scoring its embeddings (the two-moment extension of
+    ``label_centroids``).
+
+    Both moments go through DECIMAL(28,12) sums (summation-order
+    independent → engine-identical), variance is the exact-moment form
+    E[x²] − E[x]² computed from those decimal sums in double, and the
+    outputs round at 6 dp.  Same shuffle shape as the centroid
+    aggregation: map-side posexplode, ONE shuffle on (bucket, dim) —
+    n_buckets × dim groups regardless of corpus size."""
+    e = vectors.select(
+        F.col(bucket_col), F.posexplode(_as_double(vec_col)).alias("pos", "v")
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+    s2 = F.sum((F.col("v") * F.col("v")).cast("decimal(28,12)")).cast("double")
+    mean = s1 / n
+    var = s2 / n - (s1 / n) * (s1 / n)
+    return e.groupBy(bucket_col, "pos").agg(
+        F.round(mean, 6).alias("mean_val"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std_val"),
+        n.alias("n_vecs"),
+    )

@@ -3229,3 +3229,78 @@ def part_type_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("p_brand", "p_type").agg(
         F.countDistinct("s_suppkey").alias("n_suppliers")
     )
+
+
+from ..operators.sampling import weighted_hash_sample  # noqa: E402
+from ..operators.similarity import label_feature_stats  # noqa: E402
+
+
+@_q(
+    "documents_weighted_sample",
+    f"""
+WITH __d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+__m AS (SELECT max(n_tokens) AS mx FROM __d)
+SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens
+FROM __d d CROSS JOIN __m m
+WHERE CAST({_BUCKET_SQL.format(k='d.doc_id')} AS DOUBLE)
+      < 3000.0 * d.n_tokens / m.mx
+""",
+    "Extension (training-mix curation): deterministic length-weighted document sample — "
+    "keep-probability proportional to token count (P = 0.3 * w / max_w), one broadcast "
+    "max-weight scalar, map-side md5 keep test; reproducible across engines/runs/"
+    "partitionings unlike rand()-weighted sampling.",
+)
+def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.size(F.split(F.col("text"), " "))
+    out = weighted_hash_sample(docs, "doc_id", w, 0.3)
+    return out.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+
+
+@_q(
+    "embedding_label_feature_stats",
+    """
+SELECT label, pos - 1 AS pos,
+       round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_val,
+       round(sqrt(greatest(
+         CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+         - (CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*))
+           * (CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*)), 0.0)), 6) AS std_val,
+       count(*) AS n_vecs
+FROM (SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings)
+GROUP BY 1, 2
+""",
+    "Extension (feature normalization): per-label per-dimension mean and std — the "
+    "z-scoring statistics fit, decimal-summed two-moment form (engine-identical), one "
+    "(label, dim) shuffle; the two-moment extension of embedding_label_centroids.",
+)
+def embedding_label_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_feature_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+@_q(
+    "events_hourly_profile",
+    """
+SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,  -- DuckDB 0=Sun; Spark 1=Sun
+       CAST(hour(ts) AS BIGINT) AS hod,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+""",
+    "Extension (temporal profiling): the day-of-week x hour-of-day activity heatmap — "
+    "one map-side-combined aggregation to a fixed 7x24 grid; the seasonality fingerprint "
+    "behind anomaly baselines and load planning.",
+)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

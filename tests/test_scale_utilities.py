@@ -922,3 +922,22 @@ def test_hashed_vectorize_matches_python(spark):
             vec[int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 8] += 1
         assert got[i][0] == vec
         assert abs(got[i][1] - round(math.sqrt(sum(x * x for x in vec)), 6)) < 1e-12
+
+
+def test_weighted_hash_sample_bias_and_determinism(spark):
+    """Weight-proportional sampling: heavier rows keep more often (rate
+    ratio tracks the weight ratio), max-weight rows keep at ~fraction,
+    and the decision is deterministic across runs."""
+    from flinkecuserbehavioranalysis_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    rows = [(i, 10 if i % 2 == 0 else 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    kept = [tuple(r) for r in weighted_hash_sample(df, "k", F.col("w"), 0.5).collect()]
+    kept2 = [tuple(r) for r in weighted_hash_sample(df, "k", F.col("w"), 0.5).collect()]
+    assert sorted(kept) == sorted(kept2)
+    light = sum(1 for _, w in kept if w == 10) / 1000
+    heavy = sum(1 for _, w in kept if w == 100) / 1000
+    assert abs(heavy - 0.5) < 0.06          # max-weight rows keep at ~fraction
+    assert abs(light - 0.05) < 0.03         # 10x lighter -> ~10x rarer
