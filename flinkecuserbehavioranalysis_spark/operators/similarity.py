@@ -867,3 +867,60 @@ def label_feature_stats(
         F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std_val"),
         n.alias("n_vecs"),
     )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/metric training: for each
+    anchor, the *k* most similar vectors with a DIFFERENT label — the
+    near-boundary negatives that make embedding training losses
+    informative (random negatives are mostly trivial at scale).
+
+    Same plan shape as ``brute_force_topk`` (broadcast anchor set,
+    embarrassingly-parallel corpus scan, per-anchor window rank) with a
+    label-inequality predicate fused into the scan join; swap the scan
+    side for an IVF/LSH candidate set at corpus scale exactly like the
+    ANN variants.  Returns (anchor_id, anchor_label, negative_id,
+    negative_label, cos, rnk)."""
+    from pyspark.sql import Window
+
+    a = (
+        anchors.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("anchor_label"),
+            _as_double(vec_col).alias("a_vec"),
+        )
+        .withColumn("a_norm", F.sqrt(dot(F.col("a_vec"), F.col("a_vec"))))
+    )
+    v = (
+        vectors.select(
+            F.col(id_col).alias("negative_id"),
+            F.col(label_col).alias("negative_label"),
+            _as_double(vec_col).alias("v_vec"),
+        )
+        .withColumn("v_norm", F.sqrt(dot(F.col("v_vec"), F.col("v_vec"))))
+    )
+    scored = (
+        v.crossJoin(F.broadcast(a))
+        .filter(F.col("negative_label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            F.round(
+                dot(F.col("a_vec"), F.col("v_vec")) / (F.col("a_norm") * F.col("v_norm")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cos").desc(), F.col("negative_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

@@ -3304,3 +3304,31 @@ def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+from ..operators.similarity import hard_negatives  # noqa: E402
+
+
+@_q(
+    "embedding_hard_negatives",
+    f"""
+WITH __e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+__a AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS av FROM __e
+        WHERE vec_id < 10),
+__s AS (SELECT a.anchor_id, a.anchor_label, e.vec_id AS negative_id,
+               e.label AS negative_label,
+               {_COS_SQL.format(a='a.av', b='e.v')} AS cos
+        FROM __a a CROSS JOIN __e e WHERE e.label <> a.anchor_label)
+SELECT anchor_id, anchor_label, negative_id, negative_label, cos,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY cos DESC, negative_id) AS rnk FROM __s)
+WHERE rnk <= 3
+""",
+    "Extension (contrastive training prep): hard-negative mining — per anchor the 3 most "
+    "similar DIFFERENT-label vectors (near-boundary negatives); brute-force shape with "
+    "the label predicate fused into the broadcast scan join, IVF/LSH-swappable at scale.",
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=3)

@@ -305,3 +305,65 @@ def streaming_daily_counts(
             F.col("cnt"),
         )
     )
+
+
+def streaming_daily_users(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Watermarked per-(day, user) presence stream — append mode emits
+    each (day, user) exactly once when the watermark closes the day;
+    feeds ``streaming_active_users_foreach_batch``."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), "1 day").alias("w"), F.col(user_col)
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            F.col(user_col),
+        )
+    )
+
+
+def streaming_active_users_foreach_batch(
+    user_day_store: set,
+    sink: list,
+    lookback: int = 7,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch half of the streaming DAU/WAU monitor: closed
+    (day, user) presences upsert a (day, user) store — key×days-sized,
+    the external-state discipline — and every day whose trailing
+    *lookback* window touched the batch is re-scored (dau = distinct
+    users that day, wau = distinct over the trailing window).  Bounded
+    replay matches the batch ``events_rolling_active_users`` on every
+    closeable day."""
+    import datetime as dt
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.collect()
+        touched_days = set()
+        for r in rows:
+            user_day_store.add((r["day"], r["user_id"]))
+            touched_days.add(r["day"])
+        if not touched_days:
+            return
+        affected = set()
+        for d in touched_days:
+            base = dt.date.fromisoformat(d)
+            for o in range(lookback):
+                affected.add((base + dt.timedelta(days=o)).isoformat())
+        for d in sorted(affected):
+            base = dt.date.fromisoformat(d)
+            frame = {
+                (base - dt.timedelta(days=o)).isoformat() for o in range(lookback)
+            }
+            dau = len({u for (dd, u) in user_day_store if dd == d})
+            wau = len({u for (dd, u) in user_day_store if dd in frame})
+            sink[:] = [s for s in sink if s[0] != d]
+            sink.append((d, dau, wau))
+
+    return process

@@ -739,3 +739,36 @@ def test_streaming_anomaly_matches_batch(spark):
     closeable = {k: v for k, v in batch.items() if k[1] < last_day}
     assert got == closeable
     assert len(got) > 0
+
+
+def test_streaming_active_users_matches_batch(spark):
+    """Bounded replay of the (day, user) presence stream + foreachBatch
+    DAU/WAU scoring matches events_rolling_active_users on every day
+    whose trailing window is fully closeable."""
+    from flinkecuserbehavioranalysis_spark.plans.queries import QUERIES
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import (
+        read_events_stream,
+        run_bounded,
+        streaming_active_users_foreach_batch,
+        streaming_daily_users,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    store: set = set()
+    sink: list = []
+    run_bounded(
+        streaming_daily_users(read_events_stream(spark, sf)),
+        "append",
+        foreach_batch=streaming_active_users_foreach_batch(store, sink),
+    )
+    got = {d: (dau, wau) for d, dau, wau in sink}
+    batch = {
+        r.day.isoformat(): (r.dau, r.wau)
+        for r in QUERIES["events_rolling_active_users"].fn(spark, sf).collect()
+    }
+    # the last day never closes in append mode; windows that extend past
+    # it are also incomplete on the stream side
+    last_day = max(d for d in batch if batch[d][0] > 0)
+    comparable = {d: v for d, v in batch.items() if d < last_day}
+    assert {d: got[d] for d in comparable} == comparable
+    assert len(comparable) > 10
