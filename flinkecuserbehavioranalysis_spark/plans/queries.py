@@ -1244,13 +1244,19 @@ def event_last_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_train_ctes(
-    n_cells: int, train_iters: int, train_buckets: int | None
+    n_cells: int,
+    train_iters: int,
+    train_buckets: int | None,
+    source: str = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
 ) -> tuple[str, str]:
     """Shared DuckDB CTE prefix replaying ``kmeans_fit`` exactly: seed
     selection, then one (assignment, centroid-mean) CTE pair per Lloyd
     iteration — 6 dp-rounded cosines for the argmax, DECIMAL(28,12)
     sums rounded to 6 dp for the means, so the trained codebook is
-    bit-identical to Spark's.  Returns (sql_prefix, final_seed_cte)."""
+    bit-identical to Spark's.  *source* supplies the (vec_id, v) input
+    relation — any vectorizable modality plugs in (the text-topic query
+    passes the hashed-vectorizer CTE).  Returns (sql_prefix,
+    final_seed_cte)."""
     cos = _COS_SQL
     train_where = (
         f"WHERE {_BUCKET_SQL.format(k='vec_id')} < {train_buckets}"
@@ -1258,7 +1264,7 @@ def _kmeans_train_ctes(
         else ""
     )
     sql = f"""
-WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH __e AS ({source}),
 __et AS (SELECT vec_id, v FROM __e {train_where}),
 __s0 AS (SELECT vec_id AS seed_id, v AS sv FROM __et ORDER BY vec_id LIMIT {n_cells}),
 """
@@ -3332,3 +3338,62 @@ WHERE rnk <= 3
 def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+_HASHED_VEC_SOURCE = """
+SELECT doc_id AS vec_id,
+       list_transform(range(16), d -> CAST(len(list_filter(bks, b -> b = d)) AS DOUBLE)) AS v
+FROM (SELECT doc_id,
+             list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+               w -> CAST(('0x' || substring(md5(w), 1, 8))::VARCHAR::UBIGINT % 16 AS BIGINT)) AS bks
+      FROM documents)"""
+
+
+def _text_topic_oracle(n_cells: int, train_iters: int) -> str:
+    cos = _COS_SQL
+    prefix, cur = _kmeans_train_ctes(n_cells, train_iters, None, source=_HASHED_VEC_SOURCE)
+    return (
+        prefix
+        + f"""__asg AS (SELECT e.vec_id, s.seed_id, {cos.format(a='e.v', b='s.sv')} AS c,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos.format(a='e.v', b='s.sv')} DESC, s.seed_id) AS r
+           FROM __e e CROSS JOIN {cur} s),
+__fin AS (SELECT a.vec_id, a.seed_id AS cluster_id, a.c, d.lang AS label
+         FROM __asg a JOIN documents d ON d.doc_id = a.vec_id WHERE a.r = 1),
+__st AS (SELECT cluster_id, count(*) AS n_vecs,
+                round(CAST(sum(CAST(c AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_cos
+         FROM __fin GROUP BY 1),
+__lc AS (SELECT cluster_id, label, count(*) AS n FROM __fin GROUP BY 1, 2),
+__top AS (SELECT cluster_id, label AS top_label, n
+          FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                             ORDER BY n DESC, label) AS r FROM __lc)
+          WHERE r = 1)
+SELECT s.cluster_id, s.n_vecs, s.avg_cos, t.top_label,
+       round(CAST(t.n AS DOUBLE) / s.n_vecs, 6) AS top_label_share
+FROM __st s JOIN __top t USING (cluster_id)
+"""
+    )
+
+
+@_q(
+    "text_topic_clusters",
+    _text_topic_oracle(4, 2),
+    "Extension (cross-modal capstone): topic bucketing of raw TEXT entirely in-engine — "
+    "hashing-trick vectorizer (vocabulary-free, map-only) feeding the shared spherical "
+    "k-means Lloyd loop (k=4, 2 iterations, decimal-stable codebook); per-cluster size, "
+    "mean member cosine and majority-language purity, with the full vectorize+train "
+    "pipeline replayed by the SQL oracle.",
+)
+def text_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import hashed_vectorize
+
+    docs = load_table(spark, sf_dir, "documents")
+    hv = hashed_vectorize(docs, dim=16).select(
+        F.col("doc_id").alias("vec_id"), F.col("vec")
+    )
+    labeled = hv.join(
+        docs.select(F.col("doc_id").alias("vec_id"), F.col("lang")), "vec_id"
+    )
+    return kmeans_cluster_stats(
+        labeled, id_col="vec_id", vec_col="vec", label_col="lang", n_cells=4, train_iters=2
+    )
