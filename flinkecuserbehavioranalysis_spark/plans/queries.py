@@ -3397,3 +3397,81 @@ def text_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cluster_stats(
         labeled, id_col="vec_id", vec_col="vec", label_col="lang", n_cells=4, train_iters=2
     )
+
+
+@_q(
+    "embedding_triplet_candidates",
+    f"""
+WITH __e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+__a AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS av FROM __e
+        WHERE vec_id < 10),
+__s AS (SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,
+               {_COS_SQL.format(a='a.av', b='e.v')} AS cos
+        FROM __a a CROSS JOIN __e e WHERE e.vec_id <> a.anchor_id),
+__pos AS (SELECT anchor_id, anchor_label, vec_id AS pos_id, cos AS pos_cos
+          FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                          ORDER BY cos ASC, vec_id) AS r
+                FROM __s WHERE label = anchor_label)
+          WHERE r = 1),
+__neg AS (SELECT anchor_id, vec_id AS neg_id, cos AS neg_cos
+          FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                          ORDER BY cos DESC, vec_id) AS r
+                FROM __s WHERE label <> anchor_label)
+          WHERE r = 1)
+SELECT p.anchor_id, p.anchor_label, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+       round(p.pos_cos - n.neg_cos, 6) AS margin
+FROM __pos p JOIN __neg n USING (anchor_id)
+""",
+    "Extension (metric-learning data prep): per-anchor hardest triplet — the LEAST "
+    "similar same-label positive and the MOST similar different-label negative, with the "
+    "(often negative) margin between them; one broadcast anchor scan ranked twice, the "
+    "triplet-mining step before a contrastive training run.",
+)
+def embedding_triplet_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _as_double, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            _as_double("embedding").alias("av"),
+        )
+        .withColumn("an", F.sqrt(dot(F.col("av"), F.col("av"))))
+    )
+    v = emb.select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    ).withColumn("vn", F.sqrt(dot(F.col("v"), F.col("v"))))
+    s = (
+        v.crossJoin(F.broadcast(a))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            "label",
+            F.round(dot(F.col("av"), F.col("v")) / (F.col("an") * F.col("vn")), 6).alias("cos"),
+        )
+    )
+    wp = Window.partitionBy("anchor_id").orderBy(F.col("cos").asc(), F.col("vec_id").asc())
+    pos = (
+        s.filter(F.col("label") == F.col("anchor_label"))
+        .withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") == 1)
+        .select("anchor_id", "anchor_label", F.col("vec_id").alias("pos_id"),
+                F.col("cos").alias("pos_cos"))
+    )
+    wn = Window.partitionBy("anchor_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    neg = (
+        s.filter(F.col("label") != F.col("anchor_label"))
+        .withColumn("r", F.row_number().over(wn))
+        .filter(F.col("r") == 1)
+        .select("anchor_id", F.col("vec_id").alias("neg_id"), F.col("cos").alias("neg_cos"))
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id", "anchor_label", "pos_id", "pos_cos", "neg_id", "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+    )
