@@ -3475,3 +3475,48 @@ def embedding_triplet_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anchor_id", "anchor_label", "pos_id", "pos_cos", "neg_id", "neg_cos",
         F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
     )
+
+
+@_q(
+    "lang_id_confusion_matrix",
+    f"""
+WITH __ptri AS (
+  SELECT DISTINCT doc_id, lang, unnest(list_transform(
+           range(1, len(text) - 1), i -> substring(text, i, 3))) AS tri
+  FROM documents
+  WHERE len(text) >= 3 AND {_BUCKET_SQL.format(k='doc_id')} < 5000),
+__df AS (SELECT lang, tri, count(*) AS df FROM __ptri GROUP BY 1, 2),
+__prof AS (
+  SELECT lang AS cand_lang, tri
+  FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY df DESC, tri) AS r
+        FROM __df)
+  WHERE r <= 50),
+__tri AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+           range(1, len(text) - 1), i -> substring(text, i, 3))) AS tri
+  FROM documents WHERE len(text) >= 3),
+__ov AS (
+  SELECT t.doc_id, p.cand_lang, count(*) AS hits
+  FROM __tri t JOIN __prof p ON t.tri = p.tri
+  GROUP BY 1, 2),
+__best AS (
+  SELECT doc_id, cand_lang
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS r
+        FROM __ov)
+  WHERE r = 1)
+SELECT d.lang AS true_lang,
+       coalesce(b.cand_lang, 'und') AS predicted_lang,
+       count(*) AS n_docs
+FROM documents d LEFT JOIN __best b ON d.doc_id = b.doc_id
+GROUP BY 1, 2
+""",
+    "Extension (model evaluation): the trigram language-ID classifier's confusion matrix "
+    "— (true, predicted) doc counts over the full corpus; the quality gate an in-engine "
+    "classifier ships with (precision/recall derive directly from these cells).",
+)
+def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = lang_id_ngram(load_table(spark, sf_dir, "documents"), profile_fraction=0.5)
+    return out.groupBy(
+        F.col("lang").alias("true_lang"),
+        F.col("lang_guess_ngram").alias("predicted_lang"),
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
