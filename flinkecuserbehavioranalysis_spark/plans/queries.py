@@ -3520,3 +3520,42 @@ def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("true_lang"),
         F.col("lang_guess_ngram").alias("predicted_lang"),
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@_q(
+    "weekly_revenue_wow",
+    f"""
+WITH __wk AS (
+  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+         CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1)
+SELECT week_start, revenue,
+       round(CASE WHEN lag(revenue) OVER (ORDER BY week_start) > 0
+                  THEN revenue / lag(revenue) OVER (ORDER BY week_start) - 1.0
+             END, 6) AS wow_growth
+FROM __wk
+""",
+    "Extension (business reporting): weekly revenue with week-over-week growth — the "
+    "decimal-exact revenue aggregation rolled to week_start, then ONE ordered window "
+    "over the (weeks-sized, pre-aggregated) relation; the single-partition stage is "
+    "bounded by the calendar, never the fact table.",
+)
+def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l, o = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    wk = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy("week_start")
+    prev = F.lag("revenue").over(w)
+    return wk.select(
+        "week_start",
+        "revenue",
+        F.round(
+            F.when(prev > 0, F.col("revenue") / prev - F.lit(1.0)), 6
+        ).alias("wow_growth"),
+    )
