@@ -3559,3 +3559,41 @@ def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(prev > 0, F.col("revenue") / prev - F.lit(1.0)), 6
         ).alias("wow_growth"),
     )
+
+
+_CLUSTER_HIST_ORACLE = f"""
+WITH RECURSIVE __p AS ({_lsh_verified_oracle(0.5)}),
+__eg AS (SELECT doc_a AS s, doc_b AS d FROM __p
+         UNION SELECT doc_b, doc_a FROM __p),
+__r AS (SELECT s AS v, d AS w FROM __eg
+        UNION
+        SELECT r.v, e.d FROM __r r JOIN __eg e ON r.w = e.s),
+__lbl AS (SELECT v AS doc_id, least(v, min(w)) AS canonical_id FROM __r GROUP BY v),
+__all AS (SELECT d.doc_id, coalesce(l.canonical_id, d.doc_id) AS canonical_id
+          FROM documents d LEFT JOIN __lbl l USING (doc_id)),
+__sz AS (SELECT canonical_id, count(*) AS cluster_size FROM __all GROUP BY 1)
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM __sz GROUP BY cluster_size
+"""
+
+
+@_q(
+    "dedup_cluster_size_histogram",
+    _CLUSTER_HIST_ORACLE,
+    "Extension (dedup diagnostics): duplicate-cluster size histogram — how many clusters "
+    "of each size the near-dup graph produces and how many docs they hold (size 1 = "
+    "unique docs; sum(n_docs) = corpus; sum over size>1 of (size-1) = docs removable by "
+    "canonicalization) — the headline duplication stat of a corpus audit.",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import canonicalize_duplicates, lsh_verified_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(docs, k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5)
+    canon = canonicalize_duplicates(docs, pairs)
+    sizes = canon.groupBy("canonical_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
