@@ -242,14 +242,31 @@ def weighted_hash_sample(
     (md5 bucket < threshold).  Deliberately NOT normalized to hit an
     exact output fraction — that would need a weight-sum shuffle and
     break per-row decision locality; callers wanting a target size
-    compose with ``stratified_sample``-style exact ranking."""
+    compose with ``stratified_sample``-style exact ranking.
+
+    Precondition: weights must be positive.  max(weight) <= 0 (or all
+    null) on a non-empty input raises at execution time instead of
+    silently returning an empty sample; rows whose own weight is <= 0
+    or null are never kept (their threshold is <= 0).  An empty input
+    yields an empty output without error."""
     mx = df.agg(F.max(weight).alias("__mx"))
+    # the guard rides the broadcast scalar: any surviving row evaluates
+    # it, so a degenerate max fails fast; an empty df never gets here
+    checked_mx = F.when(
+        F.col("__mx").isNull() | (F.col("__mx") <= 0),
+        F.raise_error(
+            F.lit(
+                "weighted_hash_sample: weights must be positive "
+                "(max(weight) is null or <= 0)"
+            )
+        ).cast("double"),
+    ).otherwise(F.col("__mx"))
     return (
         df.withColumn("__w", weight)
         .crossJoin(F.broadcast(mx))
         .filter(
             hash_bucket(key).cast("double")
-            < F.lit(float(fraction) * _BUCKETS) * F.col("__w") / F.col("__mx")
+            < F.lit(float(fraction) * _BUCKETS) * F.col("__w") / checked_mx
         )
         .drop("__w", "__mx")
     )

@@ -454,12 +454,20 @@ def kmeans_cluster_stats(
     v = vectors.select(
         F.col(id_col), *label_cols, _as_double(vec_col).alias("v_vec")
     ).withColumn("v_norm", F.sqrt(dot(F.col("v_vec"), F.col("v_vec"))))
+    # project the argmax struct ONCE, extract fields in a second select —
+    # pulling best.id and best.c straight out of the fold in one select
+    # would inline the whole O(n_cells x dim) codebook scan twice per row
+    # (CollapseProject keeps non-cheap multiply-referenced exprs staged)
     best = _best_cell_scored("v_vec", "v_norm")
-    assigned = v.crossJoin(F.broadcast(_pack(seeds))).select(
-        F.col(id_col),
-        *label_cols,
-        best.id.alias("cluster_id"),
-        best.c.alias("cos"),
+    assigned = (
+        v.crossJoin(F.broadcast(_pack(seeds)))
+        .select(F.col(id_col), *label_cols, best.alias("__b"))
+        .select(
+            F.col(id_col),
+            *label_cols,
+            F.col("__b.id").alias("cluster_id"),
+            F.col("__b.c").alias("cos"),
+        )
     )
     stats = assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_vecs"),
@@ -714,9 +722,17 @@ def quantized_topk(
     v = qz.select(
         F.col(id_col).alias("neighbor_id"), F.col("q").alias("v_q")
     ).withColumn("v_n", F.sqrt(idot(F.col("v_q"), F.col("v_q")).cast("double")))
-    qs = qz.join(
-        queries.select(F.col(query_id_col).alias(id_col)).distinct(), id_col
-    ).select(F.col(id_col).alias("q_id"), F.col("q").alias("q_q"))
+    # quantize the queries' OWN vectors (per-vector scales cancel out of
+    # the cosine independently per side, so nothing requires the query to
+    # come from the corpus) — a query id absent from `vectors` still
+    # scores, instead of silently emitting no rows as a corpus-join would
+    qs = quantize_embeddings(
+        queries.select(
+            F.col(query_id_col).alias("q_id"), F.col(vec_col)
+        ).dropDuplicates(["q_id"]),
+        "q_id",
+        vec_col,
+    ).select(F.col("q_id"), F.col("q").alias("q_q"))
     qs = qs.withColumn("q_n", F.sqrt(idot(F.col("q_q"), F.col("q_q")).cast("double")))
     scored = (
         v.crossJoin(F.broadcast(qs))
@@ -807,12 +823,20 @@ def ivf_quantized_topk(
         ),
     )
     wq = Window.partitionBy("q_id").orderBy(F.col("s_cos").desc(), F.col("cell").asc())
+    # query codes come from the queries' own vectors (scale cancellation
+    # is per-side — see quantized_topk), not a join into the corpus codes
+    q_codes = quantize_embeddings(
+        queries.select(
+            F.col(query_id_col).alias("q_id"), F.col(vec_col)
+        ).dropDuplicates(["q_id"]),
+        "q_id",
+        vec_col,
+    ).select(F.col("q_id"), F.col("q").alias("q_q"))
     probes = (
         q_scored.withColumn("__r", F.row_number().over(wq))
         .filter(F.col("__r") <= nprobe)
         .select("q_id", "cell")
-        .join(qz.withColumnRenamed(id_col, "q_id"), "q_id")
-        .withColumnRenamed("q", "q_q")
+        .join(q_codes, "q_id")
         .withColumn("q_n", F.sqrt(idot(F.col("q_q"), F.col("q_q")).cast("double")))
     )
     scored = (

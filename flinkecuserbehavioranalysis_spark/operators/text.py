@@ -367,23 +367,29 @@ def pii_scan(
 
     Per pattern family (email / URL / long digit run by default) emits a
     match count ``n_<name>``, plus the fully redacted text (every match
-    replaced by *mask*, applied in declaration order so broader patterns
-    mask before their fragments can re-match) and its length.  MAP-ONLY
-    Catalyst regex — no shuffle, no
-    Python; at 100 TB this runs at scan speed and composes into the
-    corpus pipelines as a projection, exactly like ``quality_ok``."""
-    counts = [
-        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
-        for name, pat in patterns
-    ]
-    redacted = F.col(text_col)
-    for _, pat in patterns:
-        redacted = F.regexp_replace(redacted, pat, mask)
-    return df.select(
-        F.col(id_col),
-        *counts,
-        redacted.alias("redacted"),
-        F.length(redacted).cast("long").alias("redacted_len"),
+    replaced by *mask*) and its length.  Counting and masking advance
+    TOGETHER through the pattern list: pattern *i* is counted on the
+    text with patterns 0..i-1 already masked, so an email's digits can
+    never double-count as a digit run (``n_digit_run`` counts only runs
+    that survive email/URL masking).  MAP-ONLY Catalyst regex — no
+    shuffle, no Python; at 100 TB this runs at scan speed and composes
+    into the corpus pipelines as a projection, exactly like
+    ``quality_ok``.  Built as one select per pattern (count + next mask
+    reference the prior stage's column once each) so each redaction
+    regex evaluates once per row, not once per downstream count."""
+    out = df.select(F.col(id_col), F.col(text_col).alias("__redacting"))
+    for name, pat in patterns:
+        out = out.select(
+            *[F.col(c) for c in out.columns if c != "__redacting"],
+            F.regexp_count(F.col("__redacting"), F.lit(pat))
+            .cast("long")
+            .alias(f"n_{name}"),
+            F.regexp_replace(F.col("__redacting"), pat, mask).alias("__redacting"),
+        )
+    return out.select(
+        *[F.col(c) for c in out.columns if c != "__redacting"],
+        F.col("__redacting").alias("redacted"),
+        F.length("__redacting").cast("long").alias("redacted_len"),
     )
 
 

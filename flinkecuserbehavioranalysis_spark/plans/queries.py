@@ -2287,25 +2287,26 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "events_pii_scan",
     """
+WITH __t0 AS (SELECT event_id, props AS t0 FROM events),
+__t1 AS (SELECT event_id, t0,
+                regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<PII>', 'g') AS t1
+         FROM __t0),
+__t2 AS (SELECT event_id, t0, t1,
+                regexp_replace(t1, 'https?://[^ ]+', '<PII>', 'g') AS t2
+         FROM __t1)
 SELECT event_id,
-       CAST(len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-       CAST(len(regexp_extract_all(props, 'https?://[^ ]+')) AS BIGINT) AS n_url,
-       CAST(len(regexp_extract_all(props, '[0-9]{2,}')) AS BIGINT) AS n_digit_run,
-       regexp_replace(
-         regexp_replace(
-           regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<PII>', 'g'),
-           'https?://[^ ]+', '<PII>', 'g'),
-         '[0-9]{2,}', '<PII>', 'g') AS redacted,
-       CAST(len(regexp_replace(
-         regexp_replace(
-           regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<PII>', 'g'),
-           'https?://[^ ]+', '<PII>', 'g'),
-         '[0-9]{2,}', '<PII>', 'g')) AS BIGINT) AS redacted_len
-FROM events
+       CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t1, 'https?://[^ ]+')) AS BIGINT) AS n_url,
+       CAST(len(regexp_extract_all(t2, '[0-9]{2,}')) AS BIGINT) AS n_digit_run,
+       regexp_replace(t2, '[0-9]{2,}', '<PII>', 'g') AS redacted,
+       CAST(len(regexp_replace(t2, '[0-9]{2,}', '<PII>', 'g')) AS BIGINT) AS redacted_len
+FROM __t2
 """,
     "Extension (PII scrub): detection counts + mask redaction for email / URL / long "
     "digit-run patterns over the event props payload — map-only Catalyst regex (the "
-    "pre-training scrubbing pass); pattern hits on real PII shapes are fixture-tested.",
+    "pre-training scrubbing pass); each pattern is counted on the text with prior "
+    "patterns already masked, so fragments never double-count; pattern hits on real "
+    "PII shapes are fixture-tested.",
 )
 def events_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -685,6 +685,9 @@ def test_pii_scan_detects_and_redacts(spark):
     out = {r.id: r for r in pii_scan(df, "id", "body").collect()}
     r1 = out[1]
     assert (r1.n_email, r1.n_url) == (1, 1)
+    # bob99's digits and the URL's ?id=42 are inside already-masked
+    # matches — counting on the progressively-redacted text sees neither
+    assert r1.n_digit_run == 0
     assert "bob99@example.com" not in r1.redacted and "https://" not in r1.redacted
     assert r1.redacted == "contact <PII> or visit <PII> now"
     r2 = out[2]
@@ -941,3 +944,58 @@ def test_weighted_hash_sample_bias_and_determinism(spark):
     heavy = sum(1 for _, w in kept if w == 100) / 1000
     assert abs(heavy - 0.5) < 0.06          # max-weight rows keep at ~fraction
     assert abs(light - 0.05) < 0.03         # 10x lighter -> ~10x rarer
+
+
+def test_weighted_hash_sample_degenerate_weights(spark):
+    """max(weight) <= 0 on a non-empty input fails fast instead of
+    silently returning an empty sample; an empty input stays an empty
+    (errorless) output; negative-weight rows are never kept."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from flinkecuserbehavioranalysis_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    zero = spark.createDataFrame([(1, 0), (2, -5)], "k long, w long")
+    with pytest.raises((Py4JJavaError, PySparkException)) as exc:
+        weighted_hash_sample(zero, "k", F.col("w"), 0.5).collect()
+    assert "weights must be positive" in str(exc.value)
+
+    empty = spark.createDataFrame([], "k long, w long")
+    assert weighted_hash_sample(empty, "k", F.col("w"), 0.5).collect() == []
+
+    mixed = spark.createDataFrame(
+        [(i, -7 if i % 2 else 100) for i in range(200)], "k long, w long"
+    )
+    kept = weighted_hash_sample(mixed, "k", F.col("w"), 0.5).collect()
+    assert kept and all(r.w > 0 for r in kept)
+
+
+def test_quantized_topk_query_outside_corpus(spark):
+    """A query vector whose id is NOT in the corpus still gets ranked
+    neighbors (queries' own vectors are quantized — no corpus join to
+    silently drop absent ids), and scores match an in-corpus twin with
+    the same vector."""
+    from flinkecuserbehavioranalysis_spark.operators.similarity import (
+        quantized_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.8, 0.6]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    outside = spark.createDataFrame(
+        [(99, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = quantized_topk(corpus, outside, k=3).collect()
+    assert {r.q_id for r in got} == {99}
+    by_rank = sorted(got, key=lambda r: r.rnk)
+    assert [r.neighbor_id for r in by_rank] == [1, 2, 3]
+    # identical vector, in-corpus id → identical neighbor scores
+    inside = quantized_topk(corpus, corpus.filter(F.col("vec_id") == 1), k=3).collect()
+    ref = {r.neighbor_id: r.cos for r in inside}
+    for r in got:
+        if r.neighbor_id in ref:
+            assert r.cos == ref[r.neighbor_id]
