@@ -270,6 +270,14 @@ def duplicate_components(
     (Kiveris et al., "Connected Components in MapReduce"), which is
     O(log n) rounds of the same join shape.
 
+    EAGER BY CONTRACT: the per-round ``localCheckpoint`` + scalar
+    convergence probe are Spark actions, so calling this function runs
+    the whole propagation (and the upstream pair plan) immediately —
+    the returned DataFrame is a view over materialized labels, not a
+    deferred plan.  Callers building several queries over the same
+    edge set should build the mapping once and share it (the registry
+    memoizes per (session, sf_dir) — see ``plans.queries._cached_canon``).
+
     The edge set is materialized once via ``localCheckpoint`` so the
     upstream pair plan (often an LSH pipeline) is not re-executed per
     round and the loop's lineage stays flat.  On a real cluster prefer
