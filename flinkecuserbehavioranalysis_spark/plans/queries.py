@@ -1460,25 +1460,26 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..operators.dedup import canonicalize_duplicates  # noqa: E402
 
-#: Session-scoped memo for canonical-id mappings.  Building a mapping is
-#: EAGER BY CONTRACT: ``duplicate_components`` runs an iterative label-
+#: Session-scoped memo for DataFrames shared across registry queries.
+#: Two uses: (a) canonical-id mappings, whose construction is EAGER BY
+#: CONTRACT — ``duplicate_components`` runs an iterative label-
 #: propagation loop whose per-round convergence probe and localCheckpoint
 #: are Spark actions, so the LSH + propagation work executes inside the
 #: query-builder ``fn(spark, sf_dir)`` rather than at the caller's first
-#: action.  The memo converts that from a per-dependent-query cost into a
-#: once-per-(session, sf_dir, family) cost — dedup_components,
-#: dedup_cluster_size_histogram, corpus_neardup_stats and
-#: embedding_neardup_components each reuse the materialized labels
-#: (checkpoint blocks live for the session; keys include the Spark
-#: applicationId so a fresh driver process never sees stale frames).
-_CANON_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+#: action; (b) lazily-persisted intermediates (the lang-ID scored frame)
+#: where handing every dependent query the SAME persisted DataFrame lets
+#: the first action materialize the cache and the rest reuse it.  Either
+#: way the memo converts a per-dependent-query cost into once per
+#: (session, sf_dir, family); keys include the Spark applicationId so a
+#: fresh driver process never sees stale frames.
+_FRAME_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _cached_canon(spark: SparkSession, sf_dir: str, family: str, build) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, family)
-    if key not in _CANON_CACHE:
-        _CANON_CACHE[key] = build()
-    return _CANON_CACHE[key]
+    if key not in _FRAME_CACHE:
+        _FRAME_CACHE[key] = build()
+    return _FRAME_CACHE[key]
 
 
 @_q(
@@ -2279,7 +2280,24 @@ FROM documents d LEFT JOIN __best b ON d.doc_id = b.doc_id
     "before any distinct, so no shuffle is proportional to raw trigram volume.",
 )
 def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lang_id_ngram(load_table(spark, sf_dir, "documents"), profile_fraction=0.5)
+    return _lang_id_scored(spark, sf_dir)
+
+
+def _lang_id_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trigram classifier's scored frame (doc_id, lang,
+    lang_guess_ngram, profile_hits), persisted and memoized per
+    (session, sf_dir) — text_lang_id_ngram and lang_id_confusion_matrix
+    share ONE classifier run instead of each re-deriving the profile
+    and re-scoring the corpus.  persist() is lazy: whichever dependent
+    query acts first materializes the cache (corpus-sized but narrow —
+    4 scalar columns per doc)."""
+
+    def build() -> DataFrame:
+        return lang_id_ngram(
+            load_table(spark, sf_dir, "documents"), profile_fraction=0.5
+        ).persist()
+
+    return _cached_canon(spark, sf_dir, "lang_id_ngram_05", build)
 
 
 # =====================================================================
@@ -3559,10 +3577,11 @@ GROUP BY 1, 2
 """,
     "Extension (model evaluation): the trigram language-ID classifier's confusion matrix "
     "— (true, predicted) doc counts over the full corpus; the quality gate an in-engine "
-    "classifier ships with (precision/recall derive directly from these cells).",
+    "classifier ships with (precision/recall derive directly from these cells). Shares "
+    "text_lang_id_ngram's persisted scored frame — one classifier run per session.",
 )
 def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = lang_id_ngram(load_table(spark, sf_dir, "documents"), profile_fraction=0.5)
+    out = _lang_id_scored(spark, sf_dir)
     return out.groupBy(
         F.col("lang").alias("true_lang"),
         F.col("lang_guess_ngram").alias("predicted_lang"),
