@@ -398,6 +398,8 @@ def build_vocab(
     text_col: str = "text",
     max_size: int = 1000,
     min_count: int = 1,
+    single_stage_cap: int = 1_000_000,
+    shards: int = 64,
 ) -> DataFrame:
     """Vocabulary construction: global token counts → contiguous ids —
     the tokenizer-training front half of an LLM data pipeline.
@@ -405,12 +407,28 @@ def build_vocab(
     Whitespace tokens (empties filtered — leading/trailing/double spaces
     add no phantom tokens), counted corpus-wide, ranked by (count desc,
     token asc) for a deterministic id assignment, truncated to
-    *max_size*.  Scale shape: one partial/final count shuffle over
-    distinct tokens (vocab-sized, not corpus-sized, after the map-side
-    combine), then a TakeOrderedAndProject for the cut and a final
-    row_number over the ≤ *max_size* survivors — the only
-    single-partition stage is bounded by the vocab size, never the
-    corpus.  Returns (token, cnt, vocab_id 1-based)."""
+    *max_size*.  Always one partial/final count shuffle over distinct
+    tokens (vocab-sized, not corpus-sized, after the map-side combine);
+    the ranking stage then depends on *max_size*:
+
+    - ``max_size <= single_stage_cap`` — TakeOrderedAndProject for the
+      cut plus one row_number over the ≤ *max_size* survivors.  The
+      single-partition stage is bounded by *max_size*, never the
+      corpus, so the guard is on the PARAMETER: no distinct-token
+      pre-count can make it worse.
+    - ``max_size > single_stage_cap`` — a 10M-term limit would turn
+      both the top-K heap and the id window into one fat partition, so
+      the ranking AUTO-SHARDS: range-partition the counts on
+      (cnt desc, token asc) into *shards* sorted shards (persisted once
+      so the two passes below see identical partitioning), rank within
+      each shard, then offset by the shard-count prefix sums (a
+      *shards*-row driver aggregate).  Range partitioning totally
+      orders the shards, so offset + local rank IS the global rank —
+      the classic distributed global-rank, no single-partition stage
+      anywhere.  Eager to the extent of the shards-row offsets collect.
+
+    Both paths produce identical (token, cnt, vocab_id 1-based) rows —
+    property-tested by forcing the sharded path on a small fixture."""
     from pyspark.sql import Window
 
     toks = docs.select(
@@ -418,15 +436,41 @@ def build_vocab(
             "token"
         )
     )
-    counts = (
+    base = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= min_count)
-        .orderBy(F.col("cnt").desc(), F.col("token").asc())
-        .limit(max_size)
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-    return counts.withColumn("vocab_id", F.row_number().over(w).cast("long"))
+    order = [F.col("cnt").desc(), F.col("token").asc()]
+    if max_size <= single_stage_cap:
+        counts = base.orderBy(*order).limit(max_size)
+        w = Window.orderBy(*order)
+        return counts.withColumn("vocab_id", F.row_number().over(w).cast("long"))
+
+    part = (
+        base.repartitionByRange(shards, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    offs = {
+        r["__pid"]: r["n"]
+        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    cum, running = {}, 0
+    for pid in sorted(offs):
+        cum[pid] = running
+        running += offs[pid]
+    off_df = part.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in cum.items()], "__pid int, __off long"
+    )
+    w_in = Window.partitionBy("__pid").orderBy(*order)
+    return (
+        part.withColumn("__r", F.row_number().over(w_in))
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn("vocab_id", (F.col("__off") + F.col("__r")).cast("long"))
+        .filter(F.col("vocab_id") <= max_size)
+        .select("token", "cnt", "vocab_id")
+    )
 
 
 def top_ngrams(

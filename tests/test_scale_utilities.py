@@ -973,6 +973,44 @@ def test_weighted_hash_sample_degenerate_weights(spark):
     assert kept and all(r.w > 0 for r in kept)
 
 
+def test_build_vocab_sharded_path_matches_single_stage(spark):
+    """Forcing the auto-shard global-rank path (single_stage_cap below
+    max_size) must reproduce the single-stage path's (token, cnt,
+    vocab_id) rows exactly, including the max_size truncation and the
+    (cnt desc, token asc) tie order."""
+    from flinkecuserbehavioranalysis_spark.operators.text import build_vocab
+
+    docs = spark.createDataFrame(
+        [
+            (1, "b b b a a c d e f g"),
+            (2, "a c c d d e f g h i"),
+            (3, "j k l m n o p q r s"),
+            (4, "a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    single = {
+        (r.token, r.cnt, r.vocab_id)
+        for r in build_vocab(docs, max_size=12).collect()
+    }
+    sharded = {
+        (r.token, r.cnt, r.vocab_id)
+        for r in build_vocab(
+            docs, max_size=12, single_stage_cap=2, shards=4
+        ).collect()
+    }
+    assert sharded == single
+    assert len(single) == 12
+    # determinism of the sharded path across runs
+    again = {
+        (r.token, r.cnt, r.vocab_id)
+        for r in build_vocab(
+            docs, max_size=12, single_stage_cap=2, shards=4
+        ).collect()
+    }
+    assert again == sharded
+
+
 def test_quantized_topk_query_outside_corpus(spark):
     """A query vector whose id is NOT in the corpus still gets ranked
     neighbors (queries' own vectors are quantized — no corpus join to
