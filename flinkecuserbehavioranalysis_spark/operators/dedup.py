@@ -253,22 +253,31 @@ def duplicate_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 50,
+    deep: bool = False,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph — the step that
     turns pairwise dup evidence into duplicate CLUSTERS so one canonical
     doc per cluster survives (pairs alone under-delete: a~b, b~c keeps
     both a and c unless the transitive closure is taken).
 
-    Hash-min label propagation: every node starts labeled with its own
-    id; each round a node takes the min of its own and its neighbors'
-    labels; at fixpoint every member of a component carries the
-    component-min id.  Rounds needed = graph diameter, and near-dup
-    components are shallow (a cluster of rewrites of one page), so this
-    converges in a handful of rounds; each round is one join + one
-    groupBy-min on the (tiny, ∝ #dup-docs) label frontier — never on the
-    corpus.  For adversarially deep graphs swap in large-star/small-star
-    (Kiveris et al., "Connected Components in MapReduce"), which is
-    O(log n) rounds of the same join shape.
+    Default (``deep=False``) — hash-min label propagation: every node
+    starts labeled with its own id; each round a node takes the min of
+    its own and its neighbors' labels; at fixpoint every member of a
+    component carries the component-min id.  Rounds needed = graph
+    diameter, and near-dup components are shallow (a cluster of
+    rewrites of one page), so this converges in a handful of rounds;
+    each round is one join + one groupBy-min on the (tiny, ∝ #dup-docs)
+    label frontier — never on the corpus.
+
+    ``deep=True`` — alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): rounds REWRITE the
+    edge set toward stars rooted at each component min, converging in
+    O(log n) rounds regardless of diameter — the escape hatch for
+    adversarially deep graphs (long chains of crawl mirrors) where
+    hash-min's diameter-many rounds would grind.  Same join/groupBy
+    shapes per round, identical output labels — property-tested equal
+    on shared fixtures, and floor-tested to converge on a 1,000-node
+    path inside ~2·log2(n) rounds.
 
     EAGER BY CONTRACT: the per-round ``localCheckpoint`` + scalar
     convergence probe are Spark actions, so calling this function runs
@@ -290,6 +299,8 @@ def duplicate_components(
     Returns (v, label): every node that appears in *pairs*, labeled with
     its component's min id.  Deterministic (min is order-insensitive).
     """
+    if deep:
+        return _star_components(pairs, a_col, b_col, max_iter)
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
@@ -307,6 +318,93 @@ def duplicate_components(
             break
         prev_sum = s
     return labels
+
+
+def _star_components(
+    pairs: DataFrame, a_col: str, b_col: str, max_iter: int
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.) —
+    the ``deep=True`` engine of ``duplicate_components``.
+
+    Edges are kept canonical as (a, b) with a < b.  Per round:
+
+    - **large-star**: per center u over its full neighborhood N(u),
+      m = min(N(u) ∪ {u}); every STRICTLY LARGER neighbor v > u is
+      re-wired to m.  Long chains halve: far nodes skip past their
+      center straight to its local min.
+    - **small-star**: orient every edge toward its larger endpoint
+      (center u = max side, so N(u) is all smaller); m = min(N(u) ∪
+      {u}); re-wire N(u) ∪ {u} minus m itself onto m — collapsing the
+      center's smaller fringe into one star.
+
+    Both emissions keep a < b by construction (m is a minimum), so the
+    canonical form is preserved without re-sorting.  A fixpoint is
+    exactly the star forest rooted at each component min; convergence
+    is detected by edge-set equality (count + one exceptAll probe on
+    the checkpointed frontier).  Same eager-by-contract semantics as
+    the hash-min path: per-round localCheckpoint + scalar probes are
+    actions.
+
+    Returns (v, label) with the same schema/values as hash-min."""
+    edges = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("a").alias("v"))
+        .union(edges.select(F.col("b").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = edges
+    n_cur = cur.count()
+    for _ in range(max_iter):
+        # large-star over the symmetric view
+        sym = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least(F.col("__mn"), F.col("u")).alias("m"))
+        )
+        ls = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .filter(F.col("m") != F.col("v"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .distinct()
+        )
+        # small-star: center = larger endpoint, fringe = smaller
+        sym2 = ls.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        mins2 = sym2.groupBy("u").agg(F.min("v").alias("m"))
+        ss_fringe = (
+            sym2.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+        )
+        ss_center = mins2.select(F.col("m").alias("a"), F.col("u").alias("b"))
+        new = ss_fringe.union(ss_center).distinct().localCheckpoint(eager=True)
+        n_new = new.count()
+        if n_new == n_cur and new.exceptAll(cur).limit(1).count() == 0:
+            cur = new
+            break
+        cur, n_cur = new, n_new
+    # at fixpoint each member has exactly one root edge; groupBy-min is a
+    # safety net for a max_iter cutoff short of convergence
+    member = (
+        cur.select(F.col("b").alias("v"), F.col("a").alias("label"))
+        .groupBy("v")
+        .agg(F.min("label").alias("label"))
+    )
+    return nodes.join(member, "v", "left").select(
+        "v", F.coalesce(F.col("label"), F.col("v")).alias("label")
+    )
 
 
 def canonicalize_duplicates(

@@ -502,6 +502,57 @@ def test_duplicate_components_transitive_chain(spark):
     assert canon == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 10: 10, 11: 10, 99: 99}
 
 
+def test_star_components_match_hashmin_on_fixtures(spark):
+    """deep=True (large-star/small-star) must produce EXACTLY the same
+    (v, label) mapping as hash-min on shallow fixtures: the chain+
+    isolated-pairs fixture and a seeded random graph."""
+    import random
+
+    from flinkecuserbehavioranalysis_spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    shallow = {r.v: r.label for r in duplicate_components(pairs).collect()}
+    deep = {r.v: r.label for r in duplicate_components(pairs, deep=True).collect()}
+    assert deep == shallow == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    rng = random.Random(7)
+    rnd = [
+        (rng.randrange(60), rng.randrange(60))
+        for _ in range(80)
+    ]
+    rnd = [(a, b) for a, b in rnd if a != b]
+    rdf = spark.createDataFrame(rnd, "doc_a long, doc_b long")
+    shallow_r = {r.v: r.label for r in duplicate_components(rdf).collect()}
+    deep_r = {r.v: r.label for r in duplicate_components(rdf, deep=True).collect()}
+    assert deep_r == shallow_r
+
+
+def test_star_components_converge_on_deep_path_graph(spark):
+    """A 1,000-node path needs ~999 hash-min rounds (diameter-bound);
+    large-star/small-star must collapse it to the single component
+    labeled 0 within 20 rounds (~2·log2 n) — the adversarial-depth case
+    the deep=True flag exists for."""
+    from flinkecuserbehavioranalysis_spark.operators.dedup import (
+        duplicate_components,
+    )
+
+    n = 1000
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels = {
+        r.v: r.label
+        for r in duplicate_components(path, deep=True, max_iter=20).collect()
+    }
+    assert len(labels) == n
+    assert set(labels.values()) == {0}
+
+
 def test_stratified_sample_two_phase_equals_direct_rank(spark):
     """The md5-prefix pre-filter must not change WHICH rows are chosen:
     on a skewed corpus (one 400-row stratum, one 6-row stratum) the
