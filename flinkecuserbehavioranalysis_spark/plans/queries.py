@@ -391,6 +391,94 @@ def pattern_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.patterns import (  # noqa: E402
+    pattern_not_followed_by,
+    pattern_sequence_optional,
+)
+
+
+@_q(
+    "pattern_view_no_purchase",
+    """
+WITH __v AS (SELECT user_id, epoch(ts) AS tse FROM events WHERE event_type = 'view'),
+__p AS (SELECT user_id, epoch(ts) AS tse FROM events WHERE event_type = 'purchase')
+SELECT v.user_id, CAST(floor(v.tse) AS BIGINT) AS first_ts
+FROM __v v
+WHERE NOT EXISTS (SELECT 1 FROM __p p
+                  WHERE p.user_id = v.user_id
+                    AND p.tse > v.tse AND p.tse - v.tse < 900.0)
+""",
+    "CEP negation (flink-cep Pattern#notFollowedBy...within — in the reference's CEP "
+    "library though unused by its jobs): views NOT followed by a purchase from the same "
+    "user within 15min, as a pattern operator rather than a hand-rolled anti-join; "
+    "value-ordered tie-safe kill window (first_ts < absent_ts < first_ts + 900), "
+    "executed as one co-partitioned LEFT ANTI range join.",
+)
+def pattern_view_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return pattern_not_followed_by(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        first_pred=F.col("event_type") == "view",
+        absent_pred=F.col("event_type") == "purchase",
+        within_seconds=900.0,
+    )
+
+
+@_q(
+    "pattern_optional_funnel",
+    """
+WITH __p AS (
+  SELECT user_id, event_type, event_id, epoch(ts) AS tse,
+         min(CASE WHEN event_type = 'purchase' THEN epoch(ts) END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+  FROM events),
+__c AS (
+  SELECT user_id, event_type, tse, np,
+         min(CASE WHEN event_type = 'click' AND np IS NOT NULL THEN tse END) OVER w AS t2,
+         min(CASE WHEN event_type = 'click' THEN np END) OVER w AS t3
+  FROM __p
+  WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+SELECT user_id,
+       CAST(floor(tse) AS BIGINT) AS step1_ts,
+       CAST(floor(t2) AS BIGINT) AS step2_ts,
+       CAST(floor(t3) AS BIGINT) AS step3_ts
+FROM __c
+WHERE event_type = 'view' AND t3 IS NOT NULL AND t3 - tse < 3600.0
+UNION ALL
+SELECT user_id,
+       CAST(floor(tse) AS BIGINT) AS step1_ts,
+       CAST(NULL AS BIGINT) AS step2_ts,
+       CAST(floor(np) AS BIGINT) AS step3_ts
+FROM __c
+WHERE event_type = 'view' AND np IS NOT NULL AND np - tse < 3600.0
+""",
+    "CEP optional() steps (flink-cep begin.where(view).followedBy(click).optional()"
+    ".followedBy(purchase).within(1h)): both the with-click and the click-skipped match "
+    "per anchor, via expansion into two relaxed sequences unioned with NULL at the "
+    "skipped position — exactly flink-cep's emit-all-satisfiable-expansions behavior.",
+)
+def pattern_optional_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return pattern_sequence_optional(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        steps=[
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        within_seconds=3600.0,
+        optional=[False, True, False],
+        contiguity="relaxed",
+        tiebreak_col="event_id",
+    )
+
+
 @_q(
     "order_fulfillment_status",
     """

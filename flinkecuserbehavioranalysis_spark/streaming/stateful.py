@@ -737,6 +737,117 @@ def streaming_pattern_sequence(
     )
 
 
+NFB_SCHEMA = StructType(
+    [StructField("key", LongType()), StructField("first_ts", LongType())]
+)
+
+_NFB_STATE = StructType(
+    [StructField("pending", StringType()), StructField("absents", StringType())]
+)
+
+
+def streaming_not_followed_by(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    first_pred,
+    absent_pred,
+    within_seconds: float,
+    tiebreak_col: str | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of ``operators.patterns.pattern_not_followed_by``
+    — CEP negation (``notFollowedBy...within``) as keyed state.
+
+    Negation is decided by TIME, not by data: a first-event survives
+    only once the watermark proves no killer can still arrive.  State
+    per key, both lists PRUNED every call:
+
+    - ``pending`` — undecided first-event timestamps.  A new one is
+      admitted only if no stored absent already kills it (stored
+      absents may be LATER than an out-of-order first event).  Emitted
+      (and dropped) once ``first_ts + within <= watermark`` — every
+      event at or below the watermark has been delivered, so no killer
+      with ``absent_ts < first_ts + within`` can still appear; killed
+      entries drop immediately.  Bounded by first-rate × (within +
+      watermark delay).
+    - ``absents`` — killer timestamps still above the watermark (a
+      future first event must have ts > watermark, so only those can
+      kill it).  Bounded by absent-rate × watermark delay.
+
+    Survival emission rides ``EventTimeTimeout``: the earliest pending
+    deadline arms a timer, so quiet keys flush on watermark advance
+    (the trailing no-data micro-batch) exactly like a Flink event-time
+    timer; a key with neither list non-empty removes its state.  The
+    kill window is the batch operator's value-ordered end-exclusive
+    ``first_ts < absent_ts < first_ts + within`` — equal-ts killers
+    don't kill, so in-batch sort order never changes the outcome."""
+    tagged = events.withColumn("__a", first_pred.cast("int")).withColumn(
+        "__b", absent_pred.cast("int")
+    )
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def _parse(s: str | None) -> list[float]:
+        return [float(x) for x in s.split(",") if x] if s else []
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.exists:
+            pending_s, absents_s = state.get
+            pending, absents = _parse(pending_s), _parse(absents_s)
+        else:
+            pending, absents = [], []
+        for pdf in pdfs:
+            cols = [c for c in sort_cols if c in pdf.columns]
+            pdf = pdf.sort_values(cols)
+            tss = _epoch_s(pdf[ts_col])
+            a_arr = pdf["__a"].to_numpy().astype(bool)
+            b_arr = pdf["__b"].to_numpy().astype(bool)
+            for i in range(len(tss)):
+                ts = float(tss[i])
+                if b_arr[i]:
+                    pending = [
+                        v for v in pending if not (v < ts < v + within_seconds)
+                    ]
+                    absents.append(ts)
+                if a_arr[i]:
+                    if not any(ts < at < ts + within_seconds for at in absents):
+                        pending.append(ts)
+        wm_s = state.getCurrentWatermarkMs() / 1000.0
+        survived = sorted(v for v in pending if v + within_seconds <= wm_s)
+        pending = [v for v in pending if v + within_seconds > wm_s]
+        absents = [at for at in absents if at > wm_s]
+        if pending or absents:
+            state.update(
+                (
+                    ",".join(repr(t) for t in pending),
+                    ",".join(repr(t) for t in absents),
+                )
+            )
+            if pending:
+                deadline_ms = int(min(v + within_seconds for v in pending) * 1000)
+            else:
+                # absent-only state: self-clean once these can't kill
+                deadline_ms = int((max(absents) + 1.0) * 1000)
+            state.setTimeoutTimestamp(max(deadline_ms, int(wm_s * 1000) + 1))
+        elif state.exists:
+            state.remove()
+        if survived:
+            yield pd.DataFrame(
+                [(int(k), int(v)) for v in survived], columns=["key", "first_ts"]
+            )
+
+    return (
+        tagged.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, NFB_SCHEMA, _NFB_STATE, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 FUNNEL_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

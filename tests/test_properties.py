@@ -466,6 +466,109 @@ def test_pattern_pairs_matches_naive_cep(spark, events, contiguity):
     assert got == sorted(expect)
 
 
+@given(EVENTS)
+@settings(max_examples=15, deadline=None)
+def test_pattern_not_followed_by_matches_naive(spark, events):
+    """pattern_not_followed_by vs the naive negation: an 'a' survives
+    iff NO 'b' for the key has t_a < t_b < t_a + within — value-ordered
+    (an equal-ts b does not kill), end-exclusive, multiplicity kept."""
+    from flinkecuserbehavioranalysis_spark.operators.patterns import (
+        pattern_not_followed_by,
+    )
+
+    rows = [(k, t, e, i) for i, (k, t, e) in enumerate(events)]
+    if not rows:
+        return
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        rows, "user_id long, tsd long, event_type string, event_id long"
+    ).selectExpr("user_id", "timestamp_seconds(tsd) as ts", "event_type", "event_id")
+    got = sorted(
+        (r.user_id, r.first_ts)
+        for r in pattern_not_followed_by(
+            df,
+            key_col="user_id",
+            ts_col="ts",
+            first_pred=F.col("event_type") == "a",
+            absent_pred=F.col("event_type") == "b",
+            within_seconds=10.0,
+        ).collect()
+    )
+    expect = []
+    for k, ta, ea, _ in rows:
+        if ea != "a":
+            continue
+        killed = any(
+            k2 == k and e2 == "b" and ta < tb < ta + 10.0
+            for k2, tb, e2, _ in rows
+        )
+        if not killed:
+            expect.append((k, ta))
+    assert got == sorted(expect)
+
+
+@given(SEQ_EVENTS)
+@settings(max_examples=15, deadline=None)
+def test_pattern_sequence_optional_matches_naive(spark, events):
+    """pattern_sequence_optional (a, b optional, c — relaxed) vs the
+    naive expansion: lex-min chains of [a,b,c] plus lex-min chains of
+    [a,c] with a NULL middle step, both end-exclusive within."""
+    from flinkecuserbehavioranalysis_spark.operators.patterns import (
+        pattern_sequence_optional,
+    )
+
+    rows = [(k, t, e, i) for i, (k, t, e) in enumerate(events)]
+    if not rows:
+        return
+    import pyspark.sql.functions as F
+
+    within = 12.0
+    df = spark.createDataFrame(
+        rows, "user_id long, tsd long, event_type string, event_id long"
+    ).selectExpr("user_id", "timestamp_seconds(tsd) as ts", "event_type", "event_id")
+    got = sorted(
+        (
+            (r.user_id, r.step1_ts, r.step2_ts, r.step3_ts)
+            for r in pattern_sequence_optional(
+                df,
+                key_col="user_id",
+                ts_col="ts",
+                steps=[F.col("event_type") == s for s in ("a", "b", "c")],
+                within_seconds=within,
+                optional=[False, True, False],
+                contiguity="relaxed",
+                tiebreak_col="event_id",
+            ).collect()
+        ),
+        key=repr,
+    )
+
+    by_key: dict[int, list[tuple[int, str]]] = {}
+    for k, t, e, i in sorted(rows, key=lambda r: (r[1], r[3])):
+        by_key.setdefault(k, []).append((t, e))
+    expect = []
+    for k, seq in by_key.items():
+        for i in range(len(seq)):
+            full = _lex_min_chain(
+                seq,
+                [lambda e: e == "a", lambda e: e == "b", lambda e: e == "c"],
+                ["relaxed", "relaxed"],
+                i,
+            )
+            if full is not None and full[-1] - full[0] < within:
+                expect.append((k, full[0], full[1], full[2]))
+            skip = _lex_min_chain(
+                seq,
+                [lambda e: e == "a", lambda e: e == "c"],
+                ["relaxed"],
+                i,
+            )
+            if skip is not None and skip[-1] - skip[0] < within:
+                expect.append((k, skip[0], None, skip[1]))
+    assert got == sorted(expect, key=repr)
+
+
 @given(doc_inputs())
 @settings(max_examples=10, deadline=None)
 def test_bm25_topk_matches_naive(spark, docs):

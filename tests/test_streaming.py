@@ -646,6 +646,44 @@ def test_streaming_pattern_sequence_matches_batch(spark):
         assert len(got) > 0, contiguity
 
 
+def test_streaming_pattern_sequence_quantified_matches_batch(spark):
+    """Quantifier > 1 on the streaming twin (the CEP ``times(2)`` path):
+    steps = times(view, 2) + [purchase] — quantifiers [2, 1] — must
+    reproduce the batch pattern_sequence on a bounded replay under both
+    uniform policies (uniform strict is ``times(2).consecutive()``
+    chained strictly into the final step)."""
+    from flinkecuserbehavioranalysis_spark.operators.patterns import (
+        pattern_sequence,
+        times,
+    )
+    from flinkecuserbehavioranalysis_spark.streaming.stateful import (
+        streaming_pattern_sequence,
+    )
+
+    stream = read_events_stream(spark, SF_DIR).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    batch_df = load_table(spark, SF_DIR, "events")
+    steps = [*times(F.col("event_type") == "view", 2), F.col("event_type") == "purchase"]
+    # the streaming twin is uniform-contiguity by design (mixed gaps need
+    # lookahead an NFA can't commit to greedily) — cover both policies
+    for contiguity in ("relaxed", "strict"):
+        kw = dict(
+            key_col="user_id",
+            ts_col="ts",
+            steps=steps,
+            within_seconds=86400.0,
+            contiguity=contiguity,
+            tiebreak_col="event_id",
+        )
+        got = sorted(
+            tuple(r) for r in run_bounded(streaming_pattern_sequence(stream, **kw))
+        )
+        batch = sorted(tuple(r) for r in pattern_sequence(batch_df, **kw).collect())
+        assert got == batch, contiguity
+        assert len(got) > 0, contiguity
+
+
 def test_streaming_map_only_text_ops_match_batch(spark):
     """The map-only corpus operators (quality, repetition, PII scrub)
     are stateless projections, so they must run unchanged on a
@@ -772,3 +810,89 @@ def test_streaming_active_users_matches_batch(spark):
     comparable = {d: v for d, v in batch.items() if d < last_day}
     assert {d: got[d] for d in comparable} == comparable
     assert len(comparable) > 10
+
+
+def test_streaming_not_followed_by_matches_batch(spark):
+    """CEP negation twin on a bounded replay: survivors whose deadline
+    the final watermark passes must equal the batch anti-join's, with
+    undecided tail views (deadline beyond the watermark) withheld."""
+    from flinkecuserbehavioranalysis_spark.operators.patterns import (
+        pattern_not_followed_by,
+    )
+    from flinkecuserbehavioranalysis_spark.streaming.stateful import (
+        streaming_not_followed_by,
+    )
+
+    kw = dict(
+        key_col="user_id",
+        ts_col="ts",
+        first_pred=F.col("event_type") == "view",
+        absent_pred=F.col("event_type") == "purchase",
+        within_seconds=900.0,
+    )
+    stream = read_events_stream(spark, SF_DIR).select("user_id", "event_type", "ts", "event_id")
+    got = sorted(
+        (r.key, r.first_ts)
+        for r in run_bounded(streaming_not_followed_by(stream, tiebreak_col="event_id", **kw))
+    )
+    wm = _max_ts(spark)
+    batch = sorted(
+        (r.user_id, r.first_ts)
+        for r in pattern_not_followed_by(load_table(spark, SF_DIR, "events"), **kw).collect()
+        if r.first_ts + 900.0 <= wm
+    )
+    assert got == batch
+    assert len(got) > 0
+
+
+def test_streaming_not_followed_by_boundaries_and_pruning(spark, tmp_path):
+    """Micro-batch edge semantics: an equal-deadline killer does NOT
+    kill (end-exclusive), a killer at the same ts does NOT kill
+    (strictly-later), a stored absent kills an out-of-order later view
+    on insert, and survivors flush via the event-time timer on the
+    watermark-advancing batch."""
+    import time
+
+    from flinkecuserbehavioranalysis_spark.streaming.stateful import (
+        streaming_not_followed_by,
+    )
+
+    in_dir = tmp_path / "nfb_stream"
+
+    def w(rows):
+        spark.createDataFrame(
+            rows, "user_id long, event_type string, tsd long"
+        ).selectExpr(
+            "user_id", "event_type", "timestamp_seconds(tsd) as ts"
+        ).coalesce(1).write.mode("append").parquet(str(in_dir))
+        time.sleep(1.1)
+
+    # b1: u1 view@100 (no killer in (100,110) -> survives);
+    #     u1 view@200 + purchase@205 (killed in-batch);
+    #     u1 purchase@100 same-ts as a view? -> u2 view@150 with killer
+    #     at exactly deadline later (b2)
+    w([(1, "view", 100), (1, "view", 200), (1, "purchase", 205), (2, "view", 150)])
+    # b2 (wm after b1 = 205 - 50 = 155): u2 purchase@160 == 150+10 ->
+    # boundary, does NOT kill 150; u2 view@158 killed by 160 (same batch)
+    w([(2, "purchase", 160), (2, "view", 158)])
+    # b3: u2 view@159 must be killed ON INSERT by the STORED absent 160
+    # (arrived in an earlier batch); u3 sentinel pushes the watermark to
+    # 950, flushing every pending deadline
+    w([(2, "view", 159), (3, "other", 1000)])
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    out = streaming_not_followed_by(
+        stream,
+        key_col="user_id",
+        ts_col="ts",
+        first_pred=F.col("event_type") == "view",
+        absent_pred=F.col("event_type") == "purchase",
+        within_seconds=10.0,
+        watermark="50 seconds",
+    )
+    got = sorted((r.key, r.first_ts) for r in run_bounded(out))
+    assert got == [(1, 100), (2, 150)]
