@@ -862,6 +862,496 @@ def ivf_quantized_topk(
     )
 
 
+def _sdot(a: Column, b: Column, w: int) -> Column:
+    """Statically-unrolled dot product for the small fixed PQ sub-vector
+    width — plain left-associated arithmetic (same float sequence as the
+    sequential fold / DuckDB's list_dot_product, so engine-consistent)
+    with no higher-order function: the PQ hot loops run these thousands
+    of times per row, and the nested-HOF form (aggregate inside
+    transform) drops out of codegen into the interpreter (~10×)."""
+    e = F.element_at(a, 1) * F.element_at(b, 1)
+    for i in range(2, w + 1):
+        e = e + F.element_at(a, i) * F.element_at(b, i)
+    return e
+
+
+def _pq_subs(vec: Column, dim: int, m: int) -> Column:
+    """The m contiguous sub-vectors of *vec* as one array<array<double>>
+    — staged into its own projection so downstream lookups reference an
+    attribute (each slice evaluates once per row)."""
+    w = dim // m
+    return F.array(*[F.slice(vec, j * w + 1, w) for j in range(m)])
+
+
+def _pack_pq(codebook: DataFrame) -> DataFrame:
+    """The PQ codebook as ONE row: ``cells[m_idx+1]`` = that sub-space's
+    entries sorted by code, each struct(code, c_vec, c6) with c6 =
+    round(c·c × 1e6) as int64 — the reconstruction-norm term of ADC,
+    quantized so corpus-side sums are exact integer math."""
+    with_dot = codebook.select(
+        "m_idx",
+        F.struct(
+            F.col("code"),
+            F.col("c_vec"),
+            F.round(dot(F.col("c_vec"), F.col("c_vec")) * 1e6).cast("long").alias("c6"),
+        ).alias("s"),
+    )
+    per_m = with_dot.groupBy("m_idx").agg(F.array_sort(F.collect_list("s")).alias("cs"))
+    return per_m.select(F.struct("m_idx", "cs").alias("t")).agg(
+        F.transform(F.array_sort(F.collect_list("t")), lambda t: t.cs).alias("cells")
+    )
+
+
+def _np_round6_int64(x):
+    """Half-away-from-zero rounding of x*1e6 to int64 — numpy's round()
+    is half-to-even, which would diverge from Spark/DuckDB round() on
+    exact .5 boundaries."""
+    import numpy as np
+
+    y = x * 1e6
+    return np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)).astype(np.int64)
+
+
+def _pq_collect_book(codebook_rows, m: int):
+    """Driver-side numpy view of a collected PQ codebook: per sub-space
+    arrays (C [k_mi × w], c6 int64 [k_mi], code labels [k_mi]) sorted by
+    code.  c6 = round(c·c × 1e6) with a SEQUENTIAL sum of squares —
+    the exact float sequence of the engine fold."""
+    import numpy as np
+
+    per: dict[int, list] = {mi: [] for mi in range(m)}
+    for r in codebook_rows:
+        per[r["m_idx"]].append((r["code"], list(r["c_vec"])))
+    out = {}
+    for mi, entries in per.items():
+        entries.sort()
+        codes = np.array([c for c, _ in entries], dtype=np.int64)
+        C = np.array([v for _, v in entries], dtype=np.float64)
+        c6 = np.empty(len(entries), dtype=np.int64)
+        for i, (_, v) in enumerate(entries):
+            acc = v[0] * v[0]
+            for x in v[1:]:
+                acc = acc + x * x
+            y = acc * 1e6
+            c6[i] = int(np.floor(y + 0.5)) if y >= 0 else int(np.ceil(y - 0.5))
+        out[mi] = (codes, C, c6)
+    return out
+
+
+def _pq_assign_np(X, C, c6):
+    """Vectorized PQ assignment for one sub-space: X (B×w) against C
+    (k×w) → argmin indices over int64-quantized squared L2.
+
+    The float sequence replays the engine formula EXACTLY —
+    ((x·x − 2·x·c) + c6/1e6) × 1e6, half-away rounded — with dots
+    accumulated SEQUENTIALLY over w (elementwise adds in fold order,
+    never np.dot's pairwise/BLAS order), so the SQL oracle's integer
+    argmin sees the same values.  np.argmin takes the first (= lowest
+    code) on ties, matching ORDER BY d2, code."""
+    import numpy as np
+
+    xc = X[:, 0:1] * C[None, :, 0]
+    sd = X[:, 0] * X[:, 0]
+    for i in range(1, X.shape[1]):
+        xc = xc + X[:, i : i + 1] * C[None, :, i]
+        sd = sd + X[:, i] * X[:, i]
+    D = (sd[:, None] - 2.0 * xc) + (c6[None, :] / 1e6)
+    return np.argmin(_np_round6_int64(D), axis=1)
+
+
+def pq_fit(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    k: int = 8,
+    train_iters: int = 2,
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """Product-quantization codebook training — JOINT L2 k-means over
+    the m sub-spaces (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search"): each vector splits into m contiguous
+    dim/m-sub-vectors, and one Lloyd loop trains all m codebooks at
+    once over the exploded (vector, sub-space) rows — m×k cells bound
+    every aggregation, never the corpus.
+
+    Deterministic everywhere, mirroring ``kmeans_fit``'s discipline so
+    a SQL oracle can replay the training: seeds are the k smallest-id
+    training vectors' slices (code = id rank); assignment is an argmin
+    over int64-quantized squared L2 ((x·x − 2·x·c) + c6/1e6 rounded at
+    6 dp — engine-exact integer comparisons, lowest code on ties);
+    centroid means go through DECIMAL(28,12) sums rounded to 6 dp.
+    Empty cells drop; codes are re-densified to 1..k' per sub-space
+    after training (rank by surviving code) so ADC lookup tables index
+    by position.
+
+    Execution: the assignment is an Arrow-batched ``mapInPandas``
+    kernel — m×k distance evaluations per vector are a dense numpy
+    matrix op, ~100× the throughput of the interpreted Catalyst
+    higher-order-function form, while ``_pq_assign_np``'s sequential
+    accumulation keeps every float bit-identical to the SQL oracle.
+    EAGER BY CONTRACT (like ``duplicate_components``): the per-round
+    codebook is collected to the driver (m×k tiny rows) so each
+    iteration's plan is flat and the kernel gets the book as a plain
+    closure.  Returns (m_idx, code, c_vec)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import Window
+
+    if dim % m != 0:
+        raise ValueError(f"pq_fit: dim={dim} not divisible by m={m}")
+    if train_fraction < 1.0:
+        from .sampling import hash_sample
+
+        train = hash_sample(vectors, id_col, train_fraction)
+    else:
+        train = vectors
+    v = train.select(F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v"))
+    sub = v.select(
+        "__id", F.posexplode(_pq_subs(F.col("__v"), dim, m)).alias("m_idx", "sv")
+    ).select("m_idx", "sv")
+    w_seed = Window.orderBy("__id")
+    seeds = (
+        v.orderBy("__id")
+        .limit(k)
+        .withColumn("code", F.row_number().over(w_seed))
+        .select("code", F.posexplode(_pq_subs(F.col("__v"), dim, m)).alias("m_idx", "c_vec"))
+        .select("m_idx", "code", "c_vec")
+    )
+    def _make_assign(book):
+        # bind the collected book by value — the returned kernel may be
+        # (re-)executed lazily after the loop variable is rebound
+        def assign(batches):
+            import numpy as np
+            import pandas as pdl
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mi_arr = pdf["m_idx"].to_numpy()
+                sv_arr = pdf["sv"].to_numpy()
+                out_codes = np.empty(len(pdf), dtype=np.int64)
+                for mi in np.unique(mi_arr):
+                    idx = np.flatnonzero(mi_arr == mi)
+                    X = np.stack(sv_arr[idx]).astype(np.float64)
+                    codes_lbl, C, c6 = book[int(mi)]
+                    out_codes[idx] = codes_lbl[_pq_assign_np(X, C, c6)]
+                yield pdl.DataFrame(
+                    {"m_idx": mi_arr, "code": out_codes, "sv": sv_arr}
+                )
+
+        return assign
+
+    for _ in range(train_iters):
+        book = _pq_collect_book(seeds.collect(), m)
+        assigned = sub.mapInPandas(
+            _make_assign(book), "m_idx int, code int, sv array<double>"
+        )
+        cent = (
+            assigned.select("m_idx", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("m_idx", "code", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("mm")
+            )
+        )
+        seeds = (
+            cent.groupBy("m_idx", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mm"))), lambda s: s.mm
+                ).alias("c_vec")
+            )
+            .select("m_idx", "code", "c_vec")
+        )
+    w_dense = Window.partitionBy("m_idx").orderBy("code")
+    return seeds.withColumn("code", F.row_number().over(w_dense))
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+) -> DataFrame:
+    """PQ encoding — each vector compressed to m small codes (m bytes at
+    k ≤ 256 vs 4·dim float32) + the int64 reconstruction self-dot
+    Σ c·c needed by ADC's denominator.  MAP-ONLY: an Arrow-batched
+    ``mapInPandas`` kernel with the (tiny, collected) codebook as a
+    closure — the m×k argmins per vector are dense numpy matrix ops
+    (``_pq_assign_np``, float-sequence-exact vs the SQL oracle), and
+    codes come out as the 1-based dense rank so ADC lookup tables index
+    by position.  EAGER to the extent of the codebook collect.
+    Returns (id, codes array<int> 1-based, xn2 long)."""
+    book = _pq_collect_book(codebook.collect(), m)
+    w_sub = dim // m
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pdl
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            codes = np.empty((n, m), dtype=np.int32)
+            xn2 = np.zeros(n, dtype=np.int64)
+            for mi in range(m):
+                _, C, c6 = book[mi]
+                picks = _pq_assign_np(V[:, mi * w_sub : (mi + 1) * w_sub], C, c6)
+                codes[:, mi] = picks + 1  # dense 1-based rank
+                xn2 += c6[picks]
+            yield pdl.DataFrame(
+                {
+                    "__oid": pdf["__oid"],
+                    "codes": codes.tolist(),
+                    "xn2": xn2,
+                }
+            )
+
+    out = vectors.select(
+        F.col(id_col).alias("__oid"), _as_double(vec_col).alias("__v")
+    ).mapInPandas(encode, "__oid long, codes array<int>, xn2 long")
+    return out.withColumnRenamed("__oid", id_col)
+
+
+def _pq_queries(
+    queries: DataFrame,
+    packed: DataFrame,
+    query_id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int,
+) -> DataFrame:
+    """Query-side ADC preparation: per query, the m×k lookup table of
+    int64-quantized sub-dots (lut[m][code] = round(q_m · c × 1e6)) and
+    the float query norm — built once per query against the broadcast
+    codebook, so pair scoring is O(m) integer lookups."""
+    return (
+        queries.select(
+            F.col(query_id_col).alias("q_id"), _as_double(vec_col).alias("__qv")
+        )
+        .dropDuplicates(["q_id"])
+        .crossJoin(F.broadcast(packed))
+        .select(
+            "q_id",
+            F.sqrt(dot(F.col("__qv"), F.col("__qv"))).alias("q_n"),
+            _pq_subs(F.col("__qv"), dim, m).alias("__subs"),
+            F.col("cells"),
+        )
+        .select(
+            "q_id",
+            "q_n",
+            F.transform(
+                F.col("cells"),
+                lambda cs, j: F.transform(
+                    cs,
+                    lambda s: F.round(
+                        _sdot(F.element_at(F.col("__subs"), j + 1), s.c_vec, dim // m)
+                        * 1e6
+                    ).cast("long"),
+                ),
+            ).alias("lut"),
+        )
+    )
+
+
+def _adc_cos(lut: Column, q_n: Column, codes: Column, xn2: Column) -> Column:
+    """ADC cosine: integer ip = Σ lut[m][code_m] (exact, order-free),
+    reconstruction norm from the stored Σ c·c — one float division at
+    the end, rounded 6 dp.  A zero-norm side (all-zero query or
+    reconstruction) scores 0.0 instead of dividing by zero — mirrored
+    in the SQL oracles."""
+    ip6 = F.aggregate(
+        F.zip_with(lut, codes, lambda l, c: F.element_at(l, c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    den = q_n * F.sqrt(xn2 / F.lit(1e6))
+    return F.when(
+        den > 0, F.round((ip6 / F.lit(1e6)) / den, 6)
+    ).otherwise(F.lit(0.0))
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    dim: int = 64,
+    m: int = 4,
+    k_codes: int = 8,
+    k: int = 10,
+    train_iters: int = 2,
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """PQ/ADC top-k — asymmetric distance computation over
+    product-quantized codes (Jégou et al.): the corpus lives as m
+    per-sub-space codes (+ one int64 norm term), queries build an m×k
+    lookup table of sub-dots once, and each candidate scores in O(m)
+    integer table lookups instead of O(dim) float multiplies.  The
+    score is the exact cosine between the query and the candidate's
+    RECONSTRUCTION (nearest sub-centroids concatenated) — deterministic
+    integer sums (the SRP int64 trick), so a SQL oracle replays it
+    bit-for-bit, and recall vs the float brute force is floor-tested.
+
+    Scale shape: codebook training is (m×k)-cell-bounded Lloyd on a
+    deterministic sample; encoding and scoring are map-only with the
+    packed codebook broadcast; the only shuffle is the per-query rank.
+    Output matches the other top-k variants: (q_id, neighbor_id, cos,
+    rnk)."""
+    from pyspark.sql import Window
+
+    # persist the (m×k-row) codebook: encode and the query LUT each
+    # broadcast a packed view of it, and an unpersisted book would
+    # re-run the whole training lineage per consumer
+    book = pq_fit(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        m=m,
+        k=k_codes,
+        train_iters=train_iters,
+        train_fraction=train_fraction,
+    ).persist()
+    packed = _pack_pq(book)
+    enc = pq_encode(vectors, book, id_col=id_col, vec_col=vec_col, dim=dim, m=m)
+    qs = _pq_queries(queries, packed, query_id_col, vec_col, dim, m)
+    scored = (
+        enc.withColumnRenamed(id_col, "neighbor_id")
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            _adc_cos(F.col("lut"), F.col("q_n"), F.col("codes"), F.col("xn2")).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "cos", "rnk")
+    )
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    dim: int = 64,
+    m: int = 4,
+    k_codes: int = 8,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    k: int = 10,
+    train_iters: int = 2,
+    corpus_probes: int = 2,
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """IVF + PQ/ADC — the full Jégou-style production index: the coarse
+    spherical quantizer (shared ``kmeans_fit``) restricts each query to
+    Σ_probed |cell| candidates, and candidates score via PQ codes with
+    ADC lookup tables (see ``pq_topk``) — O(m) integer lookups per
+    candidate over an index that stores m codes per vector instead of
+    dim floats.  Against ``ivf_quantized_topk`` (int8) this is the
+    deeper compression point of the same trade curve (m·log2(k) bits vs
+    8·dim); recall compounds coarse-probe loss with reconstruction
+    error — floor-tested vs the float brute force.  Output: (q_id,
+    neighbor_id, cos, rnk)."""
+    from pyspark.sql import Window
+
+    if corpus_probes not in (1, 2):
+        raise ValueError(f"corpus_probes must be 1 or 2, got {corpus_probes}")
+    # both trained artifacts feed two broadcast consumers each (corpus
+    # assignment + query probes / encode + LUT) — persist so the Lloyd
+    # lineages run once, not once per consumer
+    seeds = kmeans_fit(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        train_iters=train_iters,
+        train_fraction=train_fraction,
+    ).persist()
+    coarse_packed = _pack(seeds)
+    book = pq_fit(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        m=m,
+        k=k_codes,
+        train_iters=train_iters,
+        train_fraction=train_fraction,
+    ).persist()
+    enc = pq_encode(vectors, book, id_col=id_col, vec_col=vec_col, dim=dim, m=m)
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v_vec")
+    ).withColumn("v_norm", F.sqrt(dot(F.col("v_vec"), F.col("v_vec"))))
+    cell_expr = (
+        F.array(_best_cell("v_vec", "v_norm"))
+        if corpus_probes == 1
+        else _top2_cells("v_vec", "v_norm")
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(coarse_packed))
+        .select("neighbor_id", F.explode(cell_expr).alias("cell"))
+        .join(enc.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+    )
+    q = (
+        queries.select(F.col(query_id_col).alias("q_id"), _as_double(vec_col).alias("q_vec"))
+        .dropDuplicates(["q_id"])
+        .withColumn("q_norm", F.sqrt(dot(F.col("q_vec"), F.col("q_vec"))))
+    )
+    q_scored = q.crossJoin(F.broadcast(seeds)).select(
+        "q_id",
+        F.col("seed_id").alias("cell"),
+        _scos("q_vec", "q_norm", F.struct(F.col("seed_id"), F.col("s_vec"), F.col("s_norm"))).alias(
+            "s_cos"
+        ),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("s_cos").desc(), F.col("cell").asc())
+    probes = (
+        q_scored.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select("q_id", "cell")
+        .join(_pq_queries(queries, _pack_pq(book), query_id_col, vec_col, dim, m), "q_id")
+    )
+    scored = (
+        assigned.join(probes, "cell")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            _adc_cos(F.col("lut"), F.col("q_n"), F.col("codes"), F.col("xn2")).alias(
+                "cos"
+            ),
+        )
+    )
+    if corpus_probes > 1:
+        scored = scored.dropDuplicates(["q_id", "neighbor_id"])
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "neighbor_id", "cos", "rnk")
+    )
+
+
 def label_feature_stats(
     vectors: DataFrame,
     bucket_col: str = "label",

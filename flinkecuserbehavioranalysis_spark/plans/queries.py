@@ -3145,6 +3145,211 @@ def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.similarity import ivf_pq_topk, pq_topk  # noqa: E402
+
+
+def _pq_train_ctes(m: int, w: int, k: int, train_iters: int) -> tuple[str, str]:
+    """DuckDB CTE fragment replaying ``pq_fit`` exactly — assumes __e
+    (corpus) and __et (training subset) CTEs exist.  Joint L2 Lloyd
+    over the m sub-spaces: argmin via int64-quantized squared L2
+    (((x·x − 2·x·c) + c6/1e6) × 1e6 rounded — identical left-assoc
+    float ops to the Spark fold), DECIMAL(28,12) means rounded 6 dp,
+    final dense re-rank of surviving codes.  Returns (sql_fragment,
+    final_codebook_cte) where the codebook is (mi, code, cv, c6)."""
+    d2 = (
+        "CAST(round(((d.sd - 2*list_dot_product(d.sv, b.cv)) "
+        "+ CAST(round(list_dot_product(b.cv, b.cv) * 1000000) AS BIGINT) / 1000000.0) "
+        "* 1000000) AS BIGINT)"
+    )
+    sql = f"""__sub AS (SELECT vec_id, mi, v[mi*{w}+1 : mi*{w}+{w}] AS sv
+          FROM __e CROSS JOIN range({m}) t(mi)),
+__sd AS (SELECT s.vec_id, s.mi, s.sv, list_dot_product(s.sv, s.sv) AS sd
+         FROM __sub s JOIN __et USING (vec_id)),
+__sids AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS code
+           FROM __et ORDER BY vec_id LIMIT {k}),
+__pb0 AS (SELECT s.mi, i.code, s.sv AS cv FROM __sub s JOIN __sids i USING (vec_id)),
+"""
+    cur = "__pb0"
+    for i in range(train_iters):
+        sql += f"""__pa{i} AS (SELECT d.vec_id, d.mi, d.sv, b.code,
+           row_number() OVER (PARTITION BY d.vec_id, d.mi ORDER BY {d2}, b.code) AS r
+           FROM __sd d JOIN {cur} b ON d.mi = b.mi),
+__pc{i} AS (SELECT mi, code, pos,
+           round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mm
+           FROM (SELECT mi, code, unnest(generate_series(1, len(sv))) AS pos, unnest(sv) AS x
+                 FROM __pa{i} WHERE r = 1)
+           GROUP BY mi, code, pos),
+__pb{i + 1} AS (SELECT mi, code, list(mm ORDER BY pos) AS cv FROM __pc{i} GROUP BY mi, code),
+"""
+        cur = f"__pb{i + 1}"
+    sql += f"""__pbf AS (SELECT mi, CAST(row_number() OVER (PARTITION BY mi ORDER BY code) AS INT) AS code, cv,
+           CAST(round(list_dot_product(cv, cv) * 1000000) AS BIGINT) AS c6
+           FROM {cur}),
+"""
+    return sql, "__pbf"
+
+
+def _pq_adc_ctes(m: int, w: int, n_queries: int) -> str:
+    """DuckDB CTE fragment for PQ encode + ADC query tables — assumes
+    __e and __pbf exist.  Emits __enc (corpus codes), __xn (int64
+    reconstruction self-dots), __q / __lut (per-query norm + int64
+    sub-dot lookup table keyed (q_id, mi, code))."""
+    d2 = (
+        "CAST(round(((d.sd - 2*list_dot_product(d.sv, b.cv)) + b.c6 / 1000000.0) "
+        "* 1000000) AS BIGINT)"
+    )
+    return f"""__asd AS (SELECT vec_id, mi, sv, list_dot_product(sv, sv) AS sd FROM __sub),
+__enc0 AS (SELECT d.vec_id, d.mi, b.code, b.c6,
+           row_number() OVER (PARTITION BY d.vec_id, d.mi ORDER BY {d2}, b.code) AS r
+           FROM __asd d JOIN __pbf b ON d.mi = b.mi),
+__enc AS (SELECT vec_id, mi, code, c6 FROM __enc0 WHERE r = 1),
+__xn AS (SELECT vec_id, CAST(sum(c6) AS BIGINT) AS xn2 FROM __enc GROUP BY vec_id),
+__q AS (SELECT vec_id AS q_id, v, sqrt(list_dot_product(v, v)) AS qn
+        FROM __e WHERE vec_id < {n_queries}),
+__qsub AS (SELECT q_id, mi, v[mi*{w}+1 : mi*{w}+{w}] AS qsv
+           FROM __q CROSS JOIN range({m}) t(mi)),
+__lut AS (SELECT s.q_id, s.mi, b.code,
+          CAST(round(list_dot_product(s.qsv, b.cv) * 1000000) AS BIGINT) AS l6
+          FROM __qsub s JOIN __pbf b ON s.mi = b.mi),
+"""
+
+
+def _pq_oracle(
+    m: int = 32,
+    k_codes: int = 32,
+    k: int = 10,
+    train_iters: int = 2,
+    dim: int = 64,
+    n_queries: int = 5,
+    train_buckets: int | None = None,
+) -> str:
+    """DuckDB twin of ``pq_topk``: full training replay + ADC scoring
+    (integer ip sums, one float division, 6 dp cosine)."""
+    w = dim // m
+    train_where = (
+        f"WHERE {_BUCKET_SQL.format(k='vec_id')} < {train_buckets}"
+        if train_buckets is not None
+        else ""
+    )
+    train, _ = _pq_train_ctes(m, w, k_codes, train_iters)
+    adc = _pq_adc_ctes(m, w, n_queries)
+    return f"""
+WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+__et AS (SELECT vec_id, v FROM __e {train_where}),
+{train}{adc}__ip AS (SELECT l.q_id, e.vec_id AS neighbor_id, CAST(sum(l.l6) AS BIGINT) AS ip6
+        FROM __enc e JOIN __lut l ON l.mi = e.mi AND l.code = e.code
+        WHERE e.vec_id <> l.q_id
+        GROUP BY 1, 2),
+__sc AS (SELECT i.q_id, i.neighbor_id,
+         CASE WHEN q.qn * sqrt(x.xn2 / 1000000.0) > 0
+              THEN round((i.ip6 / 1000000.0) / (q.qn * sqrt(x.xn2 / 1000000.0)), 6)
+              ELSE 0.0 END AS cos
+         FROM __ip i JOIN __q q USING (q_id) JOIN __xn x ON x.vec_id = i.neighbor_id),
+__rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rnk
+         FROM __sc)
+SELECT q_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk FROM __rk WHERE rnk <= {k}
+"""
+
+
+def _ivf_pq_oracle(
+    m: int = 32,
+    k_codes: int = 32,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    k: int = 10,
+    train_iters: int = 2,
+    corpus_probes: int = 2,
+    dim: int = 64,
+    n_queries: int = 5,
+    train_buckets: int | None = None,
+) -> str:
+    """DuckDB twin of ``ivf_pq_topk``: the shared spherical-Lloyd
+    coarse prefix (``_kmeans_train_ctes``) + the PQ training/encode
+    replay + cell-probed candidate set scored by ADC."""
+    w = dim // m
+    cos = _COS_SQL
+    prefix, cur = _kmeans_train_ctes(n_cells, train_iters, train_buckets)
+    train, _ = _pq_train_ctes(m, w, k_codes, train_iters)
+    adc = _pq_adc_ctes(m, w, n_queries)
+    return (
+        prefix
+        + train
+        + adc
+        + f"""__as2 AS (SELECT e.vec_id, s.seed_id, {cos.format(a='e.v', b='s.sv')} AS s_cos
+          FROM __e e CROSS JOIN {cur} s),
+__ar2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s_cos DESC, seed_id) AS r
+          FROM __as2),
+__cell2 AS (SELECT vec_id, seed_id AS cell FROM __ar2 WHERE r <= {corpus_probes}),
+__qs2 AS (SELECT q_id, s.seed_id, {cos.format(a='q.v', b='s.sv')} AS s_cos
+          FROM __q q CROSS JOIN {cur} s),
+__qr2 AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s_cos DESC, seed_id) AS r
+          FROM __qs2),
+__p2 AS (SELECT q_id, seed_id AS cell FROM __qr2 WHERE r <= {nprobe}),
+__cand AS (SELECT DISTINCT p.q_id, c.vec_id AS neighbor_id
+           FROM __p2 p JOIN __cell2 c ON p.cell = c.cell WHERE c.vec_id <> p.q_id),
+__ip AS (SELECT cd.q_id, cd.neighbor_id, CAST(sum(l.l6) AS BIGINT) AS ip6
+         FROM __cand cd JOIN __enc e ON e.vec_id = cd.neighbor_id
+              JOIN __lut l ON l.q_id = cd.q_id AND l.mi = e.mi AND l.code = e.code
+         GROUP BY 1, 2),
+__sc AS (SELECT i.q_id, i.neighbor_id,
+         CASE WHEN q.qn * sqrt(x.xn2 / 1000000.0) > 0
+              THEN round((i.ip6 / 1000000.0) / (q.qn * sqrt(x.xn2 / 1000000.0)), 6)
+              ELSE 0.0 END AS cos
+         FROM __ip i JOIN __q q USING (q_id) JOIN __xn x ON x.vec_id = i.neighbor_id),
+__rk AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rnk
+         FROM __sc)
+SELECT q_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk FROM __rk WHERE rnk <= {k}
+"""
+    )
+
+
+@_q(
+    "ann_pq_topk",
+    _pq_oracle(m=32, k_codes=32, train_iters=2),
+    "Extension (PQ/ADC ANN — Jegou et al. product quantization): corpus compressed to m "
+    "per-sub-space codes via jointly-trained L2 codebooks, queries score candidates "
+    "through an m x k integer lookup table (asymmetric distance, exact int64 sums, one "
+    "float division) — the oracle replays the whole Lloyd training and ADC pipeline; "
+    "recall@10 vs float brute force floor-tested.",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        dim=64,
+        m=32,
+        k_codes=32,
+        k=10,
+        train_iters=2,
+    )
+
+
+@_q(
+    "ann_ivf_pq_topk",
+    _ivf_pq_oracle(m=32, k_codes=32, train_buckets=5000),
+    "Extension (the full production ANN index: IVF + PQ/ADC): trained coarse quantizer "
+    "restricts each query to its probed cells, candidates score via product-quantized "
+    "codes and integer ADC lookup tables — m*log2(k) bits per vector vs int8's 8*dim; "
+    "both training loops replayed in the oracle; recall floor-tested vs brute force.",
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        dim=64,
+        m=32,
+        k_codes=32,
+        n_cells=8,
+        nprobe=3,
+        k=10,
+        train_iters=2,
+        corpus_probes=2,
+        train_fraction=0.5,
+    )
+
+
 @_q(
     "text_top_pmi_bigrams",
     """

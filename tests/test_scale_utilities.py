@@ -957,6 +957,99 @@ def test_ivf_quantized_recall_floor(spark):
     assert sum(recalls) / len(recalls) >= 0.7, recalls
 
 
+def test_pq_topk_recall_floor(spark):
+    """PQ/ADC search must keep recall@10 >= 0.6 vs the float brute
+    force at m=32/k=32 (reconstruction error only perturbs ranks) —
+    the documented floor for the registered parameterization."""
+    from flinkecuserbehavioranalysis_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = {}
+    for r in brute_force_topk(emb, qs, k=10).collect():
+        exact.setdefault(r.q_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in pq_topk(emb, qs, dim=64, m=32, k_codes=32, k=10).collect():
+        approx.setdefault(r.q_id, set()).add(r.neighbor_id)
+    recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_ivf_pq_recall_floor(spark):
+    """The composed IVF+PQ index keeps recall@10 >= 0.5 vs the float
+    brute force (coarse-probe loss compounds with PQ reconstruction) —
+    the registered ann_ivf_pq_topk parameterization."""
+    from flinkecuserbehavioranalysis_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = {}
+    for r in brute_force_topk(emb, qs, k=10).collect():
+        exact.setdefault(r.q_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in ivf_pq_topk(
+        emb, qs, dim=64, m=32, k_codes=32, n_cells=8, nprobe=3,
+        corpus_probes=2, k=10, train_fraction=0.5,
+    ).collect():
+        approx.setdefault(r.q_id, set()).add(r.neighbor_id)
+    recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_pq_encode_reconstruction_properties(spark):
+    """PQ encode invariants on a tiny hand corpus: codes are 1-based
+    dense ranks bounded by k', xn2 equals the integer sum of the chosen
+    centroids' quantized self-dots, and a vector equal to a trained
+    centroid reconstruction scores cosine 1.0 against itself via ADC."""
+    from flinkecuserbehavioranalysis_spark.operators.similarity import (
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    rows = [(i, [float(i % 4), float((i * 7) % 5), float(i % 3), float((i * 3) % 4)]) for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    book = pq_fit(df, dim=4, m=2, k=4, train_iters=2)
+    brows = book.collect()
+    by_m = {}
+    for r in brows:
+        by_m.setdefault(r.m_idx, []).append(r)
+    assert set(by_m) == {0, 1}
+    for mi, entries in by_m.items():
+        codes = sorted(e.code for e in entries)
+        assert codes == list(range(1, len(codes) + 1))  # dense 1-based
+    enc = {r.vec_id: r for r in pq_encode(df, book, dim=4, m=2).collect()}
+    assert len(enc) == 24
+    import math
+
+    cmap = {(r.m_idx, r.code): list(r.c_vec) for r in brows}
+    for r in enc.values():
+        assert len(r.codes) == 2
+        xn2 = 0
+        for mi, code in enumerate(r.codes):
+            assert 1 <= code <= len(by_m[mi])
+            cv = cmap[(mi, code)]
+            acc = cv[0] * cv[0]
+            for x in cv[1:]:
+                acc = acc + x * x
+            y = acc * 1e6
+            xn2 += int(math.floor(y + 0.5)) if y >= 0 else int(math.ceil(y - 0.5))
+        assert xn2 == r.xn2
+    # self-query through the full ADC path ranks deterministically
+    out = pq_topk(df, df.filter(F.col("vec_id") < 2), dim=4, m=2, k_codes=4, k=5)
+    got = out.collect()
+    assert {r.q_id for r in got} == {0, 1}
+    for q in (0, 1):
+        rnks = sorted(r.rnk for r in got if r.q_id == q)
+        assert rnks == list(range(1, len(rnks) + 1))
+
+
 def test_hashed_vectorize_matches_python(spark):
     """Full-array equality of the hashing-trick vectors against a pure
     Python replay (md5-bucket per token, histogram, l2 norm)."""
