@@ -1191,6 +1191,7 @@ def pq_topk(
     k: int = 10,
     train_iters: int = 2,
     train_fraction: float = 1.0,
+    book: DataFrame | None = None,
 ) -> DataFrame:
     """PQ/ADC top-k — asymmetric distance computation over
     product-quantized codes (Jégou et al.): the corpus lives as m
@@ -1205,23 +1206,26 @@ def pq_topk(
     Scale shape: codebook training is (m×k)-cell-bounded Lloyd on a
     deterministic sample; encoding and scoring are map-only with the
     packed codebook broadcast; the only shuffle is the per-query rank.
-    Output matches the other top-k variants: (q_id, neighbor_id, cos,
-    rnk)."""
+    Pass a pre-trained *book* (from ``pq_fit``, ideally persisted) to
+    reuse one codebook across indexes — the training params are then
+    ignored.  Output matches the other top-k variants: (q_id,
+    neighbor_id, cos, rnk)."""
     from pyspark.sql import Window
 
-    # persist the (m×k-row) codebook: encode and the query LUT each
-    # broadcast a packed view of it, and an unpersisted book would
-    # re-run the whole training lineage per consumer
-    book = pq_fit(
-        vectors,
-        id_col=id_col,
-        vec_col=vec_col,
-        dim=dim,
-        m=m,
-        k=k_codes,
-        train_iters=train_iters,
-        train_fraction=train_fraction,
-    ).persist()
+    if book is None:
+        # persist the (m×k-row) codebook: encode and the query LUT each
+        # broadcast a packed view of it, and an unpersisted book would
+        # re-run the whole training lineage per consumer
+        book = pq_fit(
+            vectors,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            m=m,
+            k=k_codes,
+            train_iters=train_iters,
+            train_fraction=train_fraction,
+        ).persist()
     packed = _pack_pq(book)
     enc = pq_encode(vectors, book, id_col=id_col, vec_col=vec_col, dim=dim, m=m)
     qs = _pq_queries(queries, packed, query_id_col, vec_col, dim, m)
@@ -1260,6 +1264,7 @@ def ivf_pq_topk(
     train_iters: int = 2,
     corpus_probes: int = 2,
     train_fraction: float = 1.0,
+    book: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + PQ/ADC — the full Jégou-style production index: the coarse
     spherical quantizer (shared ``kmeans_fit``) restricts each query to
@@ -1269,7 +1274,8 @@ def ivf_pq_topk(
     dim floats.  Against ``ivf_quantized_topk`` (int8) this is the
     deeper compression point of the same trade curve (m·log2(k) bits vs
     8·dim); recall compounds coarse-probe loss with reconstruction
-    error — floor-tested vs the float brute force.  Output: (q_id,
+    error — floor-tested vs the float brute force.  Pass a pre-trained
+    *book* to reuse one PQ codebook across indexes.  Output: (q_id,
     neighbor_id, cos, rnk)."""
     from pyspark.sql import Window
 
@@ -1287,16 +1293,17 @@ def ivf_pq_topk(
         train_fraction=train_fraction,
     ).persist()
     coarse_packed = _pack(seeds)
-    book = pq_fit(
-        vectors,
-        id_col=id_col,
-        vec_col=vec_col,
-        dim=dim,
-        m=m,
-        k=k_codes,
-        train_iters=train_iters,
-        train_fraction=train_fraction,
-    ).persist()
+    if book is None:
+        book = pq_fit(
+            vectors,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            m=m,
+            k=k_codes,
+            train_iters=train_iters,
+            train_fraction=train_fraction,
+        ).persist()
     enc = pq_encode(vectors, book, id_col=id_col, vec_col=vec_col, dim=dim, m=m)
 
     v = vectors.select(

@@ -951,7 +951,21 @@ WHERE {_COS_SQL.format(a='ea.v', b='eb.v')} >= 0.4
     "near-dups in tests/test_scale_utilities.py.",
 )
 def ann_cosine_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_lsh_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+    return _emb_lsh_pairs(spark, sf_dir)
+
+
+def _emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SRP-LSH verified pair set at threshold 0.4, persisted and
+    memoized per (session, sf_dir) — ann_cosine_lsh_neardup returns it
+    directly and embedding_neardup_components builds its components
+    from the same frame, so the LSH pipeline runs once per session."""
+
+    def build() -> DataFrame:
+        return cosine_lsh_pairs(
+            load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        ).persist()
+
+    return _cached_canon(spark, sf_dir, "emb_srp_04_pairs", build)
 
 
 @_q(
@@ -1541,9 +1555,24 @@ WHERE common * 1.0 / (x.sz + y.sz - common) >= {threshold}
     "Jaccard on candidates only — the quadratic comparison never touches non-candidates.",
 )
 def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lsh_verified_pairs(
-        load_table(spark, sf_dir, "documents"), k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5
-    )
+    return _doc_lsh_pairs(spark, sf_dir)
+
+
+def _doc_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH verified pair set at threshold 0.5, persisted and
+    memoized per (session, sf_dir) — returned by dedup_lsh_verified and
+    consumed by the canonical-mapping family, so the LSH pipeline runs
+    once per session."""
+
+    def build() -> DataFrame:
+        return lsh_verified_pairs(
+            load_table(spark, sf_dir, "documents"),
+            k=_MINHASH_K,
+            bands=_MINHASH_BANDS,
+            threshold=0.5,
+        ).persist()
+
+    return _cached_canon(spark, sf_dir, "docs_lsh_05_pairs", build)
 
 
 from ..operators.dedup import canonicalize_duplicates  # noqa: E402
@@ -1601,10 +1630,7 @@ def _doc_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
-        pairs = lsh_verified_pairs(
-            docs, k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5
-        )
-        return canonicalize_duplicates(docs, pairs)
+        return canonicalize_duplicates(docs, _doc_lsh_pairs(spark, sf_dir))
 
     return _cached_canon(spark, sf_dir, "docs_lsh_05", build)
 
@@ -2890,12 +2916,11 @@ FROM embeddings e LEFT JOIN __lbl l USING (vec_id)
 )
 def embedding_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import canonicalize_duplicates
-    from ..operators.similarity import cosine_lsh_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
 
     def build() -> DataFrame:
-        pairs = cosine_lsh_pairs(emb, threshold=0.4)
+        pairs = _emb_lsh_pairs(spark, sf_dir)
         return canonicalize_duplicates(
             emb, pairs, id_col="vec_id", a_col="vec_a", b_col="vec_b"
         )
@@ -3303,14 +3328,36 @@ SELECT q_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk FROM __rk WHERE rnk <=
     )
 
 
+def _pq_shared_book(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PQ codebook (dim=64, m=32, k=32, 2 Lloyd iters, trained on
+    the deterministic 50% hash-sample) persisted + memoized per
+    (session, sf_dir) — ann_pq_topk and ann_ivf_pq_topk index with the
+    SAME book, so the joint sub-space training runs once per session
+    (and both oracles replay the identical sampled training)."""
+    from ..operators.similarity import pq_fit
+
+    def build() -> DataFrame:
+        return pq_fit(
+            load_table(spark, sf_dir, "embeddings"),
+            dim=64,
+            m=32,
+            k=32,
+            train_iters=2,
+            train_fraction=0.5,
+        ).persist()
+
+    return _cached_canon(spark, sf_dir, "pq_book_32x32_05", build)
+
+
 @_q(
     "ann_pq_topk",
-    _pq_oracle(m=32, k_codes=32, train_iters=2),
+    _pq_oracle(m=32, k_codes=32, train_iters=2, train_buckets=5000),
     "Extension (PQ/ADC ANN — Jegou et al. product quantization): corpus compressed to m "
-    "per-sub-space codes via jointly-trained L2 codebooks, queries score candidates "
-    "through an m x k integer lookup table (asymmetric distance, exact int64 sums, one "
-    "float division) — the oracle replays the whole Lloyd training and ADC pipeline; "
-    "recall@10 vs float brute force floor-tested.",
+    "per-sub-space codes via jointly-trained L2 codebooks (50% hash-sample training, "
+    "shared with ann_ivf_pq_topk), queries score candidates through an m x k integer "
+    "lookup table (asymmetric distance, exact int64 sums, one float division) — the "
+    "oracle replays the whole Lloyd training and ADC pipeline; recall@10 vs float "
+    "brute force floor-tested.",
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3321,7 +3368,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=32,
         k_codes=32,
         k=10,
-        train_iters=2,
+        book=_pq_shared_book(spark, sf_dir),
     )
 
 
@@ -3347,6 +3394,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_iters=2,
         corpus_probes=2,
         train_fraction=0.5,
+        book=_pq_shared_book(spark, sf_dir),
     )
 
 

@@ -972,7 +972,9 @@ def test_pq_topk_recall_floor(spark):
     for r in brute_force_topk(emb, qs, k=10).collect():
         exact.setdefault(r.q_id, set()).add(r.neighbor_id)
     approx = {}
-    for r in pq_topk(emb, qs, dim=64, m=32, k_codes=32, k=10).collect():
+    for r in pq_topk(
+        emb, qs, dim=64, m=32, k_codes=32, k=10, train_fraction=0.5
+    ).collect():
         approx.setdefault(r.q_id, set()).add(r.neighbor_id)
     recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.6, recalls
