@@ -737,6 +737,127 @@ def streaming_pattern_sequence(
     )
 
 
+def streaming_pattern_sequence_optional(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    steps: list,
+    within_seconds: float,
+    optional,
+    contiguity: str = "relaxed",
+    tiebreak_col: str | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of ``operators.patterns.pattern_sequence_optional``
+    — CEP ``optional()`` over ONE keyed NFA.  The batch operator's
+    expansion semantics (a match per subset of skipped optional steps)
+    can't be a union of per-expansion ``streaming_pattern_sequence``
+    queries — Spark forbids multiple ``applyInPandasWithState``
+    operators in one streaming query — so a single stateful function
+    tracks every expansion's pending chains side by side: the state is
+    the per-expansion chain lists (each pruned by the within bound
+    exactly like the base NFA), each event drives every expansion's
+    transition, and a completing chain emits the full-width row with
+    NULLs at that expansion's skipped positions.  One state store, one
+    shuffle — cheaper than the batch expansion's ≤ 2^(#optional)
+    passes.  Uniform *contiguity* only, expansions keeping < 2 steps
+    are not tracked — both exactly as in the batch operator.  Output:
+    (key, step1_ts … stepN_ts), identical to the batch operator on a
+    bounded ordered replay."""
+    from itertools import combinations
+
+    n = len(steps)
+    if n < 2:
+        raise ValueError(f"needs >= 2 steps, got {n}")
+    if contiguity not in ("strict", "relaxed"):
+        raise ValueError(
+            "streaming twin supports uniform 'strict' or 'relaxed' contiguity only, "
+            f"got {contiguity!r}"
+        )
+    if len(optional) != n:
+        raise ValueError(f"optional flags ({len(optional)}) must match steps ({n})")
+    opt_idx = [i for i, o in enumerate(optional) if o]
+    expansions: list[tuple[int, ...]] = []
+    for r in range(len(opt_idx) + 1):
+        for drop in combinations(opt_idx, r):
+            keep = tuple(i for i in range(n) if i not in drop)
+            if len(keep) >= 2:
+                expansions.append(keep)
+    if not expansions:
+        raise ValueError("no expansion keeps >= 2 steps")
+    tagged = events
+    for i, pred in enumerate(steps):
+        tagged = tagged.withColumn(f"__m{i}", pred.cast("int"))
+    out_schema = StructType(
+        [StructField("key", LongType())]
+        + [StructField(f"step{i + 1}_ts", LongType()) for i in range(n)]
+    )
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    strict = contiguity == "strict"
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        (s,) = state.get if state.exists else ("",)
+        parts = s.split("|") if s else []
+        if len(parts) != len(expansions):
+            parts = ["" for _ in expansions]
+        chain_sets = [
+            [[float(x) for x in c.split(",")] for c in p.split(";") if c]
+            for p in parts
+        ]
+        out: list[tuple] = []
+        for pdf in pdfs:
+            cols = [c for c in sort_cols if c in pdf.columns]
+            pdf = pdf.sort_values(cols)
+            tss = _epoch_s(pdf[ts_col])
+            m = [pdf[f"__m{i}"].to_numpy().astype(bool) for i in range(n)]
+            for i in range(len(tss)):
+                ts = float(tss[i])
+                for ei, keep in enumerate(expansions):
+                    chains = chain_sets[ei]
+                    nxt: list[list[float]] = []
+                    for c in chains:
+                        if ts - c[0] >= within_seconds:
+                            continue  # doomed: prune on every event
+                        if m[keep[len(c)]][i]:
+                            c2 = c + [ts]
+                            if len(c2) == len(keep):
+                                row: list = [int(k)] + [None] * n
+                                for pos, oi in enumerate(keep):
+                                    row[oi + 1] = int(c2[pos])
+                                out.append(tuple(row))
+                            else:
+                                nxt.append(c2)
+                        elif not strict:
+                            nxt.append(c)
+                    chains = nxt
+                    if m[keep[0]][i]:
+                        chains.append([ts])
+                    chain_sets[ei] = chains
+        state.update(
+            (
+                "|".join(
+                    ";".join(",".join(repr(t) for t in c) for c in chains)
+                    for chains in chain_sets
+                ),
+            )
+        )
+        if out:
+            yield pd.DataFrame(
+                out, columns=["key"] + [f"step{j + 1}_ts" for j in range(n)]
+            )
+
+    return (
+        tagged.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, _SEQUENCE_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 NFB_SCHEMA = StructType(
     [StructField("key", LongType()), StructField("first_ts", LongType())]
 )

@@ -896,3 +896,53 @@ def test_streaming_not_followed_by_boundaries_and_pruning(spark, tmp_path):
     )
     got = sorted((r.key, r.first_ts) for r in run_bounded(out))
     assert got == [(1, 100), (2, 150)]
+
+
+def test_streaming_pattern_sequence_optional_matches_batch(spark):
+    """The optional-step expansion twin (view, click optional, purchase
+    — the registered pattern_optional_funnel parameterization) must
+    reproduce the batch pattern_sequence_optional on a bounded replay,
+    NULL middle step included."""
+    from flinkecuserbehavioranalysis_spark.operators.patterns import (
+        pattern_sequence_optional,
+    )
+    from flinkecuserbehavioranalysis_spark.streaming.stateful import (
+        streaming_pattern_sequence_optional,
+    )
+
+    steps = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    kw = dict(
+        key_col="user_id",
+        ts_col="ts",
+        steps=steps,
+        within_seconds=3600.0,
+        optional=[False, True, False],
+        contiguity="relaxed",
+        tiebreak_col="event_id",
+    )
+    stream = read_events_stream(spark, SF_DIR).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    got = sorted(
+        (
+            tuple(r)
+            for r in run_bounded(streaming_pattern_sequence_optional(stream, **kw))
+        ),
+        key=repr,
+    )
+    batch = sorted(
+        (
+            tuple(r)
+            for r in pattern_sequence_optional(
+                load_table(spark, SF_DIR, "events"), **kw
+            ).collect()
+        ),
+        key=repr,
+    )
+    assert got == batch
+    assert len(got) > 0
+    assert any(r[2] is None for r in got)  # the click-skipped expansion emits
