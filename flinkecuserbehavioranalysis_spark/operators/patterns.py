@@ -259,6 +259,55 @@ def pattern_not_followed_by(
     )
 
 
+def pattern_pairs_not_between(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    first_pred: Column,
+    second_pred: Column,
+    absent_pred: Column,
+    within_seconds: float,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """MID-PATTERN CEP negation — flink-cep
+    ``begin(A).notFollowedBy(C).followedBy(B).within(t)``: the (A,
+    earliest-following-B) pairs of ``pattern_pairs`` (relaxed), kept
+    only when NO *absent_pred* event for the key falls STRICTLY between
+    the two matched timestamps ("clicked then purchased with no error
+    in between").
+
+    The pair match is exactly ``pattern_pairs``' relaxed semantics
+    (earliest later B, end-exclusive within); the negation is
+    value-ordered and boundary-exclusive on both sides
+    (``first_ts < absent_ts < second_ts`` — a C sharing either
+    endpoint's timestamp does not kill), so tie order never changes the
+    outcome.  Executed as the pair query followed by one co-partitioned
+    LEFT ANTI range join against the (pre-filtered) absent events —
+    the same scale shape as ``pattern_not_followed_by`` stacked on the
+    single-shuffle pair plan.  Returns (key_col, first_ts, second_ts)
+    as epoch-second longs."""
+    pairs = pattern_pairs(
+        df,
+        key_col=key_col,
+        ts_col=ts_col,
+        first_pred=first_pred,
+        second_pred=second_pred,
+        within_seconds=within_seconds,
+        contiguity="relaxed",
+        tiebreak_col=tiebreak_col,
+    )
+    absents = df.filter(absent_pred).select(
+        F.col(key_col).alias("__ak"), F.col(ts_col).cast("double").alias("__at")
+    )
+    return pairs.join(
+        absents,
+        (pairs[key_col] == absents["__ak"])
+        & (F.col("__at") > F.col("first_ts"))
+        & (F.col("__at") < F.col("second_ts")),
+        "left_anti",
+    ).select(F.col(key_col), F.col("first_ts"), F.col("second_ts"))
+
+
 def pattern_sequence_optional(
     df: DataFrame,
     key_col: str,

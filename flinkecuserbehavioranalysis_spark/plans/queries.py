@@ -393,8 +393,47 @@ def pattern_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..operators.patterns import (  # noqa: E402
     pattern_not_followed_by,
+    pattern_pairs_not_between,
     pattern_sequence_optional,
 )
+
+
+@_q(
+    "pattern_clean_conversion",
+    """
+WITH __e AS (
+  SELECT user_id, event_type, epoch(ts) AS tse,
+         min(CASE WHEN event_type = 'purchase' THEN epoch(ts) END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_b
+  FROM events)
+SELECT v.user_id,
+       CAST(floor(v.tse) AS BIGINT) AS first_ts,
+       CAST(floor(v.next_b) AS BIGINT) AS second_ts
+FROM __e v
+WHERE v.event_type = 'view' AND v.next_b - v.tse < 1800.0
+  AND NOT EXISTS (SELECT 1 FROM events c
+                  WHERE c.user_id = v.user_id AND c.event_type = 'error'
+                    AND epoch(c.ts) > v.tse AND epoch(c.ts) < v.next_b)
+""",
+    "MID-PATTERN CEP negation (flink-cep begin(A).notFollowedBy(C).followedBy(B)"
+    ".within(t)): view -> earliest purchase within 30min with NO error event strictly "
+    "between the matched pair — the relaxed pair query stacked with one co-partitioned "
+    "LEFT ANTI range join; boundary-exclusive on both sides so tie order never flips "
+    "the outcome.",
+)
+def pattern_clean_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return pattern_pairs_not_between(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        first_pred=F.col("event_type") == "view",
+        second_pred=F.col("event_type") == "purchase",
+        absent_pred=F.col("event_type") == "error",
+        within_seconds=1800.0,
+        tiebreak_col="event_id",
+    )
 
 
 @_q(

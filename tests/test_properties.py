@@ -508,6 +508,57 @@ def test_pattern_not_followed_by_matches_naive(spark, events):
     assert got == sorted(expect)
 
 
+@given(EVENTS)
+@settings(max_examples=15, deadline=None)
+def test_pattern_pairs_not_between_matches_naive(spark, events):
+    """pattern_pairs_not_between vs the naive mid-pattern negation: the
+    relaxed (a, earliest-later-b) pair survives iff no 'x' for the key
+    falls STRICTLY between the two matched timestamps."""
+    from flinkecuserbehavioranalysis_spark.operators.patterns import (
+        pattern_pairs_not_between,
+    )
+
+    rows = [(k, t, e, i) for i, (k, t, e) in enumerate(events)]
+    if not rows:
+        return
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        rows, "user_id long, tsd long, event_type string, event_id long"
+    ).selectExpr("user_id", "timestamp_seconds(tsd) as ts", "event_type", "event_id")
+    got = sorted(
+        (r.user_id, r.first_ts, r.second_ts)
+        for r in pattern_pairs_not_between(
+            df,
+            key_col="user_id",
+            ts_col="ts",
+            first_pred=F.col("event_type") == "a",
+            second_pred=F.col("event_type") == "b",
+            absent_pred=F.col("event_type") == "x",
+            within_seconds=10.0,
+            tiebreak_col="event_id",
+        ).collect()
+    )
+    by_key: dict[int, list[tuple[int, str]]] = {}
+    for k, t, e, i in sorted(rows, key=lambda r: (r[1], r[3])):
+        by_key.setdefault(k, []).append((t, e))
+    expect = []
+    for k, seq in by_key.items():
+        for i, (ta, ea) in enumerate(seq):
+            if ea != "a":
+                continue
+            later_bs = [tb for tb, eb in seq[i + 1 :] if eb == "b"]
+            if not later_bs or min(later_bs) - ta >= 10.0:
+                continue
+            tb = min(later_bs)
+            blocked = any(
+                e2 == "x" and ta < tc < tb for tc, e2 in seq
+            )
+            if not blocked:
+                expect.append((k, ta, tb))
+    assert got == sorted(expect)
+
+
 @given(SEQ_EVENTS)
 @settings(max_examples=15, deadline=None)
 def test_pattern_sequence_optional_matches_naive(spark, events):
