@@ -549,3 +549,95 @@ def ngram_contamination(
         "n_grams",
         F.round(F.col("n_overlap") / F.col("n_grams"), 6).alias("overlap_share"),
     )
+
+
+def repeated_gram_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document exact-substring duplication profile — the
+    distributed restatement of suffix-array substring dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): instead of one global suffix array, every token position
+    contributes its *w*-token window, and a window is "duplicated" when
+    the identical window appears in at least *min_docs* distinct
+    documents.  ``dup_share`` (duplicated positions / total positions)
+    is the per-doc boilerplate fraction pipelines threshold on before
+    span-level clipping.
+
+    Returns (id, n_grams, n_dup_grams, dup_share); every input doc gets
+    a row (0/0.0 when shorter than *w* tokens).
+
+    Scale shape: windowing is map-side (the same Generate-safe shingle
+    explode as MinHash — per-position, NOT distinct); the duplicated-
+    window set costs one (doc, gram)-distinct shuffle plus a gram-keyed
+    count, and attributing positions back is one hash join on the gram
+    — all keyed on the md5-sized gram string, uniformly distributed by
+    construction.  Per-doc totals ride a separate map-only branch (a
+    non-generator column projected next to ``explode`` is re-evaluated
+    per output row — the Generate pitfall this repo benchmarks).  At
+    100 TB the gram relation is ~tokens-per-corpus rows; the heavy hot
+    grams (site boilerplate) concentrate on few keys but the groupBy is
+    a partial-aggregated count, so skew lands after map-side combine."""
+    pos = shingles(docs, id_col, text_col, n=w, distinct=False)
+    hot = (
+        pos.distinct()
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("sh")
+    )
+    dup = pos.join(hot, "sh").groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup"))
+    totals = docs.select(
+        F.col(id_col),
+        F.greatest(
+            F.size(F.split(F.col(text_col), " ")) - F.lit(w - 1), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_grams"),
+    )
+    return totals.join(dup, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_grams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_share"),
+    )
+
+
+def repeated_gram_hotlist(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    min_docs: int = 2,
+    topk: int = 50,
+) -> DataFrame:
+    """The *k* most-repeated cross-document *w*-token windows — the
+    "what IS the boilerplate" companion to :func:`repeated_gram_stats`
+    (license headers, navigation chrome, template sentences).
+
+    Returns (gram, df, n_occ) ordered by total occurrences then doc
+    frequency then gram text (total tiebreak → deterministic top-k in
+    any engine).  One map-side window explode, one gram-keyed
+    count/count-distinct aggregation, then TakeOrderedAndProject — no
+    global sort materializes."""
+    pos = shingles(docs, id_col, text_col, n=w, distinct=False)
+    return (
+        pos.groupBy("sh")
+        .agg(
+            F.countDistinct(id_col).alias("df"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("df") >= min_docs)
+        .orderBy(F.desc("n_occ"), F.desc("df"), F.asc("sh"))
+        .limit(topk)
+        .select(F.col("sh").alias("gram"), "df", "n_occ")
+    )

@@ -4039,3 +4039,57 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
     )
+
+
+_GRAM_W = 8
+_GRAM_CTE = f"""
+__gw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+__gg AS (SELECT doc_id,
+           unnest(list_transform(range(1, len(ws) - {_GRAM_W - 2}),
+                  i -> array_to_string(ws[i:i+{_GRAM_W - 1}], ' '))) AS sh
+         FROM __gw)
+"""
+
+
+@_q(
+    "dedup_repeated_grams",
+    f"""
+WITH {_GRAM_CTE},
+__hot AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS df
+                          FROM __gg GROUP BY sh) WHERE df >= 2),
+__dup AS (SELECT doc_id, count(*) AS n_dup FROM __gg JOIN __hot USING (sh)
+          GROUP BY doc_id),
+__tot AS (SELECT doc_id, greatest(len(ws) - {_GRAM_W - 1}, 0) AS n_grams FROM __gw)
+SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_grams,
+       CASE WHEN t.n_grams > 0
+            THEN CAST(coalesce(d.n_dup, 0) AS DOUBLE) / t.n_grams
+            ELSE 0.0 END AS dup_share
+FROM __tot t LEFT JOIN __dup d USING (doc_id)
+""",
+    "Extension (exact-substring dedup, Lee et al. 2022 restated distributed): per-doc "
+    "fraction of 8-token windows that appear verbatim in >=2 distinct documents — the "
+    "span-level boilerplate profile suffix-array dedup pipelines threshold on.",
+)
+def dedup_repeated_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import repeated_gram_stats
+
+    return repeated_gram_stats(load_table(spark, sf_dir, "documents"), w=_GRAM_W)
+
+
+@_q(
+    "corpus_repeated_gram_hotlist",
+    f"""
+WITH {_GRAM_CTE}
+SELECT sh AS gram, count(DISTINCT doc_id) AS df, count(*) AS n_occ
+FROM __gg GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_occ DESC, df DESC, gram LIMIT 50
+""",
+    "Extension (exact-substring dedup diagnostics): the 50 most-repeated cross-document "
+    "8-token windows (what the boilerplate IS) — fully tiebroken top-k, "
+    "TakeOrderedAndProject physical shape.",
+)
+def corpus_repeated_gram_hotlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import repeated_gram_hotlist
+
+    return repeated_gram_hotlist(load_table(spark, sf_dir, "documents"), w=_GRAM_W)

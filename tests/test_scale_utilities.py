@@ -1183,3 +1183,42 @@ def test_quantized_topk_query_outside_corpus(spark):
     for r in got:
         if r.neighbor_id in ref:
             assert r.cos == ref[r.neighbor_id]
+
+
+def test_repeated_gram_stats_span_semantics(spark):
+    """Every doc gets a row; a window counts as duplicated only when it
+    appears in >= min_docs DISTINCT docs (within-doc repetition alone
+    never qualifies); n_dup_grams counts positions, not distinct grams;
+    short docs report 0/0.0."""
+    from flinkecuserbehavioranalysis_spark.operators.dedup import (
+        repeated_gram_hotlist,
+        repeated_gram_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),            # grams: abc bcd cde
+            (2, "a b c a b c d"),        # abc bca cab abc bcd — 'a b c' twice
+            (3, "q r s t"),              # unique grams
+            (4, "u v"),                  # shorter than w -> 0 grams
+            (5, "m n o p m n o"),        # 'm n o' twice but only this doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repeated_gram_stats(docs, w=3).collect()}
+    assert len(out) == 5
+    assert (out[1].n_grams, out[1].n_dup_grams) == (3, 2)
+    assert out[1].dup_share == 2 / 3
+    # doc 2: positions 'a b c' x2 + 'b c d' x1 are cross-doc duplicated
+    assert (out[2].n_grams, out[2].n_dup_grams) == (5, 3)
+    assert out[2].dup_share == 0.6
+    assert (out[3].n_grams, out[3].n_dup_grams) == (2, 0)
+    assert (out[4].n_grams, out[4].n_dup_grams, out[4].dup_share) == (0, 0, 0.0)
+    # within-doc repetition does not make a gram "duplicated"
+    assert (out[5].n_grams, out[5].n_dup_grams) == (5, 0)
+
+    hot = repeated_gram_hotlist(docs, w=3).collect()
+    assert [(r.gram, r.df, r.n_occ) for r in hot] == [
+        ("a b c", 2, 3),
+        ("b c d", 2, 2),
+    ]
