@@ -4093,3 +4093,40 @@ def corpus_repeated_gram_hotlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import repeated_gram_hotlist
 
     return repeated_gram_hotlist(load_table(spark, sf_dir, "documents"), w=_GRAM_W)
+
+
+@_q(
+    "events_near_purchases",
+    """
+WITH __p AS (SELECT event_id AS purchase_id, CAST(floor(epoch(ts)) AS BIGINT) AS pts
+             FROM events WHERE event_type = 'purchase'),
+__c AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS cts
+        FROM events WHERE event_type = 'click'),
+__m AS (SELECT purchase_id, count(*) AS n
+        FROM __p JOIN __c ON cts >= pts - 30 AND cts <= pts + 30
+        GROUP BY purchase_id)
+SELECT p.purchase_id, CAST(coalesce(m.n, 0) AS BIGINT) AS n_nearby_clicks
+FROM __p p LEFT JOIN __m m USING (purchase_id)
+""",
+    "Extension (keyless range join, binned): per purchase event, how many click events — "
+    "from ANY user — landed within ±30 s.  The naive non-equi formulation is a "
+    "BroadcastNestedLoopJoin; range_join_binned restates it as a hash-partitionable "
+    "equi-join on 60 s time bins (each left window spans <= 2 bins, each right row exactly "
+    "1 — every qualifying pair meets in exactly one bin).",
+)
+def events_near_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").cast("long").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(F.col("ts").cast("long").alias("cts"))
+    matched = (
+        range_join_binned(p, c, "pts", "cts", lower_seconds=30, upper_seconds=30)
+        .groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return p.select("purchase_id").join(matched, "purchase_id", "left").select(
+        "purchase_id", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_nearby_clicks")
+    )

@@ -158,3 +158,12 @@ def test_tfidf_broadcasts_df_and_ranks_per_doc(spark):
     plan = _explain(spark, "text_tfidf_top_terms")
     assert plan.count("BroadcastHashJoin") >= 1  # vocabulary-sized df table
     assert "TakeOrderedAndProject" not in plan  # per-doc window rank, no global sort
+
+
+def test_keyless_range_join_is_not_nested_loop(spark):
+    """events_near_purchases joins two large fact slices on a pure time
+    range; the binned rewrite must give Catalyst an equi-key — a
+    BroadcastNestedLoopJoin/CartesianProduct here would be quadratic at
+    scale."""
+    plan = _explain(spark, "events_near_purchases")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

@@ -859,3 +859,38 @@ def test_funnel_conversion_matches_naive(spark, rows):
         for d, c in daily.items()
     }
     assert got == expect
+
+
+@st.composite
+def range_inputs(draw):
+    left = draw(st.lists(TS, min_size=1, max_size=12, unique=True))
+    right = draw(st.lists(TS, min_size=0, max_size=12, unique=True))
+    lower = draw(st.integers(min_value=0, max_value=7))
+    upper = draw(st.integers(min_value=0, max_value=7))
+    return left, right, lower, max(upper, 1 - lower)  # keep W = lower+upper > 0
+
+
+@given(range_inputs())
+@settings(max_examples=12, deadline=None)
+def test_range_join_binned_matches_naive(spark, data):
+    """Binned keyless range join emits exactly the pairs the naive
+    non-equi predicate admits — each pair once (windows spanning a bin
+    boundary must not double-match)."""
+    from flinkecuserbehavioranalysis_spark.operators.joins import range_join_binned
+
+    left_rows, right_rows, lower, upper = data
+    left = spark.createDataFrame([(t,) for t in left_rows], "lt long")
+    right = spark.createDataFrame([(t,) for t in right_rows], "rt long")
+    got = sorted(
+        (r.lt, r.rt)
+        for r in range_join_binned(
+            left, right, "lt", "rt", lower_seconds=lower, upper_seconds=upper
+        ).collect()
+    )
+    expect = sorted(
+        (lt, rt)
+        for lt in left_rows
+        for rt in right_rows
+        if lt - lower <= rt <= lt + upper
+    )
+    assert got == expect
