@@ -1445,3 +1445,77 @@ def hard_negatives(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    train_iters: int = 2,
+    train_fraction: float = 1.0,
+    tau: float = 0.8,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with k-means and comparing
+    members only WITHIN each cluster — the trick that turns the O(n²)
+    all-pairs cosine scan into k independent O((n/k)²) blocks.  A
+    vector is a semantic duplicate when some cluster-mate with a
+    smaller id has cosine ≥ *tau* (greedy keep-first-by-id — the
+    deterministic restatement of the paper's keep-one-per-group).
+
+    Returns one row per vector: (id, cluster_id, is_semdup ∈ {0,1},
+    best_prior_cos — max cosine to a qualifying smaller-id mate, NULL
+    when none).  Downstream: ``filter(is_semdup = 0)`` is the kept
+    corpus.
+
+    Scale shape: training + assignment are the shared ``kmeans_fit``
+    map-only packed-codebook path (sample-able via *train_fraction*);
+    the pair stage shuffles once on ``cluster_id`` and is quadratic
+    ONLY within a cluster — `n_cells` is the blocking knob (the paper
+    runs k ≈ 0.1·√n·… large enough that clusters fit a worker; at
+    100 TB pick n_cells so n/k vectors ≈ 10⁴-10⁵ per block and let AQE
+    split stragglers).  Cosines are 6 dp-rounded (engine-exact), so
+    the *tau* comparison is bit-identical in any engine."""
+    seeds = kmeans_fit(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        train_iters=train_iters,
+        train_fraction=train_fraction,
+    )
+    v = vectors.select(F.col(id_col), _as_double(vec_col).alias("v_vec")).withColumn(
+        "v_norm", F.sqrt(dot(F.col("v_vec"), F.col("v_vec")))
+    )
+    members = (
+        v.crossJoin(F.broadcast(_pack(seeds)))
+        .select(F.col(id_col), "v_vec", _best_cell("v_vec", "v_norm").alias("cluster_id"))
+    )
+    a, b = members.alias("a"), members.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster_id") == F.col("b.cluster_id"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"b.{id_col}").alias(id_col),
+        F.round(cosine(F.col("a.v_vec"), F.col("b.v_vec")), 6).alias("c6"),
+    )
+    prior = (
+        pairs.filter(F.col("c6") >= F.lit(float(tau)))
+        .groupBy(id_col)
+        .agg(F.max("c6").alias("best_prior_cos"))
+    )
+    return (
+        members.select(F.col(id_col), "cluster_id")
+        .join(prior, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.when(F.col("best_prior_cos").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_semdup"),
+            F.col("best_prior_cos"),
+        )
+    )

@@ -4130,3 +4130,42 @@ def events_near_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("purchase_id").join(matched, "purchase_id", "left").select(
         "purchase_id", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_nearby_clicks")
     )
+
+
+def _semdedup_oracle(n_cells: int, train_iters: int, tau: float) -> str:
+    cos = _COS_SQL
+    prefix, cur = _kmeans_train_ctes(n_cells, train_iters, None)
+    return (
+        prefix
+        + f"""__sdasg AS (SELECT e.vec_id, e.v, s.seed_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos.format(a='e.v', b='s.sv')} DESC, s.seed_id) AS r
+           FROM __e e CROSS JOIN {cur} s),
+__sdm AS (SELECT vec_id, v, seed_id AS cluster_id FROM __sdasg WHERE r = 1),
+__sdp AS (SELECT b.vec_id, max({cos.format(a='a.v', b='b.v')}) AS best_prior_cos
+          FROM __sdm a JOIN __sdm b
+            ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+          WHERE {cos.format(a='a.v', b='b.v')} >= {tau}
+          GROUP BY b.vec_id)
+SELECT m.vec_id, m.cluster_id,
+       CAST(CASE WHEN p.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_semdup,
+       p.best_prior_cos
+FROM __sdm m LEFT JOIN __sdp p USING (vec_id)
+"""
+    )
+
+
+@_q(
+    "semantic_dedup_flags",
+    _semdedup_oracle(8, 2, 0.4),
+    "Extension (SemDeDup, Abbas et al. 2023): semantic dedup by k-means blocking — "
+    "vectors compared only within their cluster, flagged when a smaller-id cluster-mate "
+    "has cosine >= 0.4 (greedy keep-first).  Oracle replays the full Lloyd training loop; "
+    "the pair stage is quadratic only within a cluster (n_cells is the blocking knob).",
+)
+def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), n_cells=8, train_iters=2, tau=0.4
+    )

@@ -1222,3 +1222,55 @@ def test_repeated_gram_stats_span_semantics(spark):
         ("a b c", 2, 3),
         ("b c d", 2, 2),
     ]
+
+
+def test_semantic_dedup_flags_planted_duplicates(spark):
+    """SemDeDup on planted semantic duplicates: base vectors + a
+    small-angle perturbation of each (cos >= ~0.95) must flag exactly
+    the HIGHER id of each planted pair (keep-first-by-id), clusters
+    keep base and perturbation together, and clean vectors pass."""
+    import random
+
+    import numpy as np
+
+    from flinkecuserbehavioranalysis_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(11)
+    dim, n_base = 16, 20
+    rows = []
+    for i in range(n_base):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, [float(x) for x in v]))
+        pert = [x + rng.gauss(0, 0.15) * abs(x) for x in v]
+        rows.append((i + n_base, [float(x) for x in pert]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in semantic_dedup(df, n_cells=4, train_iters=2, tau=0.9).collect()}
+    assert len(out) == 2 * n_base
+
+    V = np.array([r[1] for r in sorted(rows)], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = Vn @ Vn.T
+    # which planted pairs truly clear tau AND share a cluster (k-means
+    # blocking can split a pair across cluster boundaries — SemDeDup's
+    # documented recall trade; flags must match the blocked semantics)
+    for i in range(n_base):
+        j = i + n_base
+        same_cluster = out[i].cluster_id == out[j].cluster_id
+        if same_cluster and round(C[i, j], 6) >= 0.9:
+            assert out[j].is_semdup == 1, (i, j, C[i, j])
+            assert out[j].best_prior_cos is not None
+            assert out[i].is_semdup in (0, 1)  # base may match another base
+    # a flagged vector always has a qualifying prior mate recomputable naively
+    for vid, r in out.items():
+        if r.is_semdup:
+            mates = [
+                u for u in out
+                if u < vid and out[u].cluster_id == r.cluster_id
+                and round(C[u, vid], 6) >= 0.9
+            ]
+            assert mates, vid
+            assert round(max(round(C[u, vid], 6) for u in mates), 6) == round(
+                r.best_prior_cos, 6
+            )
+        else:
+            assert r.best_prior_cos is None
