@@ -129,3 +129,28 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Persist *df* with hive-style directory partitioning on
+    *partition_cols* — the layout half of partition pruning: a reader
+    filtering on a partition column skips whole directories at planning
+    time (``PartitionFilters`` on the scan, no file even opened).
+
+    ``partitionOverwriteMode=dynamic`` makes ``mode='overwrite'``
+    replace only the partitions present in *df* — the idempotent
+    daily-reload contract (re-running a day's load never clobbers other
+    days).  *max_records_per_file* caps file size so one partition
+    directory stays many-filed and parallel-readable; pick partition
+    columns with bounded cardinality (date, source, lang — NOT user_id:
+    a 100 TB corpus wants thousands of directories, not billions)."""
+    w = df.write.mode(mode).option("partitionOverwriteMode", "dynamic")
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.partitionBy(*partition_cols).parquet(path)

@@ -1274,3 +1274,40 @@ def test_semantic_dedup_flags_planted_duplicates(spark):
             )
         else:
             assert r.best_prior_cos is None
+
+
+def test_write_partitioned_prunes_and_overwrites_dynamically(spark, tmp_path):
+    """Partitioned layout round-trip: (a) a filter on the partition
+    column shows up as PartitionFilters on the scan (directory pruning,
+    not row filtering), (b) values survive the round-trip, (c) dynamic
+    overwrite replaces ONLY the partitions present in the new frame."""
+    import contextlib
+    import io as _io
+
+    from flinkecuserbehavioranalysis_spark.io import write_partitioned
+
+    path = str(tmp_path / "part_events")
+    df = spark.createDataFrame(
+        [(1, "view", 10.0), (2, "view", 11.0), (3, "click", 12.0), (4, "error", 13.0)],
+        "event_id long, event_type string, value double",
+    )
+    write_partitioned(df, path, ["event_type"])
+    back = spark.read.parquet(path)
+    assert back.count() == 4
+
+    pruned = back.filter(F.col("event_type") == "view")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1].split("\n")[0]
+    assert {r.event_id for r in pruned.collect()} == {1, 2}
+
+    # dynamic overwrite: rewrite only the 'click' partition
+    write_partitioned(
+        spark.createDataFrame([(30, "click", 99.0)], "event_id long, event_type string, value double"),
+        path,
+        ["event_type"],
+    )
+    after = {r.event_id for r in spark.read.parquet(path).collect()}
+    assert after == {1, 2, 4, 30}
