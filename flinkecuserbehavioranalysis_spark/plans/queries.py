@@ -4169,3 +4169,118 @@ def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         load_table(spark, sf_dir, "embeddings"), n_cells=8, train_iters=2, tau=0.4
     )
+
+
+@_q(
+    "disjunctive_brand_revenue",
+    f"""
+SELECT CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue, count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+""",
+    "Extension: TPC-H Q19-style disjunctive predicate revenue — three OR'd "
+    "(brand, size, quantity) branches across the join; Catalyst extracts the "
+    "per-side OR-unions (brand/size to the part scan, quantity to lineitem) so both "
+    "scans prune before the join.",
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, p = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    branch = (
+        ((b == "Brand#1") & sz.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#3") & sz.between(10, 30) & q.between(10, 35))
+        | ((b == "Brand#5") & sz.between(20, 50) & q.between(20, 50))
+    )
+    return (
+        l.join(F.broadcast(p), (F.col("p_partkey") == F.col("l_partkey")) & branch)
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "large_volume_customers",
+    """
+WITH __big AS (SELECT l_orderkey,
+                      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+               FROM lineitem GROUP BY 1
+               HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+SELECT c_name, o_orderkey AS order_id,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_ts,
+       CAST(o_totalprice AS DOUBLE) AS total_price, sum_qty
+FROM __big JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""",
+    "Extension: TPC-H Q18-style large-volume orders — per-order quantity aggregate "
+    "filtered BEFORE the customer/orders joins (the aggregate, not the fact table, "
+    "drives the join), decimal-stable sums.",
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, o, c = (load_table(spark, sf_dir, t) for t in ("lineitem", "orders", "customer"))
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__qd"))
+        .filter(F.col("__qd") > 250)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_orderdate").cast("long").alias("order_ts"),
+            F.col("o_totalprice").cast("double").alias("total_price"),
+            F.col("__qd").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@_q(
+    "sole_late_suppliers",
+    """
+WITH __l1 AS (SELECT l_orderkey, l_suppkey,
+                     max(CASE WHEN epoch(l_shipdate) > epoch(o_orderdate) + 2592000.0
+                              THEN 1 ELSE 0 END) AS late
+              FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+              GROUP BY 1, 2),
+__o AS (SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+        FROM __l1 GROUP BY 1),
+__sole AS (SELECT a.l_suppkey FROM __l1 a JOIN __o USING (l_orderkey)
+           WHERE a.late = 1 AND n_supp > 1 AND n_late = 1)
+SELECT s_name, count(*) AS numwait
+FROM __sole JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+""",
+    "Extension: TPC-H Q21-style suppliers-who-kept-orders-waiting — the correlated "
+    "EXISTS / NOT EXISTS pair restated as one (order, supplier) aggregate + an "
+    "order-level count join (late = shipped >30 d after order): the scale-correct "
+    "decorrelation, no per-row subquery re-scan.  Fully tiebroken top-20.",
+)
+def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, o, s = (load_table(spark, sf_dir, t) for t in ("lineitem", "orders", "supplier"))
+    late = (
+        F.col("l_shipdate").cast("long") > F.col("o_orderdate").cast("long") + 30 * DAY
+    ).cast("int")
+    l1 = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    per_o = l1.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    sole = (
+        l1.filter(F.col("late") == 1)
+        .join(per_o.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)), "l_orderkey")
+    )
+    return (
+        sole.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )

@@ -167,3 +167,14 @@ def test_keyless_range_join_is_not_nested_loop(spark):
     scale."""
     plan = _explain(spark, "events_near_purchases")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_disjunctive_predicates_push_to_both_scans(spark):
+    """Q19-style OR'd (brand,size,quantity) branches: Catalyst must
+    extract each side's OR-union and push it into the parquet scan —
+    both scans carry an Or(...) pushed filter (brand/size on part,
+    quantity ranges on lineitem)."""
+    plan = _explain(spark, "disjunctive_brand_revenue")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert sum("Or(" in l for l in pushed) >= 2, plan
+    assert any("p_brand" in l for l in pushed) and any("l_quantity" in l for l in pushed)
