@@ -1,0 +1,66 @@
+"""Frequent-itemset mining (market-basket) — the A-priori pair level
+as DataFrame algebra.
+
+Beyond the reference's surface (its ad/behavior jobs stop at per-key
+counts); included because co-occurrence mining is a standard batch
+analytics ask on the same event/order data, and its distributed shape
+is instructive: the candidate explosion is bounded per basket, never
+corpus-quadratic."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 3,
+    topk: int | None = 100,
+) -> DataFrame:
+    """Item pairs co-occurring in at least *min_support* baskets, with
+    lift — support(a,b) · N / (freq(a) · freq(b)) — against
+    independence.
+
+    Returns (item_a, item_b, support, lift) with item_a < item_b,
+    ordered by (support desc, lift desc, item_a, item_b) and cut to
+    *topk* when given (fully tiebroken → deterministic in any engine).
+
+    Scale shape: the pair generation self-joins the distinct
+    (basket, item) relation on the basket key, so it is quadratic only
+    WITHIN a basket (baskets are small by construction — order lines,
+    session items); the candidate stream then hits one pair-keyed
+    count with map-side partial aggregation.  Item frequencies are one
+    item-keyed count joined back on each side of the pair; the basket
+    total rides a broadcast scalar.  Skewed mega-baskets (a crawler
+    "session" with 10⁵ items) should be capped upstream — cost is
+    Σ|basket|², the A-priori literature's standard caveat."""
+    bi = baskets.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")).distinct()
+    n_baskets = bi.select(F.countDistinct("__b").alias("__n"))
+    freq = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__f"))
+    a, b = bi.alias("a"), bi.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.__b") == F.col("b.__b")) & (F.col("a.__i") < F.col("b.__i")))
+        .groupBy(F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    out = (
+        pairs.join(freq.select(F.col("__i").alias("item_a"), F.col("__f").alias("__fa")), "item_a")
+        .join(freq.select(F.col("__i").alias("item_b"), F.col("__f").alias("__fb")), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            F.round(
+                F.col("support") * F.col("__n") / (F.col("__fa") * F.col("__fb")), 6
+            ).alias("lift"),
+        )
+    )
+    ordered = out.orderBy(
+        F.desc("support"), F.desc("lift"), F.asc("item_a"), F.asc("item_b")
+    )
+    return ordered.limit(topk) if topk else ordered

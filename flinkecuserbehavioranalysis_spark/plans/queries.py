@@ -4284,3 +4284,32 @@ def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@_q(
+    "frequent_part_pairs",
+    """
+WITH __bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+__n AS (SELECT count(DISTINCT b) AS n FROM __bi),
+__f AS (SELECT i, count(*) AS f FROM __bi GROUP BY i),
+__p AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS support
+        FROM __bi a JOIN __bi b ON a.b = b.b AND a.i < b.i
+        GROUP BY 1, 2 HAVING count(*) >= 3)
+SELECT item_a AS part_a, item_b AS part_b, support,
+       round(CAST(support AS DOUBLE) * n / (fa.f * fb.f), 6) AS lift
+FROM __p JOIN __f fa ON fa.i = item_a JOIN __f fb ON fb.i = item_b CROSS JOIN __n
+ORDER BY support DESC, lift DESC, part_a, part_b LIMIT 100
+""",
+    "Extension (frequent itemsets): A-priori pair level over order baskets — parts "
+    "co-ordered in >= 3 orders with lift vs independence; pair generation is quadratic "
+    "only within a basket, then one pair-keyed partial-aggregated count.  Fully "
+    "tiebroken top-100.",
+)
+def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.itemsets import frequent_pairs
+
+    return frequent_pairs(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_support=3
+    ).select(
+        F.col("item_a").alias("part_a"), F.col("item_b").alias("part_b"), "support", "lift"
+    )

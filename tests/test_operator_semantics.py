@@ -256,3 +256,24 @@ def test_order_timeout_strict_deadline_boundary(spark):
     df = _ts_df(spark, rows, ["order_id", "event_type", "ts"])
     got = create_pay_status(df, timeout_seconds=900).collect()
     assert got[0]["status"] == PAID_AFTER_TIMEOUT
+
+
+def test_frequent_pairs_support_and_lift(spark):
+    """Hand-built baskets: duplicate items within a basket count once;
+    support counts baskets; lift = support*N/(fa*fb) rounded to 6 dp;
+    min_support filters; ordering fully tiebroken."""
+    from flinkecuserbehavioranalysis_spark.operators.itemsets import frequent_pairs
+
+    rows = [
+        (1, 1), (1, 1), (1, 2), (1, 3),   # dup (1,1) must not double count
+        (2, 1), (2, 2),
+        (3, 1), (3, 2), (3, 4),
+        (4, 3), (4, 4),
+    ]
+    df = spark.createDataFrame(rows, "b long, i long")
+    got = [tuple(r) for r in frequent_pairs(df, "b", "i", min_support=2).collect()]
+    # only (1,2) co-occurs in >=2 baskets: support 3, lift 3*4/(3*3)
+    assert got == [(1, 2, 3, round(3 * 4 / 9, 6))]
+    allp = frequent_pairs(df, "b", "i", min_support=1).collect()
+    assert len(allp) == 6
+    assert [r.support for r in allp[:1]] == [3]
