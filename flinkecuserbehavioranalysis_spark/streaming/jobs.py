@@ -367,3 +367,56 @@ def streaming_active_users_foreach_batch(
             sink.append((d, dau, wau))
 
     return process
+
+
+def streaming_range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: float = 5,
+    upper_seconds: float = 5,
+    left_watermark: str = "10 seconds",
+    right_watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming twin of ``operators.joins.range_join_binned`` — a
+    KEYLESS stream-stream time-range join.  Without an equi key,
+    stream-stream joins degenerate to comparing every buffered row
+    against every arrival; the bin column (width = lower+upper, left
+    explodes to ≤ 2 bins, right sits in exactly 1) gives the state
+    store a hash key, so each arrival probes one bin partition.
+
+    Both sides carry watermarks and the raw INTERVAL range condition on
+    the event-time columns — that (not the bin equality) is what lets
+    Spark derive state-eviction bounds: buffered rows age out once the
+    other side's watermark passes their match window, exactly like the
+    keyed interval twin.  Inner join only (the exploded left would
+    null-pad once per bin otherwise)."""
+    w = float(lower_seconds) + float(upper_seconds)
+    if w <= 0:
+        raise ValueError("lower_seconds + upper_seconds must be positive")
+    lsec = F.col(left_ts).cast("double")
+    rsec = F.col(right_ts).cast("double")
+    l_ = (
+        left.withWatermark(left_ts, left_watermark)
+        .withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor((lsec - F.lit(float(lower_seconds))) / F.lit(w)),
+                    F.floor((lsec + F.lit(float(upper_seconds))) / F.lit(w)),
+                )
+            ),
+        )
+        .alias("l")
+    )
+    r_ = right.withWatermark(right_ts, right_watermark).withColumn(
+        "__bin", F.floor(rsec / F.lit(w))
+    ).alias("r")
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (
+        (F.col("l.__bin") == F.col("r.__bin"))
+        & (rts >= lts - F.expr(f"INTERVAL {int(lower_seconds)} SECONDS"))
+        & (rts <= lts + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS"))
+    )
+    return l_.join(r_, cond, "inner").drop("__bin")

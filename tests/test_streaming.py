@@ -946,3 +946,43 @@ def test_streaming_pattern_sequence_optional_matches_batch(spark):
     assert got == batch
     assert len(got) > 0
     assert any(r[2] is None for r in got)  # the click-skipped expansion emits
+
+
+def test_streaming_range_join_binned_matches_batch(spark):
+    """KEYLESS stream-stream time-range join (binned): purchases joined
+    to clicks within ±30 min on a bounded replay must equal the batch
+    range_join_binned pair set — including windows spanning a bin
+    boundary (no duplicate emission from the exploded left)."""
+    from flinkecuserbehavioranalysis_spark.io import load_table
+    from flinkecuserbehavioranalysis_spark.operators.joins import range_join_binned
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import (
+        read_events_stream,
+        run_bounded,
+        streaming_range_join_binned,
+    )
+
+    def sides(src):
+        p = src.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+        )
+        c = src.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("cid"), F.col("ts").alias("cts")
+        )
+        return p, c
+
+    sp, sc = sides(read_events_stream(spark, SF_DIR))
+    j = streaming_range_join_binned(
+        sp, sc, "pts", "cts", lower_seconds=1800, upper_seconds=1800,
+        left_watermark="0 seconds", right_watermark="0 seconds",
+    ).select("pid", "cid")
+    got = sorted((r.pid, r.cid) for r in run_bounded(j, "append"))
+
+    bp, bc = sides(load_table(spark, SF_DIR, "events"))
+    batch = range_join_binned(
+        bp.withColumn("pts", F.col("pts").cast("long")),
+        bc.withColumn("cts", F.col("cts").cast("long")),
+        "pts", "cts", lower_seconds=1800, upper_seconds=1800,
+    ).select("pid", "cid")
+    expect = sorted((r.pid, r.cid) for r in batch.collect())
+    assert got == expect
+    assert len(got) > 0
