@@ -4313,3 +4313,42 @@ def frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("item_a").alias("part_a"), F.col("item_b").alias("part_b"), "support", "lift"
     )
+
+
+def _profile_branch(col: str, numeric: bool) -> str:
+    mn = f"CAST(min({col}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+    mx = f"CAST(max({col}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+    sn = f"min({col})" if not numeric else "CAST(NULL AS VARCHAR)"
+    sx = f"max({col})" if not numeric else "CAST(NULL AS VARCHAR)"
+    return (
+        f"SELECT '{col}' AS column_name, count(*) AS n_rows, "
+        f"CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+        f"count(DISTINCT {col}) AS n_distinct, {mn} AS min_num, {mx} AS max_num, "
+        f"{sn} AS min_str, {sx} AS max_str FROM orders"
+    )
+
+
+@_q(
+    "orders_profile",
+    " UNION ALL ".join(
+        [
+            _profile_branch("o_orderkey", True),
+            _profile_branch("o_custkey", True),
+            _profile_branch("o_totalprice", True),
+            _profile_branch("o_orderstatus", False),
+            _profile_branch("o_orderpriority", False),
+        ]
+    ),
+    "Extension (data quality): single-pass per-column profile of the orders table — "
+    "null counts, exact cardinalities, numeric/string ranges; ONE aggregation pass + a "
+    "1-row stack unpivot (the oracle's UNION ALL re-scans per column; the engine must "
+    "not).",
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_table
+
+    return profile_table(
+        load_table(spark, sf_dir, "orders"),
+        numeric_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        string_cols=["o_orderstatus", "o_orderpriority"],
+    )

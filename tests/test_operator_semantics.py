@@ -277,3 +277,23 @@ def test_frequent_pairs_support_and_lift(spark):
     allp = frequent_pairs(df, "b", "i", min_support=1).collect()
     assert len(allp) == 6
     assert [r.support for r in allp[:1]] == [3]
+
+
+def test_profile_table_semantics(spark):
+    """Null counting, exact distinct (nulls excluded), numeric vs
+    string range routing, and the n_rows constant."""
+    from flinkecuserbehavioranalysis_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (3, 4.0, None), (4, 4.0, "a")],
+        "k long, v double, s string",
+    )
+    out = {r.column_name: r for r in profile_table(df, ["k", "v"], ["s"]).collect()}
+    assert set(out) == {"k", "v", "s"}
+    assert all(r.n_rows == 4 for r in out.values())
+    assert (out["v"].n_nulls, out["v"].n_distinct) == (1, 2)
+    assert (out["v"].min_num, out["v"].max_num) == (2.0, 4.0)
+    assert out["v"].min_str is None and out["v"].max_str is None
+    assert (out["s"].n_nulls, out["s"].n_distinct) == (1, 2)
+    assert (out["s"].min_str, out["s"].max_str) == ("a", "b")
+    assert out["s"].min_num is None

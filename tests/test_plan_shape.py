@@ -178,3 +178,15 @@ def test_disjunctive_predicates_push_to_both_scans(spark):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert sum("Or(" in l for l in pushed) >= 2, plan
     assert any("p_brand" in l for l in pushed) and any("l_quantity" in l for l in pushed)
+
+
+def test_profile_is_single_pass(spark):
+    """orders_profile computes every column's metrics in ONE aggregation
+    over ONE scan (the oracle's UNION ALL re-scans; the engine must
+    not) — k exact distincts ride one Expand, not k scans."""
+    import re
+
+    plan = _explain(spark, "orders_profile")
+    # formatted explain names each physical node once in the detail
+    # section as "(n) Scan parquet" — count node ids, not mentions
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
