@@ -4352,3 +4352,32 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         numeric_cols=["o_orderkey", "o_custkey", "o_totalprice"],
         string_cols=["o_orderstatus", "o_orderpriority"],
     )
+
+
+@_q(
+    "event_type_dow_cube",
+    """
+WITH __pre AS (
+  SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow,
+         count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(GROUPING(event_type, dow) AS BIGINT) AS gid
+FROM __pre GROUP BY CUBE (event_type, dow)
+""",
+    "Extension: CUBE over (event_type, day-of-week) with GROUPING id — all four "
+    "aggregation levels in one pass; pre-aggregated to the 35 base groups before the "
+    "Expand (4 rows per input) exactly like the rollup query, and dow computed "
+    "epoch-numerically ((days+4) mod 7) so no engine calendar is involved.",
+)
+def event_type_dow_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dow = ((F.col("ts").cast("long") / F.lit(86400)).cast("long") + 4) % 7
+    pre = ev.groupBy(F.col("event_type"), dow.alias("dow")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        pre.cube("event_type", "dow")
+        .agg(F.sum("n").alias("n_events"), F.grouping_id().alias("gid"))
+        .select("event_type", "dow", "n_events", F.col("gid").cast("long").alias("gid"))
+    )
