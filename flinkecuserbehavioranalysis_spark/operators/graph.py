@@ -1,0 +1,71 @@
+"""Iterative graph algorithms over edge DataFrames.
+
+Connected components live in ``operators.dedup`` (duplicate_components,
+large-star/small-star); this module holds the rank-propagation family.
+Use case in a data pipeline: scoring centrality INSIDE near-duplicate
+clusters — the highest-ranked member is the natural canonical
+representative (most-connected mirror), a better keep-choice than
+lowest-id when duplicates differ in quality."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over an UNDIRECTED edge set, *iters* synchronous
+    rounds, teleport restricted to the subgraph's nodes.
+
+    Returns (id, pr).  Undirected symmetrization means no dangling
+    nodes (every node has out-degree ≥ 1) and every node receives at
+    least its reverse edge's contribution, so no outer-join patching.
+
+    Deterministic in any engine: per-round sums go through
+    DECIMAL(28,12) casts (summation-order independent) and each rank is
+    rounded to 6 dp — the same engine-exactness recipe as the k-means
+    training loop, which is what lets a SQL oracle replay all rounds.
+
+    Scale shape: each round is one join of the edge list with the
+    (node, rank/degree) relation — both partitioned on the node id, so
+    the shuffle is edge-sized — plus one dst-keyed partial-aggregated
+    sum.  The loop is UNROLLED lazily (no driver actions, no
+    checkpoint): fine for the handful of rounds rank scoring needs; for
+    tens of rounds insert ``localCheckpoint`` every ~5 like
+    ``duplicate_components`` documents."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    n1 = deg.agg(F.count(F.lit(1)).alias("__n"))
+    ranks = (
+        deg.crossJoin(F.broadcast(n1))
+        .select("s", "deg", "__n", F.round(F.lit(1.0) / F.col("__n"), 6).alias("pr"))
+    )
+    for _ in range(iters):
+        contrib = e.join(
+            ranks.select("s", (F.col("pr") / F.col("deg")).alias("__c")), "s"
+        )
+        new = contrib.groupBy("d").agg(
+            F.sum(F.col("__c").cast("decimal(28,12)")).cast("double").alias("__s")
+        )
+        ranks = (
+            deg.crossJoin(F.broadcast(n1))
+            .join(new.select(F.col("d").alias("s"), "__s"), "s")
+            .select(
+                "s",
+                "deg",
+                "__n",
+                F.round(
+                    F.lit(1.0 - damping) / F.col("__n")
+                    + F.lit(damping) * F.col("__s"),
+                    6,
+                ).alias("pr"),
+            )
+        )
+    return ranks.select(F.col("s").alias("id"), "pr")

@@ -4381,3 +4381,43 @@ def event_type_dow_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n_events"), F.grouping_id().alias("gid"))
         .select("event_type", "dow", "n_events", F.col("gid").cast("long").alias("gid"))
     )
+
+
+def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    rounds = ""
+    cur = "__r0"
+    for i in range(iters):
+        rounds += f"""__a{i} AS (SELECT e.d AS s,
+            CAST(sum(CAST(r.pr / r.deg AS DECIMAL(28,12))) AS DOUBLE) AS sm
+            FROM __e e JOIN {cur} r ON r.s = e.s GROUP BY e.d),
+__r{i + 1} AS (SELECT g.s, g.deg, round({1.0 - damping} / n.n + {damping} * a.sm, 6) AS pr
+            FROM __deg g CROSS JOIN __n n JOIN __a{i} a ON a.s = g.s),
+"""
+        cur = f"__r{i + 1}"
+    return f"""
+WITH __pairs AS ({_lsh_verified_oracle(0.5)}),
+__e AS (SELECT doc_a AS s, doc_b AS d FROM __pairs
+        UNION SELECT doc_b, doc_a FROM __pairs),
+__deg AS (SELECT s, count(*) AS deg FROM __e GROUP BY s),
+__n AS (SELECT count(*) AS n FROM __deg),
+__r0 AS (SELECT g.s, g.deg, round(1.0 / n.n, 6) AS pr
+         FROM __deg g CROSS JOIN __n n),
+{rounds}__fin AS (SELECT s AS doc_id, pr FROM {cur})
+SELECT doc_id, pr FROM __fin
+"""
+
+
+@_q(
+    "dedup_pagerank",
+    _pagerank_oracle(3, 0.85),
+    "Extension (iterative graph algorithm #2): PageRank over the MinHash-LSH verified "
+    "near-dup graph (3 rounds, damping 0.85, undirected) — centrality inside duplicate "
+    "clusters picks the canonical representative; decimal-stable per-round sums let the "
+    "oracle replay every round.  Reuses the session-shared pair set.",
+)
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    return pagerank(_doc_lsh_pairs(spark, sf_dir), "doc_a", "doc_b", iters=3).select(
+        F.col("id").alias("doc_id"), "pr"
+    )

@@ -297,3 +297,19 @@ def test_profile_table_semantics(spark):
     assert (out["s"].n_nulls, out["s"].n_distinct) == (1, 2)
     assert (out["s"].min_str, out["s"].max_str) == ("a", "b")
     assert out["s"].min_num is None
+
+
+def test_pagerank_path_graph(spark):
+    """Undirected path a-b-c: symmetric leaves tie, the center outranks
+    them, mass stays ~1 (teleport preserves the simplex), and the
+    result is deterministic across runs."""
+    from flinkecuserbehavioranalysis_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    out = {r.id: r.pr for r in pagerank(e, iters=3).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"] == out["c"]
+    assert out["b"] > out["a"]
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+    again = {r.id: r.pr for r in pagerank(e, iters=3).collect()}
+    assert out == again
