@@ -19,6 +19,8 @@ Two strategies:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1455,6 +1457,7 @@ def semantic_dedup(
     train_iters: int = 2,
     train_fraction: float = 1.0,
     tau: float = 0.8,
+    max_cluster_rows: int = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings with k-means and comparing
@@ -1471,12 +1474,20 @@ def semantic_dedup(
 
     Scale shape: training + assignment are the shared ``kmeans_fit``
     map-only packed-codebook path (sample-able via *train_fraction*);
-    the pair stage shuffles once on ``cluster_id`` and is quadratic
-    ONLY within a cluster — `n_cells` is the blocking knob (the paper
-    runs k ≈ 0.1·√n·… large enough that clusters fit a worker; at
-    100 TB pick n_cells so n/k vectors ≈ 10⁴-10⁵ per block and let AQE
-    split stragglers).  Cosines are 6 dp-rounded (engine-exact), so
-    the *tau* comparison is bit-identical in any engine."""
+    the pair stage shuffles once on ``cluster_id`` into an
+    ``applyInPandas`` kernel that computes the whole within-cluster
+    cosine matrix in numpy — quadratic ONLY within a cluster, with
+    `n_cells` the blocking knob (the paper's own GPU-per-cluster shape;
+    at 100 TB pick n_cells so n/k ≈ 10⁴-10⁵ vectors per block —
+    *max_cluster_rows* fails fast when a block outgrows a worker).  The
+    kernel replays the engine's float sequence exactly — dims
+    accumulated SEQUENTIALLY in fold order (never np.dot's BLAS order),
+    6 dp half-away rounding via ``_np_round6_int64`` — so the *tau*
+    comparison is bit-identical in any engine (the SQL oracle passes on
+    the same arithmetic).  A first formulation as a per-pair Catalyst
+    HOF fold was 16 s at sf0.1 (interpreted re-fold per pair, the
+    BENCH_DIFF expression-blowup family); the kernel hoists norms and
+    reuses each dim's column across the whole block."""
     seeds = kmeans_fit(
         vectors,
         id_col=id_col,
@@ -1492,30 +1503,57 @@ def semantic_dedup(
         v.crossJoin(F.broadcast(_pack(seeds)))
         .select(F.col(id_col), "v_vec", _best_cell("v_vec", "v_norm").alias("cluster_id"))
     )
-    a, b = members.alias("a"), members.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.cluster_id") == F.col("b.cluster_id"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"b.{id_col}").alias(id_col),
-        F.round(cosine(F.col("a.v_vec"), F.col("b.v_vec")), 6).alias("c6"),
+    tau6 = int(math.floor(float(tau) * 1e6 + 0.5))
+    out_schema = (
+        f"{id_col} long, cluster_id long, is_semdup int, best_prior_cos double"
     )
-    prior = (
-        pairs.filter(F.col("c6") >= F.lit(float(tau)))
-        .groupBy(id_col)
-        .agg(F.max("c6").alias("best_prior_cos"))
-    )
+
+    def score_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup cluster of {len(pdf)} rows exceeds "
+                f"max_cluster_rows={max_cluster_rows}; raise n_cells"
+            )
+        pdf = pdf.sort_values(id_col)
+        X = np.array(pdf["v_vec"].tolist(), dtype=np.float64)
+        n = len(pdf)
+        best = np.full(n, np.nan)
+        if n > 1:
+            # sequential-dim accumulation: P[i,j] replays the engine's
+            # left-fold dot product float-for-float
+            P = np.outer(X[:, 0], X[:, 0])
+            sq = X[:, 0] * X[:, 0]
+            for d in range(1, X.shape[1]):
+                P = P + np.outer(X[:, d], X[:, d])
+                sq = sq + X[:, d] * X[:, d]
+            norms = np.sqrt(sq)
+            C6 = _np_round6_int64(P / np.outer(norms, norms))
+            qual = np.triu(C6 >= tau6, k=1)  # row i (prior) < col j
+            sent = np.iinfo(np.int64).min
+            M = np.where(qual, C6, sent).max(axis=0)
+            hit = M > sent
+            best[hit] = M[hit] / 1e6
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "cluster_id": pdf["cluster_id"].to_numpy(),
+                "is_semdup": (~np.isnan(best)).astype("int32"),
+                # NaN must surface as SQL NULL, not double-NaN — route
+                # through pandas' masked Float64 so Arrow emits nulls
+                "best_prior_cos": pd.array(best, dtype="Float64"),
+            }
+        )
+
     return (
-        members.select(F.col(id_col), "cluster_id")
-        .join(prior, id_col, "left")
+        members.groupBy("cluster_id")
+        .applyInPandas(score_block, out_schema)
         .select(
             F.col(id_col),
             F.col("cluster_id"),
-            F.when(F.col("best_prior_cos").isNotNull(), F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("int")
-            .alias("is_semdup"),
+            F.col("is_semdup"),
             F.col("best_prior_cos"),
         )
     )
