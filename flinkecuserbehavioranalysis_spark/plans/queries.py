@@ -4421,3 +4421,87 @@ def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_doc_lsh_pairs(spark, sf_dir), "doc_a", "doc_b", iters=3).select(
         F.col("id").alias("doc_id"), "pr"
     )
+
+
+@_q(
+    "latest_event_per_user",
+    """
+WITH __r AS (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events)
+SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS last_ts,
+       event_type AS last_type, event_id AS last_event_id, n_events
+FROM __r WHERE rn = 1
+""",
+    "Extension (compaction / latest-state snapshot): one row per user with the most "
+    "recent event via max_by over a (ts, event_id) ordering struct — the argmax "
+    "AGGREGATE form (one partial-aggregated shuffle, no per-user sort), vs the oracle's "
+    "window formulation.  The CDC-style 'current state' materialization.",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max("ts").cast("long").alias("last_ts"),
+        F.max_by("event_type", ordk).alias("last_type"),
+        F.max_by("event_id", ordk).alias("last_event_id"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_q(
+    "event_type_transitions",
+    """
+WITH __l AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events),
+__t AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM __l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+__s AS (SELECT prev_type, sum(n) AS tot FROM __t GROUP BY 1)
+SELECT t.prev_type, t.next_type, t.n,
+       round(CAST(t.n AS DOUBLE) / s.tot, 6) AS p
+FROM __t t JOIN __s s USING (prev_type)
+""",
+    "Extension (sequence analytics): first-order Markov transition matrix of "
+    "event types per user timeline — lag window keyed on the user (the shuffle the "
+    "sessionizer already pays), then a 25-group count and per-row conditional "
+    "probability.",
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"), F.col("event_type").alias("next_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = lagged.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    s = t.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return t.join(s, "prev_type").select(
+        "prev_type", "next_type", "n", F.round(F.col("n") / F.col("tot"), 6).alias("p")
+    )
+
+
+@_q(
+    "value_histogram",
+    """
+SELECT event_type, CAST(least(floor(value / 50), 9) AS BIGINT) AS bucket,
+       count(*) AS n,
+       CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi
+FROM events GROUP BY 1, 2
+""",
+    "Extension (profiling): fixed-width value histogram per event type — width 50 "
+    "capped at bucket 9; one partial-aggregated shuffle over (type, bucket), the "
+    "distribution sketch a pipeline stores per ingest batch.",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("long")
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").cast("double").alias("lo"),
+        F.max("value").cast("double").alias("hi"),
+    )
