@@ -894,3 +894,78 @@ def test_range_join_binned_matches_naive(spark, data):
         if lt - lower <= rt <= lt + upper
     )
     assert got == expect
+
+
+@st.composite
+def gram_docs(draw):
+    # tiny alphabet to force cross-doc collisions
+    word = st.sampled_from(list("abc"))
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+    return draw(st.lists(doc, min_size=1, max_size=6))
+
+
+@given(gram_docs())
+@settings(max_examples=10, deadline=None)
+def test_repeated_gram_stats_matches_naive(spark, texts):
+    """repeated_gram_stats equals a naive Python recomputation: per-doc
+    w-gram positions, cross-doc (distinct-doc >= 2) duplicated-gram set,
+    per-position counting."""
+    from flinkecuserbehavioranalysis_spark.operators.dedup import repeated_gram_stats
+
+    w = 2
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_grams, r.n_dup_grams) for r in repeated_gram_stats(df, w=w).collect()}
+
+    grams = {i: [" ".join(t.split(" ")[p : p + w]) for p in range(len(t.split(" ")) - w + 1)]
+             for i, t in docs}
+    from collections import Counter
+    df_count = Counter()
+    for i, gs in grams.items():
+        for g in set(gs):
+            df_count[g] += 1
+    hot = {g for g, c in df_count.items() if c >= 2}
+    for i, t in docs:
+        n_grams = max(len(t.split(" ")) - w + 1, 0)
+        n_dup = sum(1 for g in grams[i] if g in hot)
+        assert got[i] == (n_grams, n_dup), (i, t, got[i], (n_grams, n_dup))
+
+
+@st.composite
+def basket_rows(draw):
+    return draw(
+        st.lists(
+            st.tuples(st.integers(0, 4), st.integers(0, 5)),
+            min_size=1, max_size=30,
+        )
+    )
+
+
+@given(basket_rows())
+@settings(max_examples=10, deadline=None)
+def test_frequent_pairs_matches_naive(spark, rows):
+    """frequent_pairs support/lift equal a naive recomputation over
+    random (basket, item) rows with duplicates."""
+    from itertools import combinations
+
+    from flinkecuserbehavioranalysis_spark.operators.itemsets import frequent_pairs
+
+    df = spark.createDataFrame(rows, "b long, i long")
+    got = {(r.item_a, r.item_b): (r.support, r.lift)
+           for r in frequent_pairs(df, "b", "i", min_support=1, topk=None).collect()}
+
+    baskets = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    n = len(baskets)
+    from collections import Counter
+    freq, sup = Counter(), Counter()
+    for items in baskets.values():
+        for i in items:
+            freq[i] += 1
+        for a, bb in combinations(sorted(items), 2):
+            sup[(a, bb)] += 1
+    expect = {
+        p: (c, round(c * n / (freq[p[0]] * freq[p[1]]), 6)) for p, c in sup.items()
+    }
+    assert got == expect
