@@ -4505,3 +4505,72 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").cast("double").alias("lo"),
         F.max("value").cast("double").alias("hi"),
     )
+
+
+@_q(
+    "weekly_uv_from_daily_sketches",
+    None,  # Datasketches HLL buffers — not SQL-reproducible; tolerance-tested vs exact
+    "Extension (mergeable sketches): weekly UV computed by UNIONING per-day HLL "
+    "sketches (hll_sketch_agg -> hll_union_agg -> estimate) — the store-daily-sketches "
+    "pattern that answers any date-range distinct query WITHOUT rescanning raw events; "
+    "at 100 TB the daily sketch table is KB-sized per (day), and re-aggregation cost is "
+    "independent of event volume.",
+)
+def weekly_uv_from_daily_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.col("ts").cast("long") / F.lit(86400)).cast("long")
+    week = (day / F.lit(7)).cast("long")
+    daily = ev.groupBy(week.alias("week"), day.alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy("week")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("uv_est"))
+    )
+
+
+@_q(
+    "pattern_value_spike",
+    """
+WITH __l AS (
+  SELECT user_id, event_id, value, ts,
+         lag(value) OVER w AS prev_value,
+         lag(ts) OVER w AS prev_ts
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(floor(epoch(prev_ts)) AS BIGINT) AS prev_ts,
+       CAST(floor(epoch(ts)) AS BIGINT) AS spike_ts,
+       CAST(prev_value AS DOUBLE) AS prev_value, CAST(value AS DOUBLE) AS spike_value
+FROM __l
+WHERE prev_value IS NOT NULL AND value >= 2 * prev_value
+  AND epoch(ts) - epoch(prev_ts) <= 3600.0
+""",
+    "Extension (CEP iterative condition): consecutive same-user events where the next "
+    "value at least DOUBLES the previous within 1 h — the predicate references the "
+    "matched event's own fields (flink-cep IterativeCondition), which the lag-window "
+    "restatement gets for free; value comparison is pure IEEE, engine-exact.",
+)
+def pattern_value_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        F.col("ts"),
+        F.col("value"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    # FRACTIONAL gap seconds (cast to double), matching the oracle's
+    # epoch() — a floored long diff would admit gaps in (3600, 3601)
+    return lagged.filter(
+        F.col("prev_value").isNotNull()
+        & (F.col("value") >= 2 * F.col("prev_value"))
+        & (F.col("ts").cast("double") - F.col("prev_ts").cast("double") <= 3600.0)
+    ).select(
+        "user_id",
+        F.col("prev_ts").cast("long").alias("prev_ts"),
+        F.col("ts").cast("long").alias("spike_ts"),
+        F.col("prev_value").cast("double").alias("prev_value"),
+        F.col("value").cast("double").alias("spike_value"),
+    )

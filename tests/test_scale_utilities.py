@@ -1311,3 +1311,27 @@ def test_write_partitioned_prunes_and_overwrites_dynamically(spark, tmp_path):
     )
     after = {r.event_id for r in spark.read.parquet(path).collect()}
     assert after == {1, 2, 4, 30}
+
+
+def test_weekly_sketch_uv_within_tolerance(spark):
+    """Unioned per-day HLL sketches must estimate weekly UV within the
+    sketch's error envelope of the exact distinct count (the
+    store-sketches-not-events pattern)."""
+    from flinkecuserbehavioranalysis_spark.plans.queries import QUERIES
+
+    est = {
+        r.week: r.uv_est
+        for r in QUERIES["weekly_uv_from_daily_sketches"].fn(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    day = (F.col("ts").cast("long") / F.lit(86400)).cast("long")
+    week = (day / F.lit(7)).cast("long")
+    exact = {
+        r.week: r.uv
+        for r in ev.groupBy(week.alias("week"))
+        .agg(F.countDistinct("user_id").alias("uv"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for wk, e in est.items():
+        assert abs(e - exact[wk]) <= max(2, 0.05 * exact[wk]), (wk, e, exact[wk])
