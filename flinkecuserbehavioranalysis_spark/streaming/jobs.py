@@ -420,3 +420,29 @@ def streaming_range_join_binned(
         & (rts <= lts + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS"))
     )
     return l_.join(r_, cond, "inner").drop("__bin")
+
+
+def streaming_latest_per_key(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    payload_cols: Sequence[str] = ("event_type", "event_id"),
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of the ``latest_event_per_user`` compaction: a
+    running latest-state snapshot per key via ``max_by`` over the
+    (ts, tiebreak) ordering struct — run in ``update`` output mode so
+    each micro-batch re-emits only the keys it touched (the CDC
+    "current state" materialized view; pair with
+    ``sinks.foreach_batch_upsert`` for an external store).
+
+    No watermark: latest-state must accept arbitrarily late keys, and
+    aggregate state is one row per key — bounded by key cardinality,
+    not event volume (same contract as the reference's per-key
+    ValueState)."""
+    ordk = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    return stream.groupBy(key_col).agg(
+        F.max(ts_col).cast("long").alias("last_ts"),
+        *[F.max_by(c, ordk).alias(f"last_{c}") for c in payload_cols],
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -986,3 +986,27 @@ def test_streaming_range_join_binned_matches_batch(spark):
     expect = sorted((r.pid, r.cid) for r in batch.collect())
     assert got == expect
     assert len(got) > 0
+
+
+def test_streaming_latest_per_key_matches_batch(spark):
+    """Bounded replay of the update-mode compaction equals the batch
+    latest_event_per_user snapshot (final state per key)."""
+    from flinkecuserbehavioranalysis_spark.plans.queries import QUERIES
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import (
+        read_events_stream,
+        run_bounded,
+        streaming_latest_per_key,
+    )
+
+    got_rows = run_bounded(
+        streaming_latest_per_key(read_events_stream(spark, SF_DIR)), "update"
+    )
+    # update mode re-emits a key per touched micro-batch: keep the last
+    latest = {}
+    for r in got_rows:
+        latest[r.user_id] = (r.last_ts, r.last_event_type, r.last_event_id, r.n_events)
+    batch = {
+        r.user_id: (r.last_ts, r.last_type, r.last_event_id, r.n_events)
+        for r in QUERIES["latest_event_per_user"].fn(spark, SF_DIR).collect()
+    }
+    assert latest == batch and len(latest) > 0
