@@ -1335,3 +1335,73 @@ def test_weekly_sketch_uv_within_tolerance(spark):
     assert set(est) == set(exact)
     for wk, e in est.items():
         assert abs(e - exact[wk]) <= max(2, 0.05 * exact[wk]), (wk, e, exact[wk])
+
+
+def test_python_datasource_batch_partitions_pushdown(spark):
+    """Custom Python Data Source (Spark 4 API): deterministic synthetic
+    LoginLog rows, read across 4 planned partitions; an event_type
+    equality filter is PUSHED INTO the Python reader (absorbed by the
+    generator, visible as PushedFilters on the scan) and the result
+    matches the unpushed recomputation."""
+    import contextlib
+    import io as _io
+
+    from flinkecuserbehavioranalysis_spark.session import apply_runtime_confs
+    from flinkecuserbehavioranalysis_spark.sources.pydatasource import (
+        LoginLogDataSource,
+        _row,
+    )
+
+    apply_runtime_confs(spark)
+    spark.dataSource.register(LoginLogDataSource)
+    df = spark.read.format("loginlog_synth").option("n_rows", 500).option("seed", 7).load()
+    assert dict(df.dtypes) == {
+        "user_id": "bigint", "ip": "string", "event_type": "string", "ts": "bigint"
+    }
+    assert df.count() == 500 and df.rdd.getNumPartitions() == 4
+    expect = [_row(i, 7, 100) for i in range(500)]
+    assert sorted(tuple(r) for r in df.collect()) == sorted(expect)
+
+    fails = df.filter(F.col("event_type") == "fail")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fails.explain("formatted")
+    assert "PushedFilters: [EqualTo(event_type,fail)]" in buf.getvalue()
+    assert sorted(tuple(r) for r in fails.collect()) == sorted(
+        r for r in expect if r[2] == "fail"
+    )
+
+
+def test_python_datasource_stream_offsets(spark):
+    """The stream reader's offset contract: rows_per_batch rows per
+    micro-batch, contiguous from offset 0, deterministic — two
+    micro-batches yield exactly rows [0, 2*rpb)."""
+    import time
+
+    from flinkecuserbehavioranalysis_spark.sources.pydatasource import (
+        LoginLogDataSource,
+        _row,
+    )
+
+    spark.dataSource.register(LoginLogDataSource)
+    stream = (
+        spark.readStream.format("loginlog_synth")
+        .option("rows_per_batch", 50)
+        .option("seed", 3)
+        .load()
+    )
+    sink: list = []
+    q = (
+        stream.writeStream.foreachBatch(lambda df, eid: sink.extend(df.collect()))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while len(sink) < 100 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(sink) >= 100
+    got = sorted(tuple(r) for r in sink)[:100]
+    assert got == sorted(_row(i, 3, 100) for i in range(100))
