@@ -545,3 +545,60 @@ def funnel_conversion(
         )
     fills = {f"n_step{i + 1}": 0 for i in range(1, len(steps))}
     return out.fillna(fills)
+
+
+def pattern_one_or_more(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    a_pred: Column,
+    b_pred: Column,
+    within_seconds: float,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """CEP looping quantifier — ``begin(A).oneOrMore().consecutive()
+    .greedy().next(B)``: the MAXIMAL run of consecutive A-events
+    immediately preceding a B-event (strict contiguity on both the loop
+    and the A→B step), with the whole match inside *within_seconds*
+    (B no later than the run's first A + within).
+
+    Returns (key, first_a_ts, b_ts, n_a) — one row per B with a
+    qualifying run (greedy = the full run, so exactly one match per B,
+    not flink-cep's non-greedy per-prefix explosion).
+
+    Mechanism (the distributed restatement of the NFA loop state): a
+    running count of non-A rows assigns every row a segment id; the
+    consecutive A's immediately before a B are EXACTLY the A-rows whose
+    segment id is B's − 1 (any interloper would have bumped the
+    count).  Two window passes over the (key, ts) order the sessionizer
+    already pays, one (key, segment)-keyed aggregation, one join —
+    state per key is a counter, never a buffered prefix list.  A and B
+    predicates must be disjoint (a row matching both counts as B).
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    is_b = b_pred
+    is_a = a_pred & ~is_b
+    seg = F.sum((~is_a).cast("long")).over(w)
+    rows = df.withColumn("__a", is_a).withColumn("__b", is_b).withColumn("__seg", seg)
+    runs = (
+        rows.filter(F.col("__a"))
+        .groupBy(key_col, "__seg")
+        .agg(F.count(F.lit(1)).alias("n_a"), F.min(ts_col).alias("first_a_ts"))
+        .select(
+            F.col(key_col), (F.col("__seg") + 1).alias("__seg"), "n_a", "first_a_ts"
+        )
+    )
+    bs = rows.filter(F.col("__b")).select(
+        F.col(key_col), F.col("__seg"), F.col(ts_col).alias("b_ts")
+    )
+    return (
+        bs.join(runs, [key_col, "__seg"])
+        .filter(
+            F.col("b_ts").cast("double")
+            <= F.col("first_a_ts").cast("double") + F.lit(float(within_seconds))
+        )
+        .select(key_col, "first_a_ts", "b_ts", "n_a")
+    )

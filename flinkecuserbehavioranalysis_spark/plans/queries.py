@@ -4574,3 +4574,46 @@ def pattern_value_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_value").cast("double").alias("prev_value"),
         F.col("value").cast("double").alias("spike_value"),
     )
+
+
+@_q(
+    "pattern_view_burst_purchase",
+    """
+WITH __r AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(CASE WHEN event_type = 'view' THEN 0 ELSE 1 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS seg
+  FROM events),
+__runs AS (SELECT user_id, seg + 1 AS seg, count(*) AS n_views, min(ts) AS first_a
+           FROM __r WHERE event_type = 'view' GROUP BY user_id, seg),
+__b AS (SELECT user_id, seg, ts AS b_ts FROM __r WHERE event_type = 'purchase')
+SELECT b.user_id, CAST(floor(epoch(r.first_a)) AS BIGINT) AS first_view_ts,
+       CAST(floor(epoch(b.b_ts)) AS BIGINT) AS purchase_ts, r.n_views
+FROM __b b JOIN __runs r ON r.user_id = b.user_id AND r.seg = b.seg
+WHERE epoch(b.b_ts) <= epoch(r.first_a) + 86400.0
+""",
+    "Extension (CEP looping quantifier): begin(view).oneOrMore().consecutive().greedy()"
+    ".next(purchase) within 1 day — the maximal consecutive view-run immediately before "
+    "each purchase, via the segment-id (running non-A count) restatement of the NFA loop "
+    "state; greedy = one match per purchase.",
+)
+def pattern_view_burst_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.patterns import pattern_one_or_more
+
+    ev = load_table(spark, sf_dir, "events")
+    out = pattern_one_or_more(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        a_pred=F.col("event_type") == "view",
+        b_pred=F.col("event_type") == "purchase",
+        within_seconds=DAY,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("first_a_ts").cast("long").alias("first_view_ts"),
+        F.col("b_ts").cast("long").alias("purchase_ts"),
+        F.col("n_a").alias("n_views"),
+    )

@@ -969,3 +969,51 @@ def test_frequent_pairs_matches_naive(spark, rows):
         p: (c, round(c * n / (freq[p[0]] * freq[p[1]]), 6)) for p, c in sup.items()
     }
     assert got == expect
+
+
+@st.composite
+def ab_streams(draw):
+    # per-key sequence of event types at distinct integer times
+    rows = draw(
+        st.lists(
+            st.tuples(KEYS, TS, st.sampled_from(["a", "b", "x"])),
+            min_size=1, max_size=20,
+            unique_by=lambda r: (r[0], r[1]),
+        )
+    )
+    within = draw(st.integers(min_value=1, max_value=20))
+    return rows, within
+
+
+@given(ab_streams())
+@settings(max_examples=12, deadline=None)
+def test_pattern_one_or_more_matches_naive(spark, data):
+    """oneOrMore().consecutive().greedy().next(B): the segment-id
+    restatement equals a naive per-key scan for maximal A-runs
+    immediately before each B, within the time bound."""
+    from flinkecuserbehavioranalysis_spark.operators.patterns import pattern_one_or_more
+
+    rows, within = data
+    df = spark.createDataFrame(rows, "k string, t long, e string")
+    got = sorted(
+        (r.k, r.first_a_ts, r.b_ts, r.n_a)
+        for r in pattern_one_or_more(
+            df, "k", "t", F.col("e") == "a", F.col("e") == "b", float(within)
+        ).collect()
+    )
+    by_key: dict = {}
+    for k, t, e in rows:
+        by_key.setdefault(k, []).append((t, e))
+    expect = []
+    for k, seq in by_key.items():
+        seq.sort()
+        for i, (t, e) in enumerate(seq):
+            if e != "b":
+                continue
+            j = i - 1
+            while j >= 0 and seq[j][1] == "a":
+                j -= 1
+            run = seq[j + 1 : i]
+            if run and t <= run[0][0] + within:
+                expect.append((k, run[0][0], t, len(run)))
+    assert got == sorted(expect)
