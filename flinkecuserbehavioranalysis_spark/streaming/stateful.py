@@ -1040,3 +1040,77 @@ def streaming_funnel(
             fn, FUNNEL_SCHEMA, _FUNNEL_STATE, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+ONE_OR_MORE_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("first_a_ts", LongType()),
+        StructField("b_ts", LongType()),
+        StructField("n_a", LongType()),
+    ]
+)
+_ONE_OR_MORE_STATE = StructType(
+    [
+        StructField("run_len", LongType()),
+        StructField("first_a", DoubleType()),
+    ]
+)
+
+
+def streaming_one_or_more(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    a_pred,
+    b_pred,
+    within_seconds: float,
+    tiebreak_col: str | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of ``operators.patterns.pattern_one_or_more`` —
+    the CEP loop state an NFA keeps for ``oneOrMore().consecutive()``
+    is literally TWO numbers per key: the length of the current
+    trailing consecutive-A run and its first timestamp.  Per event in
+    (ts, tiebreak) order: A extends (or starts) the run; B with a live
+    run emits (first_a, b_ts, len) when the bound holds, and — being a
+    non-A — ends the run; anything else resets.  Constant-size state,
+    no buffered prefixes, no pruning needed."""
+    tagged = events.withColumn("__a", a_pred.cast("int")).withColumn(
+        "__b", b_pred.cast("int")
+    )
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        run_len, first_a = state.get if state.exists else (0, 0.0)
+        out: list[tuple[int, int, int, int]] = []
+        for pdf in pdfs:
+            cols = [c for c in sort_cols if c in pdf.columns]
+            pdf = pdf.sort_values(cols)
+            tss = _epoch_s(pdf[ts_col])
+            is_b = pdf["__b"].to_numpy().astype(bool)
+            is_a = pdf["__a"].to_numpy().astype(bool) & ~is_b
+            for i in range(len(tss)):
+                ts = float(tss[i])
+                if is_a[i]:
+                    if run_len == 0:
+                        first_a = ts
+                    run_len += 1
+                    continue
+                if is_b[i] and run_len >= 1 and ts <= first_a + within_seconds:
+                    out.append((int(k), int(first_a), int(ts), int(run_len)))
+                run_len, first_a = 0, 0.0
+        state.update((run_len, first_a))
+        if out:
+            yield pd.DataFrame(out, columns=["key", "first_a_ts", "b_ts", "n_a"])
+
+    return (
+        tagged.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, ONE_OR_MORE_SCHEMA, _ONE_OR_MORE_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -1065,3 +1065,43 @@ def test_checkpoint_recovery_resumes_aggregation_state(spark, tmp_path):
     # the first run must NOT have seen everything, or recovery wasn't exercised
     total = sum(r[2] for r in expect)
     assert n_before < total, (n_before, total)
+
+
+def test_streaming_one_or_more_matches_batch(spark):
+    """Bounded replay of the two-number loop-state NFA equals the batch
+    pattern_one_or_more on the events table (view-run then purchase)."""
+    from flinkecuserbehavioranalysis_spark.io import load_table
+    from flinkecuserbehavioranalysis_spark.operators.patterns import pattern_one_or_more
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import (
+        read_events_stream,
+        run_bounded,
+    )
+    from flinkecuserbehavioranalysis_spark.streaming.stateful import (
+        streaming_one_or_more,
+    )
+
+    kw = dict(
+        key_col="user_id",
+        ts_col="ts",
+        a_pred=F.col("event_type") == "view",
+        b_pred=F.col("event_type") == "purchase",
+        within_seconds=86400.0,
+        tiebreak_col="event_id",
+    )
+    got = sorted(
+        (r.key, r.first_a_ts, r.b_ts, r.n_a)
+        for r in run_bounded(
+            streaming_one_or_more(
+                read_events_stream(spark, SF_DIR).select(
+                    "user_id", "event_type", "ts", "event_id"
+                ),
+                **kw,
+            )
+        )
+    )
+    batch = sorted(
+        (r.user_id, int(r.first_a_ts.timestamp()), int(r.b_ts.timestamp()), r.n_a)
+        for r in pattern_one_or_more(load_table(spark, SF_DIR, "events"), **kw).collect()
+    )
+    assert got == batch
+    assert len(got) > 0
