@@ -142,6 +142,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     df_max: int | None = None,
+    intersections: DataFrame | None = None,
 ) -> DataFrame:
     """Jaccard over word n-gram shingle sets — EXACT when *df_max* is
     None or does not bind; with a binding *df_max* the emitted value is
@@ -166,8 +167,12 @@ def ngram_jaccard_pairs(
     corpus scale).  Still quadratic in (capped) per-shingle document
     frequency — at 100 TB run it only on MinHash candidates (compose:
     ``minhash_candidates`` → semi-join → this, or use
-    ``lsh_verified_pairs``)."""
-    jac = _pair_intersections(docs, id_col, text_col, n, df_max).withColumn(
+    ``lsh_verified_pairs``).  *intersections* lets callers share one
+    computed (doc_a, doc_b, common, sza, szb) relation across the
+    Jaccard/containment family (persist it once per corpus)."""
+    if intersections is None:
+        intersections = _pair_intersections(docs, id_col, text_col, n, df_max)
+    jac = intersections.withColumn(
         "jaccard",
         F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")),
     )
@@ -219,6 +224,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.5,
     df_max: int | None = None,
+    intersections: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric shingle CONTAINMENT — |A∩B| / min(|A|, |B|) — the
     partial-duplication detector Jaccard structurally misses: a short
@@ -237,7 +243,11 @@ def containment_pairs(
     Same inverted-index core and *df_max* discipline as
     ``ngram_jaccard_pairs`` (and the same 100 TB advice: run on LSH
     candidates, not the raw corpus)."""
-    c = _pair_intersections(docs, id_col, text_col, n, df_max)
+    c = (
+        _pair_intersections(docs, id_col, text_col, n, df_max)
+        if intersections is None
+        else intersections
+    )
     out = c.select(
         "doc_a",
         "doc_b",

@@ -877,7 +877,27 @@ WHERE common * 1.0 / (x.sz + y.sz - common) >= 0.8
     "document-frequency cap (df<=64) bounding the quadratic self-join, threshold 0.8.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8, df_max=64)
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.8,
+        df_max=64,
+        intersections=_doc_pair_intersections(spark, sf_dir),
+    )
+
+
+def _doc_pair_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trigram inverted-index pair-intersection relation (df_max=64),
+    persisted and memoized per (session, sf_dir) — the shared core of
+    dedup_ngram_jaccard and dedup_containment (each previously paid the
+    shingle self-join independently; one relation serves both)."""
+    from ..operators.dedup import _pair_intersections
+
+    def build() -> DataFrame:
+        return _pair_intersections(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text", 3, 64
+        ).persist()
+
+    return _cached_canon(spark, sf_dir, "docs_pair_intersections_64", build)
 
 
 def _simhash_oracle(bits: int = 16) -> str:
@@ -2661,7 +2681,10 @@ WHERE CAST(c.common AS DOUBLE) / least(x.sz, y.sz) >= 0.2
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.2, df_max=64
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.2,
+        df_max=64,
+        intersections=_doc_pair_intersections(spark, sf_dir),
     )
 
 
