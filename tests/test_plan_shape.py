@@ -190,3 +190,57 @@ def test_profile_is_single_pass(spark):
     # formatted explain names each physical node once in the detail
     # section as "(n) Scan parquet" — count node ids, not mentions
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """The 100 TB fact-fact join insurance: with runtime bloom filters
+    on, a selective dimension-side predicate injects a
+    bloom_filter_agg on the build side and a might_contain probe into
+    the fact scan side — rows that cannot join are dropped BEFORE the
+    shuffle.  (Local tables are below the default application-side
+    10 GB threshold, so the test pins it to 0 — on a real cluster the
+    defaults trigger exactly on the big-scan case this protects.)"""
+    import contextlib
+    import io as _io
+
+    import pyspark.sql.functions as F
+
+    from flinkecuserbehavioranalysis_spark.io import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        l = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+        rows = j.collect()
+        assert len(rows) == 1 and rows[0].n > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
