@@ -1405,3 +1405,32 @@ def test_python_datasource_stream_offsets(spark):
     assert len(sink) >= 100
     got = sorted(tuple(r) for r in sink)[:100]
     assert got == sorted(_row(i, 3, 100) for i in range(100))
+
+
+def test_udtf_chunking_matches_generator_operator(spark):
+    """§2.10 UDTF surface: the Python UDTF chunker emits EXACTLY the
+    rows of the Catalyst-generator chunk_documents on the documents
+    table (lateral-join invocation) — two implementations, one
+    contract."""
+    from pyspark.sql.functions import lit, udtf
+
+    from flinkecuserbehavioranalysis_spark.functions.udtfs import (
+        CHUNK_SCHEMA_DDL,
+        ChunkDocument,
+    )
+    from flinkecuserbehavioranalysis_spark.operators.sampling import chunk_documents
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    chunker = udtf(ChunkDocument, returnType=CHUNK_SCHEMA_DDL)
+    spark.udtf.register("chunk_doc", chunker)
+    docs.createOrReplaceTempView("__udtf_docs")
+    got = spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk_start, c.chunk_len, c.chunk_text "
+        "FROM __udtf_docs d, LATERAL chunk_doc(d.text, 80, 20) c"
+    )
+    expect = chunk_documents(docs, chunk_chars=80, overlap=20)
+    key = lambda r: (r[0], r[1])  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, expect.collect()), key=key
+    )
+    assert got.count() > 50
