@@ -4640,3 +4640,63 @@ def pattern_view_burst_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_ts").cast("long").alias("purchase_ts"),
         F.col("n_a").alias("n_views"),
     )
+
+
+@_q(
+    "nation_revenue_pareto",
+    f"""
+WITH __cr AS (
+  SELECT n_name, c_custkey, CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+__rk AS (SELECT *, percent_rank() OVER (PARTITION BY n_name
+                                        ORDER BY rev DESC, c_custkey) AS pr
+         FROM __cr)
+SELECT n_name, count(*) AS n_customers,
+       CAST(sum(CASE WHEN pr <= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+       round(CAST(sum(CASE WHEN pr <= 0.1
+                      THEN CAST(rev AS DECIMAL(28,12)) ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(rev AS DECIMAL(28,12))) AS DOUBLE), 6)
+         AS top_decile_share
+FROM __rk GROUP BY n_name
+""",
+    "Extension (Pareto concentration): revenue share of each nation's top-decile "
+    "customers — percent_rank over a NATION-PARTITIONED window on the pre-aggregated "
+    "per-customer relation (partitioned windows scale; the global-ntile formulation "
+    "would funnel every customer into one partition), then one grouped conditional "
+    "sum.  Ranks tiebroken by customer key.",
+)
+def nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l, o, c, n = (
+        load_table(spark, sf_dir, t) for t in ("lineitem", "orders", "customer", "nation")
+    )
+    cr = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum(_revenue()).cast("double").alias("rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("rev"), F.asc("c_custkey"))
+    rk = cr.withColumn("pr", F.percent_rank().over(w))
+    top = (F.col("pr") <= 0.1).cast("int")
+    return rk.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(top).cast("long").alias("n_top"),
+        # per-customer rev is a deterministic double, but summing doubles
+        # is order-dependent — DECIMAL sums keep the ratio engine-exact
+        F.round(
+            F.sum(
+                F.when(F.col("pr") <= 0.1, F.col("rev"))
+                .otherwise(0.0)
+                .cast("decimal(28,12)")
+            ).cast("double")
+            / F.sum(F.col("rev").cast("decimal(28,12)")).cast("double"),
+            6,
+        ).alias("top_decile_share"),
+    )

@@ -1434,3 +1434,27 @@ def test_udtf_chunking_matches_generator_operator(spark):
         map(tuple, expect.collect()), key=key
     )
     assert got.count() > 50
+
+
+def test_observation_metrics_on_corpus_scan(spark):
+    """Pipeline observability: df.observe() attaches data-quality
+    counters (rows, quality-passed, null texts) that come back with the
+    SAME action that produced the result — no second scan, the metric
+    hook a 100 TB ingest job publishes per batch."""
+    from pyspark.sql import Observation
+
+    from flinkecuserbehavioranalysis_spark.operators.text import quality_ok
+
+    docs = load_table(spark, SF_DIR, "documents")
+    obs = Observation("corpus_quality")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(quality_ok("text").cast("long")).alias("n_quality"),
+        F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
+    )
+    n = observed.filter(quality_ok("text")).count()
+    m = obs.get
+    assert m["n_rows"] == docs.count()
+    assert m["n_quality"] == n
+    assert m["n_null_text"] == 0
