@@ -1114,3 +1114,68 @@ def streaming_one_or_more(
             fn, ONE_OR_MORE_SCHEMA, _ONE_OR_MORE_STATE, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+VALUE_SPIKE_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("prev_ts", LongType()),
+        StructField("spike_ts", LongType()),
+        StructField("prev_value", DoubleType()),
+        StructField("spike_value", DoubleType()),
+    ]
+)
+_VALUE_SPIKE_STATE = StructType(
+    [StructField("last_ts", DoubleType()), StructField("last_value", DoubleType())]
+)
+
+
+def streaming_value_spike(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    factor: float = 2.0,
+    max_gap_seconds: float = 3600.0,
+    tiebreak_col: str | None = "event_id",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of ``pattern_value_spike`` — the IterativeCondition
+    pair (next value ≥ factor × previous within gap) needs exactly ONE
+    (ts, value) pair of state per key."""
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        last_ts, last_value = state.get if state.exists else (None, None)
+        out: list[tuple[int, int, int, float, float]] = []
+        for pdf in pdfs:
+            cols = [c for c in sort_cols if c in pdf.columns]
+            pdf = pdf.sort_values(cols)
+            tss = _epoch_s(pdf[ts_col])
+            vals = pdf[value_col].to_numpy().astype(float)
+            for i in range(len(tss)):
+                ts, v = float(tss[i]), float(vals[i])
+                if (
+                    last_ts is not None
+                    and v >= factor * last_value
+                    and ts - last_ts <= max_gap_seconds
+                ):
+                    out.append((int(k), int(last_ts), int(ts), last_value, v))
+                last_ts, last_value = ts, v
+        state.update((last_ts, last_value))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["key", "prev_ts", "spike_ts", "prev_value", "spike_value"],
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, VALUE_SPIKE_SCHEMA, _VALUE_SPIKE_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )

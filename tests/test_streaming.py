@@ -1105,3 +1105,33 @@ def test_streaming_one_or_more_matches_batch(spark):
     )
     assert got == batch
     assert len(got) > 0
+
+
+def test_streaming_value_spike_matches_batch(spark):
+    """Bounded replay of the one-pair-of-state spike detector equals the
+    batch pattern_value_spike query."""
+    from flinkecuserbehavioranalysis_spark.plans.queries import QUERIES
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import (
+        read_events_stream,
+        run_bounded,
+    )
+    from flinkecuserbehavioranalysis_spark.streaming.stateful import (
+        streaming_value_spike,
+    )
+
+    got = sorted(
+        (r.key, r.prev_ts, r.spike_ts, r.prev_value, r.spike_value)
+        for r in run_bounded(
+            streaming_value_spike(
+                read_events_stream(spark, SF_DIR).select(
+                    "user_id", "ts", "value", "event_id"
+                )
+            )
+        )
+    )
+    batch = sorted(
+        tuple(r)
+        for r in QUERIES["pattern_value_spike"].fn(spark, SF_DIR).collect()
+    )
+    assert got == batch
+    assert len(got) > 0
