@@ -54,3 +54,30 @@ def foreach_batch_upsert(
         final.write.mode("overwrite").parquet(target_dir)
 
     return process
+
+
+def foreach_batch_partitioned_upsert(
+    target_dir: str, partition_cols: Sequence[str]
+) -> Callable[[DataFrame, int], None]:
+    """Returns a foreachBatch fn writing each micro-batch into a
+    hive-partitioned parquet store with DYNAMIC partition overwrite —
+    only the partitions present in the batch are replaced, everything
+    else is untouched.
+
+    Exactly-once by construction when *partition_cols* functionally
+    determine the row (e.g. update-mode aggregates partitioned on their
+    full grouping key): replaying a micro-batch after a crash rewrites
+    the same partitions with the same current values — idempotent, no
+    read-merge-write cycle, no store-wide rewrite (contrast
+    ``foreach_batch_upsert``, which rewrites the whole directory per
+    batch).  This is the streaming → data-lake landing pattern; at
+    100 TB the per-batch write cost is proportional to the CHANGED
+    partitions only."""
+    from ..io import write_partitioned
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_partitioned(batch_df, target_dir, list(partition_cols))
+
+    return process
