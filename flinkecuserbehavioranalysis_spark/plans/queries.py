@@ -4700,3 +4700,74 @@ def nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top_decile_share"),
     )
+
+
+@_q(
+    "corpus_keep_verdict",
+    f"""
+WITH RECURSIVE __p AS ({_lsh_verified_oracle(0.5)}),
+__eg AS (SELECT doc_a AS s, doc_b AS d FROM __p
+         UNION SELECT doc_b, doc_a FROM __p),
+__r AS (SELECT s AS v, d AS w FROM __eg
+        UNION
+        SELECT r.v, e.d FROM __r r JOIN __eg e ON r.w = e.s),
+__lbl AS (SELECT v AS doc_id, least(v, min(w)) AS canonical_id FROM __r GROUP BY v),
+__ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+         FROM documents),
+__gw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+__gg AS (SELECT doc_id,
+           unnest(list_transform(range(1, len(ws) - {_GRAM_W - 2}),
+                  i -> array_to_string(ws[i:i+{_GRAM_W - 1}], ' '))) AS sh
+         FROM __gw),
+__hot AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS df
+                          FROM __gg GROUP BY sh) WHERE df >= 2),
+__dup AS (SELECT doc_id, count(*) AS n_dup FROM __gg JOIN __hot USING (sh)
+          GROUP BY doc_id),
+__tot AS (SELECT doc_id, greatest(len(ws) - {_GRAM_W - 1}, 0) AS n_grams FROM __gw)
+SELECT d.doc_id,
+       CASE WHEN e.doc_id <> e.keep_id THEN 'exact_dup'
+            WHEN coalesce(l.canonical_id, d.doc_id) <> d.doc_id THEN 'near_dup'
+            WHEN t.n_grams > 0
+                 AND CAST(coalesce(g.n_dup, 0) AS DOUBLE) / t.n_grams > 0.5
+              THEN 'boilerplate'
+            ELSE 'keep' END AS verdict
+FROM documents d
+JOIN __ex e ON e.doc_id = d.doc_id
+LEFT JOIN __lbl l ON l.doc_id = d.doc_id
+JOIN __tot t ON t.doc_id = d.doc_id
+LEFT JOIN __dup g ON g.doc_id = d.doc_id
+""",
+    "Extension (pipeline capstone): the final per-document keep/drop VERDICT a dedup "
+    "pipeline materializes — precedence exact_dup (not the md5-group keeper) > near_dup "
+    "(LSH-verified cluster non-canonical) > boilerplate (>50% of 8-token windows "
+    "duplicated cross-doc) > keep.  Composes three session-shared relations (exact "
+    "fingerprints, the memoized canonical map, repeated-gram shares) — the query a "
+    "downstream trainer actually consumes.",
+)
+def corpus_keep_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import repeated_gram_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = docs.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("keep_id"),
+    )
+    canon = _doc_canonical_map(spark, sf_dir).select("doc_id", "canonical_id")
+    grams = repeated_gram_stats(docs, w=_GRAM_W).select("doc_id", "dup_share")
+    return (
+        keep.join(canon, "doc_id", "left")
+        .join(grams, "doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("keep_id"), F.lit("exact_dup"))
+            .when(
+                F.coalesce(F.col("canonical_id"), F.col("doc_id")) != F.col("doc_id"),
+                F.lit("near_dup"),
+            )
+            .when(F.col("dup_share") > 0.5, F.lit("boilerplate"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+    )
