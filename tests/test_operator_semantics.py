@@ -313,3 +313,36 @@ def test_pagerank_path_graph(spark):
     assert abs(sum(out.values()) - 1.0) < 1e-4
     again = {r.id: r.pr for r in pagerank(e, iters=3).collect()}
     assert out == again
+
+
+def test_pattern_alternation_via_or_predicate(spark):
+    """CEP alternation ((view|click) then purchase) needs no new
+    operator — a predicate disjunction on the first step IS flink-cep's
+    where().or(): the match set equals the union of the two
+    single-type runs minus double counting."""
+    from flinkecuserbehavioranalysis_spark.operators.patterns import pattern_pairs
+
+    rows = [
+        (1, "view", 10, 1), (1, "purchase", 20, 2),
+        (2, "click", 10, 3), (2, "purchase", 15, 4),
+        (3, "error", 10, 5), (3, "purchase", 12, 6),
+        (4, "view", 10, 7), (4, "click", 12, 8), (4, "purchase", 13, 9),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts long, event_id long")
+    alt = (F.col("event_type") == "view") | (F.col("event_type") == "click")
+    got = sorted(
+        (r.user_id, r.first_ts, r.second_ts)
+        for r in pattern_pairs(
+            df,
+            key_col="user_id",
+            ts_col="ts",
+            first_pred=alt,
+            second_pred=F.col("event_type") == "purchase",
+            within_seconds=100.0,
+            contiguity="relaxed",
+            tiebreak_col="event_id",
+        ).collect()
+    )
+    # nearest preceding qualifying first-step per purchase (the
+    # operator's documented reverse-order conditional-min semantics)
+    assert got == [(1, 10, 20), (2, 10, 15), (4, 12, 13)]

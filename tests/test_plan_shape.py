@@ -244,3 +244,20 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Engine surface: per-join strategy hints — the escape hatch when
+    stats mislead Catalyst.  shuffle_hash must produce a
+    ShuffledHashJoin (no sort phase), merge a SortMergeJoin, on the
+    same orders-lineitem join."""
+    from flinkecuserbehavioranalysis_spark.io import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    l = load_table(spark, SF_DIR, "lineitem")
+    for hint, node in (("shuffle_hash", "ShuffledHashJoin"), ("merge", "SortMergeJoin")):
+        j = o.hint(hint).join(l, o.o_orderkey == l.l_orderkey)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        assert node in buf.getvalue(), (hint, node)
