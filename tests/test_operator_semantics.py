@@ -343,6 +343,6 @@ def test_pattern_alternation_via_or_predicate(spark):
             tiebreak_col="event_id",
         ).collect()
     )
-    # nearest preceding qualifying first-step per purchase (the
-    # operator's documented reverse-order conditional-min semantics)
-    assert got == [(1, 10, 20), (2, 10, 15), (4, 12, 13)]
+    # one match per qualifying first-step event (flink-cep noSkip):
+    # user 4 starts a match from BOTH the view@10 and the click@12
+    assert got == [(1, 10, 20), (2, 10, 15), (4, 10, 13), (4, 12, 13)]
