@@ -550,20 +550,42 @@ def ivf_topk(
     instead of the brute-force O(n·q).  Recall < 1 by construction;
     verified against ``brute_force_topk``.  Output: (q_id, neighbor_id,
     cos, rnk) — same schema as the exact baseline."""
-    from pyspark.sql import Window
+    seeds, assigned = build_ivf_index(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        train_iters=train_iters,
+        corpus_probes=corpus_probes,
+        train_fraction=train_fraction,
+    )
+    return query_ivf_index(
+        seeds, assigned, queries, query_id_col=query_id_col, vec_col=vec_col,
+        nprobe=nprobe, k=k, dedup_candidates=corpus_probes > 1,
+    )
 
+
+def build_ivf_index(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    train_iters: int = 2,
+    corpus_probes: int = 2,
+    train_fraction: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index relations: (codebook, postings) — the
+    build-once half of the index lifecycle.  ``codebook`` is
+    (seed_id, s_vec, s_norm); ``postings`` is (neighbor_id, v_vec,
+    v_norm, cell), one row per (vector, probed cell).  Persist both
+    with :func:`save_ivf_index` and serve queries from the saved index
+    — training never reruns per query batch."""
     if corpus_probes not in (1, 2):
         raise ValueError(f"corpus_probes must be 1 or 2, got {corpus_probes}")
-
     v = (
         vectors.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v_vec"))
         .withColumn("v_norm", F.sqrt(dot(F.col("v_vec"), F.col("v_vec"))))
     )
-    q = (
-        queries.select(F.col(query_id_col).alias("q_id"), _as_double(vec_col).alias("q_vec"))
-        .withColumn("q_norm", F.sqrt(dot(F.col("q_vec"), F.col("q_vec"))))
-    )
-
     seeds = kmeans_fit(
         vectors,
         id_col=id_col,
@@ -573,7 +595,6 @@ def ivf_topk(
         train_fraction=train_fraction,
     )
     packed = _pack(seeds)
-
     cell_expr = (
         F.array(_best_cell("v_vec", "v_norm"))
         if corpus_probes == 1
@@ -582,6 +603,50 @@ def ivf_topk(
     assigned = (
         v.crossJoin(F.broadcast(packed))
         .select("neighbor_id", "v_vec", "v_norm", F.explode(cell_expr).alias("cell"))
+    )
+    return seeds, assigned
+
+
+def save_ivf_index(seeds: DataFrame, assigned: DataFrame, path: str) -> None:
+    """Persist an IVF index: codebook (tiny) + postings PARTITIONED BY
+    CELL — the layout that lets a query batch's probed cells prune at
+    the directory level (static pruning when cells are literal,
+    dynamic partition pruning through the probe join at scale)."""
+    seeds.write.mode("overwrite").parquet(path.rstrip("/") + "/codebook")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        path.rstrip("/") + "/postings"
+    )
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load an index written by :func:`save_ivf_index`.  Round-trips
+    the exact doubles, so query results are bit-identical to querying
+    the in-session index."""
+    seeds = spark.read.parquet(path.rstrip("/") + "/codebook")
+    assigned = spark.read.parquet(path.rstrip("/") + "/postings").select(
+        "neighbor_id", "v_vec", "v_norm", F.col("cell").cast("long").alias("cell")
+    )
+    return seeds, assigned
+
+
+def query_ivf_index(
+    seeds: DataFrame,
+    assigned: DataFrame,
+    queries: DataFrame,
+    query_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 3,
+    k: int = 10,
+    dedup_candidates: bool = True,
+) -> DataFrame:
+    """Serve top-k queries from a built (or loaded) IVF index — the
+    query-many half of the lifecycle.  Same semantics and output schema
+    as ``ivf_topk``."""
+    from pyspark.sql import Window
+
+    q = (
+        queries.select(F.col(query_id_col).alias("q_id"), _as_double(vec_col).alias("q_vec"))
+        .withColumn("q_norm", F.sqrt(dot(F.col("q_vec"), F.col("q_vec"))))
     )
     # probes need the nprobe best cells — explode + rank, but only over
     # the (small) query set
@@ -612,7 +677,7 @@ def ivf_topk(
             ).alias("cos"),
         )
     )
-    if corpus_probes > 1:
+    if dedup_candidates:
         # a neighbor indexed under two probed cells scores twice with the
         # same cosine — drop the duplicate before ranking
         scored = scored.dropDuplicates(["q_id", "neighbor_id"])

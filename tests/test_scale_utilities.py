@@ -1458,3 +1458,34 @@ def test_observation_metrics_on_corpus_scan(spark):
     assert m["n_rows"] == docs.count()
     assert m["n_quality"] == n
     assert m["n_null_text"] == 0
+
+
+def test_ivf_index_save_load_roundtrip(spark, tmp_path):
+    """Index lifecycle: build → save (postings partitioned by cell) →
+    load → query gives BIT-IDENTICAL results to the in-session
+    ivf_topk, and the postings directory is cell-partitioned."""
+    import os
+
+    from flinkecuserbehavioranalysis_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        load_ivf_index,
+        query_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    kw = dict(n_cells=8, train_iters=2, corpus_probes=2)
+    direct = sorted(
+        tuple(r) for r in ivf_topk(emb, queries, nprobe=3, k=10, **kw).collect()
+    )
+    seeds, assigned = build_ivf_index(emb, **kw)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(seeds, assigned, path)
+    assert any(d.startswith("cell=") for d in os.listdir(path + "/postings"))
+    ls, la = load_ivf_index(spark, path)
+    loaded = sorted(
+        tuple(r) for r in query_ivf_index(ls, la, queries, nprobe=3, k=10).collect()
+    )
+    assert loaded == direct and len(loaded) == 50
