@@ -27,3 +27,35 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_flagship_runs_as_pure_sql(spark):
+    """The engine is Spark SQL-first: the flagship HotItems windowed
+    top-N expressed as ONE spark.sql() string (window TVF + rank
+    filter) returns exactly the operator pipeline's rows — the
+    DataFrame and SQL surfaces are the same engine."""
+    from flinkecuserbehavioranalysis_spark.io import load_table
+    from flinkecuserbehavioranalysis_spark.plans.queries import QUERIES
+
+    from conftest import SF_DIR
+
+    base = QUERIES["hot_items_topn"].fn(spark, SF_DIR)
+    cols = base.columns
+    expect = sorted(tuple(r[c] for c in cols) for r in base.collect())
+    load_table(spark, SF_DIR, "events").createOrReplaceTempView("__sql_events")
+    got = spark.sql(
+        """
+        WITH w AS (
+          SELECT window(ts, '1 hour', '5 minutes') AS win,
+                 pmod(event_id, 50) AS item_id, count(*) AS cnt
+          FROM __sql_events WHERE event_type = 'view'
+          GROUP BY 1, 2),
+        r AS (
+          SELECT CAST(win.start AS LONG) AS ws, CAST(win.end AS LONG) AS we,
+                 item_id, cnt,
+                 row_number() OVER (PARTITION BY win ORDER BY cnt DESC, item_id) AS rnk
+          FROM w)
+        SELECT * FROM r WHERE rnk <= 3
+        """
+    )
+    assert sorted(tuple(r[c] for c in cols) for r in got.collect()) == expect

@@ -1188,3 +1188,44 @@ def test_partitioned_sink_survives_restart(spark, tmp_path):
     gd = {(r.day, r.event_type): r.n for r in spark.read.parquet(store).collect()}
     ed = {(r.day, r.event_type): r.n for r in agg(ev).collect()}
     assert gd == ed and len(gd) > 0
+
+
+def test_streaming_ann_serving_from_static_index(spark):
+    """Online vector serving: a STREAM of query vectors answered per
+    micro-batch against a static in-session IVF index (foreachBatch —
+    the row_number rank inside query_ivf_index is not a streaming
+    aggregation, so the serve step runs on each bounded batch).
+    Results equal the batch answers exactly."""
+    from flinkecuserbehavioranalysis_spark.io import load_table
+    from flinkecuserbehavioranalysis_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import read_events_stream
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    seeds, assigned = build_ivf_index(emb, n_cells=8, train_iters=2, corpus_probes=2)
+    seeds, assigned = seeds.cache(), assigned.cache()
+    batch_expect = sorted(
+        tuple(r)
+        for r in query_ivf_index(
+            seeds, assigned, emb.filter(F.col("vec_id") < 5), nprobe=3, k=10
+        ).collect()
+    )
+
+    qstream = read_events_stream(spark, SF_DIR, "embeddings").filter(
+        F.col("vec_id") < 5
+    )
+    sink: list = []
+
+    def serve(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        sink.extend(
+            query_ivf_index(seeds, assigned, batch_df, nprobe=3, k=10).collect()
+        )
+
+    q = qstream.writeStream.foreachBatch(serve).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    assert sorted(tuple(r) for r in sink) == batch_expect
+    assert len(sink) == 50
