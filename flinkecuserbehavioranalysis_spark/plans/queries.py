@@ -4771,3 +4771,28 @@ def corpus_keep_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+@_q(
+    "event_value_percentiles_by_type",
+    """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+    "Extension (holistic aggregate, JVM-side): exact linear-interpolated value "
+    "percentiles per event type via the built-in percentile() — the whole-stage-codegen "
+    "complement of the applyInPandas windowed_quantiles (same math, no Python worker); "
+    "both engines share the (n-1)p interpolation definition.",
+)
+def event_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.element_at(pct, 1), 6).alias("p50"),
+        F.round(F.element_at(pct, 2), 6).alias("p90"),
+        F.round(F.element_at(pct, 3), 6).alias("p99"),
+    )
