@@ -1489,3 +1489,28 @@ def test_ivf_index_save_load_roundtrip(spark, tmp_path):
         tuple(r) for r in query_ivf_index(ls, la, queries, nprobe=3, k=10).collect()
     )
     assert loaded == direct and len(loaded) == 50
+
+
+def test_read_csv_events_tolerates_malformed_rows(spark, tmp_path):
+    """Ingest robustness: PERMISSIVE mode lands malformed rows as
+    null-padded records instead of failing the job (a crawler feed
+    always has bad lines); well-formed rows parse untouched, and the
+    null timestamp is filterable downstream."""
+    from flinkecuserbehavioranalysis_spark.io import read_csv_events
+    from flinkecuserbehavioranalysis_spark.schemas import LOGIN_EVENT
+
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "7,86.226.1.5,success,1600000000\n"
+        "not,a,valid,row,extra,columns\n"
+        "8,92.1.2.3,fail,not_a_number\n"
+        "9,10.0.0.1,success,1600000100\n"
+    )
+    df = read_csv_events(spark, str(p), LOGIN_EVENT)
+    rows = df.collect()
+    assert len(rows) == 4  # nothing dropped silently
+    good = df.filter(F.col("ts").isNotNull())
+    assert {r.user_id for r in good.collect()} >= {7, 9}
+    # the numeric-garbage timestamp parses to null, not a crash
+    bad_ts = df.filter(F.col("ts").isNull()).count()
+    assert bad_ts >= 1
