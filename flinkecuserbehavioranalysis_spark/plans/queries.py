@@ -4796,3 +4796,91 @@ def event_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(F.element_at(pct, 2), 6).alias("p90"),
         F.round(F.element_at(pct, 3), 6).alias("p99"),
     )
+
+
+@_q(
+    "returned_item_customers",
+    f"""
+WITH __rev AS (
+  SELECT c_custkey, c_name, n_name,
+         CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS lost_revenue,
+         count(*) AS n_returned_items
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1, 2, 3)
+SELECT c_custkey AS cust_id, c_name, n_name, lost_revenue, n_returned_items
+FROM __rev ORDER BY lost_revenue DESC, c_custkey LIMIT 20
+""",
+    "Extension: TPC-H Q10-style returned-item ranking — revenue lost to returns per "
+    "customer (returnflag pushed to the lineitem scan, broadcast nation, "
+    "TakeOrderedAndProject top-20, decimal-stable sums).",
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, o, c, n = (
+        load_table(spark, sf_dir, t) for t in ("lineitem", "orders", "customer", "nation")
+    )
+    rev = (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_revenue()).cast("double").alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+    )
+    return (
+        rev.orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            F.col("c_custkey").alias("cust_id"),
+            "c_name",
+            "n_name",
+            "lost_revenue",
+            "n_returned_items",
+        )
+    )
+
+
+@_q(
+    "nation_trade_flows",
+    f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(floor(epoch(l_shipdate)) AS BIGINT) // 31536000 + 1970 AS ship_year,
+       CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name < cn.n_name
+GROUP BY 1, 2, 3
+""",
+    "Extension: TPC-H Q7-style bilateral trade volume — supplier-nation x customer-nation "
+    "x (365-day epoch year: calendar-free, engine-exact) revenue; the nation dimension "
+    "joins twice under different roles, both broadcast; ordered-pair filter halves the "
+    "matrix.",
+)
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, o, c, s, n = (
+        load_table(spark, sf_dir, t)
+        for t in ("lineitem", "orders", "customer", "supplier", "nation")
+    )
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    year = (F.col("l_shipdate").cast("long") / F.lit(31536000)).cast("long") + 1970
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", year.alias("ship_year"))
+        .agg(F.sum(_revenue()).cast("double").alias("volume"))
+    )
