@@ -1179,3 +1179,58 @@ def streaming_value_spike(
             fn, VALUE_SPIKE_SCHEMA, _VALUE_SPIKE_STATE, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+TRANSITION_SCHEMA = StructType(
+    [
+        StructField("prev_type", StringType()),
+        StructField("next_type", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+_TRANSITION_STATE = StructType([StructField("last_type", StringType())])
+
+
+def streaming_type_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = "event_id",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming front half of ``event_type_transitions``: per-key
+    (prev, next) transition events with ONE string of state per key
+    (the previous event type).  Downstream, a plain streaming
+    aggregation sums the counts — kept separate so the emitted
+    transition stream composes with any sink/window."""
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (last_type,) = state.get if state.exists else (None,)
+        pairs: dict[tuple[str, str], int] = {}
+        for pdf in pdfs:
+            cols = [c for c in sort_cols if c in pdf.columns]
+            pdf = pdf.sort_values(cols)
+            types = pdf[type_col].tolist()
+            for t in types:
+                if last_type is not None:
+                    k2 = (last_type, t)
+                    pairs[k2] = pairs.get(k2, 0) + 1
+                last_type = t
+        state.update((last_type,))
+        if pairs:
+            yield pd.DataFrame(
+                [(a, b, n) for (a, b), n in pairs.items()],
+                columns=["prev_type", "next_type", "n"],
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, TRANSITION_SCHEMA, _TRANSITION_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -1229,3 +1229,32 @@ def test_streaming_ann_serving_from_static_index(spark):
     q.awaitTermination(180)
     assert sorted(tuple(r) for r in sink) == batch_expect
     assert len(sink) == 50
+
+
+def test_streaming_type_transitions_matches_batch(spark):
+    """Bounded replay: summing the one-string-of-state transition
+    stream equals the batch Markov transition counts."""
+    from flinkecuserbehavioranalysis_spark.plans.queries import QUERIES
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import (
+        read_events_stream,
+        run_bounded,
+    )
+    from flinkecuserbehavioranalysis_spark.streaming.stateful import (
+        streaming_type_transitions,
+    )
+
+    rows = run_bounded(
+        streaming_type_transitions(
+            read_events_stream(spark, SF_DIR).select(
+                "user_id", "event_type", "ts", "event_id"
+            )
+        )
+    )
+    got: dict = {}
+    for r in rows:
+        got[(r.prev_type, r.next_type)] = got.get((r.prev_type, r.next_type), 0) + r.n
+    batch = {
+        (r.prev_type, r.next_type): r.n
+        for r in QUERIES["event_type_transitions"].fn(spark, SF_DIR).collect()
+    }
+    assert got == batch and len(got) > 0
