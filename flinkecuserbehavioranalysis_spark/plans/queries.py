@@ -4884,3 +4884,33 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", year.alias("ship_year"))
         .agg(F.sum(_revenue()).cast("double").alias("volume"))
     )
+
+
+@_q(
+    "discount_revenue_effect",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)))
+            AS DOUBLE) AS promo_revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
+    "Extension: TPC-H Q6-style forecast-revenue-change — pure scan-side predicate "
+    "band (discount x quantity, both pushed to parquet) + one decimal-stable global "
+    "aggregate; the canonical 'is the scan path fast' probe.",
+)
+def discount_revenue_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
