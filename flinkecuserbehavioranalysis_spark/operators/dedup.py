@@ -651,3 +651,71 @@ def repeated_gram_hotlist(
         .limit(topk)
         .select(F.col("sh").alias("gram"), "df", "n_occ")
     )
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Manku-Jarvelin-Sarma web-dedup (WWW'07): near-duplicate pairs by
+    SimHash HAMMING distance.  By pigeonhole, two signatures within
+    *max_hamming* = bands−1 bit flips agree EXACTLY on at least one of
+    *bands* contiguous blocks — so candidates are found by an equi-join
+    on (band_idx, band_bits) and only candidates pay the Hamming
+    verify.  Returns (doc_a, doc_b, hamming) with doc_a < doc_b,
+    hamming ≤ max_hamming, deduped across bands.
+
+    Scale shape: identical to MinHash banding — one signature pass
+    (token explode + per-doc vote aggregation), a band-keyed self-join
+    whose bucket sizes are the skew knob (64-bit signatures and more
+    bands at corpus scale), then a constant-cost XOR-popcount per
+    candidate.  *max_hamming* must be < *bands* for the pigeonhole
+    recall guarantee (asserted)."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}) for "
+            "the pigeonhole guarantee"
+        )
+    if bits % bands:
+        raise ValueError(f"bits ({bits}) must divide evenly into bands ({bands})")
+    width = bits // bands
+    sig = simhash(docs, id_col, text_col, bits)
+    band_cols = [
+        F.substring("simhash", b * width + 1, width).alias(f"b{b}") for b in range(bands)
+    ]
+    long = sig.select(F.col(id_col), "simhash", *band_cols).select(
+        F.col(id_col),
+        "simhash",
+        F.expr(
+            "stack({}, {}) as (band_idx, band_bits)".format(
+                bands, ", ".join(f"{b}, b{b}" for b in range(bands))
+            )
+        ),
+    )
+    a, b = long.alias("a"), long.alias("b")
+    ham = sum(
+        (
+            F.substring(F.col("a.simhash"), i + 1, 1)
+            != F.substring(F.col("b.simhash"), i + 1, 1)
+        ).cast("int")
+        for i in range(bits)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

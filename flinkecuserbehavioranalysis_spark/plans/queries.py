@@ -4914,3 +4914,43 @@ def discount_revenue_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+def _simhash_pairs_oracle(bits: int = 16, bands: int = 4, max_hamming: int = 3) -> str:
+    width = bits // bands
+    base = _simhash_oracle(bits).strip()
+    ham = " + ".join(
+        f"CASE WHEN substring(a.simhash, {i + 1}, 1) <> substring(b.simhash, {i + 1}, 1) "
+        "THEN 1 ELSE 0 END"
+        for i in range(bits)
+    )
+    bands_sql = ", ".join(
+        f"({b}, substring(simhash, {b * width + 1}, {width}))" for b in range(bands)
+    )
+    return f"""
+WITH __sig AS ({base}),
+__long AS (SELECT doc_id, simhash, bi.band_idx, bi.band_bits
+           FROM __sig, LATERAL (VALUES {bands_sql}) AS bi(band_idx, band_bits)),
+__cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sa, b.simhash AS sb
+           FROM __long a JOIN __long b
+             ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+            AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST({ham.replace('a.simhash', 'sa').replace('b.simhash', 'sb')} AS INT) AS hamming
+FROM __cand
+WHERE {ham.replace('a.simhash', 'sa').replace('b.simhash', 'sb')} <= {max_hamming}
+"""
+
+
+@_q(
+    "dedup_simhash_pairs",
+    _simhash_pairs_oracle(32),
+    "Extension (Manku-Jarvelin-Sarma WWW'07 web dedup): near-dup pairs by 32-bit "
+    "SimHash Hamming distance <= 3 — pigeonhole banding (4 blocks of 8 bits: <= 3 flips "
+    "must leave one block identical) finds candidates with an equi-join; only candidates "
+    "pay the XOR-popcount verify.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(load_table(spark, sf_dir, "documents"), bits=32)

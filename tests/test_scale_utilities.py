@@ -1508,3 +1508,30 @@ def test_read_csv_events_tolerates_malformed_rows(spark, tmp_path):
     # the numeric-garbage timestamp parses to null, not a crash
     bad_ts = df.filter(F.col("ts").isNull()).count()
     assert bad_ts >= 1
+
+
+def test_simhash_hamming_pairs_pigeonhole_recall(spark):
+    """Manku banding must have PERFECT recall within the pigeonhole
+    bound: every pair whose full-signature Hamming distance <= bands-1
+    is emitted (verified by recomputing all-pairs distances naively),
+    and nothing above max_hamming leaks through."""
+    from flinkecuserbehavioranalysis_spark.operators.dedup import (
+        simhash,
+        simhash_hamming_pairs,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(120)
+    bits, bands, mh = 32, 4, 3
+    sigs = {r.doc_id: r.simhash for r in simhash(docs, bits=bits).collect()}
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_hamming_pairs(docs, bits=bits, bands=bands, max_hamming=mh).collect()
+    }
+    ids = sorted(sigs)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+            if d <= mh:
+                expect[(a, b)] = d
+    assert got == expect
