@@ -719,3 +719,40 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def minhash_estimate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    min_estimate: float = 0.5,
+) -> DataFrame:
+    """Jaccard ESTIMATED from signature agreement — the verify-free
+    first pass at corpus scale: for LSH candidate pairs, the fraction
+    of the k min-hashes that agree is an unbiased estimator of the
+    Jaccard similarity (E[h_min(A)=h_min(B)] = J), so no shingle sets
+    are ever re-read.  Returns (doc_a, doc_b, jaccard_est) for
+    candidates with estimate ≥ *min_estimate*.
+
+    ±1/√k resolution — k=12 splits [0,1] into 13 steps, good enough to
+    triage before an exact ``lsh_verified_pairs`` pass on survivors; at
+    100 TB this joins two signature-sized relations (k small ints per
+    doc) instead of replaying tokenization."""
+    sig = minhash_signatures(docs, id_col, text_col, n, k)
+    cand = minhash_candidates(docs, id_col, text_col, n, k, bands)
+    sa = sig.select(F.col(id_col).alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])
+    sb = sig.select(F.col(id_col).alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)])
+    agree = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(k))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(float(k)), 6).alias("jaccard_est"),
+        )
+        .filter(F.col("jaccard_est") >= min_estimate)
+    )

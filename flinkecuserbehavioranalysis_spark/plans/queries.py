@@ -4954,3 +4954,31 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_hamming_pairs
 
     return simhash_hamming_pairs(load_table(spark, sf_dir, "documents"), bits=32)
+
+
+def _minhash_estimate_oracle(k: int = 12, min_est: float = 0.5) -> str:
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return _minhash_cte_prefix() + f"""
+SELECT c.doc_a, c.doc_b, round(({agree}) / {float(k)}, 6) AS jaccard_est
+FROM __cand c JOIN __sig sa ON sa.doc_id = c.doc_a
+JOIN __sig sb ON sb.doc_id = c.doc_b
+WHERE ({agree}) / {float(k)} >= {min_est}
+"""
+
+
+@_q(
+    "dedup_minhash_estimate",
+    _minhash_estimate_oracle(),
+    "Extension (verify-free dedup triage): Jaccard ESTIMATED as the fraction of "
+    "agreeing min-hashes over LSH candidates (E[h_min(A)=h_min(B)] = J) — joins two "
+    "signature-sized relations, never re-reads shingles; the first pass before exact "
+    "verification at corpus scale.",
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_estimate_pairs
+
+    return minhash_estimate_pairs(
+        load_table(spark, sf_dir, "documents"), k=_MINHASH_K, bands=_MINHASH_BANDS
+    )
