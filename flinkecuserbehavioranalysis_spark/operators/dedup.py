@@ -683,13 +683,21 @@ def simhash_hamming_pairs(
     if bits % bands:
         raise ValueError(f"bits ({bits}) must divide evenly into bands ({bands})")
     width = bits // bands
-    sig = simhash(docs, id_col, text_col, bits)
+    # integer signature: the per-candidate verify is ONE xor + popcount
+    # (bit_count), not a bits-long character comparison — the hot loop
+    # at candidate volume
+    sig = simhash(docs, id_col, text_col, bits).select(
+        F.col(id_col), F.conv("simhash", 2, 10).cast("long").alias("sig_int")
+    )
     band_cols = [
-        F.substring("simhash", b * width + 1, width).alias(f"b{b}") for b in range(bands)
+        F.shiftrightunsigned(F.col("sig_int"), b * width)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        .alias(f"b{b}")
+        for b in range(bands)
     ]
-    long = sig.select(F.col(id_col), "simhash", *band_cols).select(
+    long = sig.select(F.col(id_col), "sig_int", *band_cols).select(
         F.col(id_col),
-        "simhash",
+        "sig_int",
         F.expr(
             "stack({}, {}) as (band_idx, band_bits)".format(
                 bands, ", ".join(f"{b}, b{b}" for b in range(bands))
@@ -697,13 +705,7 @@ def simhash_hamming_pairs(
         ),
     )
     a, b = long.alias("a"), long.alias("b")
-    ham = sum(
-        (
-            F.substring(F.col("a.simhash"), i + 1, 1)
-            != F.substring(F.col("b.simhash"), i + 1, 1)
-        ).cast("int")
-        for i in range(bits)
-    )
+    ham = F.bit_count(F.col("a.sig_int").bitwiseXOR(F.col("b.sig_int")))
     return (
         a.join(
             b,
@@ -714,7 +716,7 @@ def simhash_hamming_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            ham.alias("hamming"),
+            ham.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

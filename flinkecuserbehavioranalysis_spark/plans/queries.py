@@ -4919,26 +4919,22 @@ def discount_revenue_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_pairs_oracle(bits: int = 16, bands: int = 4, max_hamming: int = 3) -> str:
     width = bits // bands
     base = _simhash_oracle(bits).strip()
-    ham = " + ".join(
-        f"CASE WHEN substring(a.simhash, {i + 1}, 1) <> substring(b.simhash, {i + 1}, 1) "
-        "THEN 1 ELSE 0 END"
-        for i in range(bits)
-    )
     bands_sql = ", ".join(
-        f"({b}, substring(simhash, {b * width + 1}, {width}))" for b in range(bands)
+        f"({b}, (si >> {b * width}) & {(1 << width) - 1})" for b in range(bands)
     )
     return f"""
-WITH __sig AS ({base}),
-__long AS (SELECT doc_id, simhash, bi.band_idx, bi.band_bits
+WITH __sigs AS ({base}),
+__sig AS (SELECT doc_id, CAST(simhash::BIT AS BIGINT) AS si FROM __sigs),
+__long AS (SELECT doc_id, si, bi.band_idx, bi.band_bits
            FROM __sig, LATERAL (VALUES {bands_sql}) AS bi(band_idx, band_bits)),
 __cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                  a.simhash AS sa, b.simhash AS sb
+                  a.si AS sa, b.si AS sb
            FROM __long a JOIN __long b
              ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
             AND a.doc_id < b.doc_id)
-SELECT doc_a, doc_b, CAST({ham.replace('a.simhash', 'sa').replace('b.simhash', 'sb')} AS INT) AS hamming
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
 FROM __cand
-WHERE {ham.replace('a.simhash', 'sa').replace('b.simhash', 'sb')} <= {max_hamming}
+WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
 
 
