@@ -27,6 +27,11 @@ def pagerank(
     nodes (every node has out-degree ≥ 1) and every node receives at
     least its reverse edge's contribution, so no outer-join patching.
 
+    An empty edge set yields an empty result (0/0 teleport never
+    evaluates — ranks derive from the node relation, which is empty).
+    Self-loops are kept (a node may contribute to itself), matching
+    the standard adjacency-matrix formulation.
+
     Deterministic in any engine: per-round sums go through
     DECIMAL(28,12) casts (summation-order independent) and each rank is
     rounded to 6 dp — the same engine-exactness recipe as the k-means

@@ -37,7 +37,13 @@ def frequent_pairs(
     total rides a broadcast scalar.  Skewed mega-baskets (a crawler
     "session" with 10⁵ items) should be capped upstream — cost is
     Σ|basket|², the A-priori literature's standard caveat."""
-    bi = baskets.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")).distinct()
+    # null items/baskets would silently vanish in the self-join (null
+    # never equals null) — drop them explicitly so the contract is visible
+    bi = (
+        baskets.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .filter(F.col("__b").isNotNull() & F.col("__i").isNotNull())
+        .distinct()
+    )
     n_baskets = bi.select(F.countDistinct("__b").alias("__n"))
     freq = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__f"))
     a, b = bi.alias("a"), bi.alias("b")

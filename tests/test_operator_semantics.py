@@ -346,3 +346,18 @@ def test_pattern_alternation_via_or_predicate(spark):
     # one match per qualifying first-step event (flink-cep noSkip):
     # user 4 starts a match from BOTH the view@10 and the click@12
     assert got == [(1, 10, 20), (2, 10, 15), (4, 10, 13), (4, 12, 13)]
+
+
+def test_frequent_pairs_and_pagerank_edge_cases(spark):
+    """Null rows are dropped visibly (not silently half-joined); an
+    empty edge set produces an empty rank relation, not a 0/0 error."""
+    from flinkecuserbehavioranalysis_spark.operators.graph import pagerank
+    from flinkecuserbehavioranalysis_spark.operators.itemsets import frequent_pairs
+
+    rows = [(1, 1), (1, None), (None, 2), (1, 2), (2, 1), (2, 2)]
+    df = spark.createDataFrame(rows, "b long, i long")
+    got = [tuple(r) for r in frequent_pairs(df, "b", "i", min_support=1).collect()]
+    assert got == [(1, 2, 2, 1.0)]  # null rows contribute nothing
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty).collect() == []
