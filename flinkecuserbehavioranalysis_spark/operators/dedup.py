@@ -758,3 +758,103 @@ def minhash_estimate_pairs(
         )
         .filter(F.col("jaccard_est") >= min_estimate)
     )
+
+
+def _band_keys(
+    docs: DataFrame, id_col: str, text_col: str, n: int, k: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_key) relation — the LSH probe side of a
+    signature index."""
+    rows = k // bands
+    sig = minhash_signatures(docs, id_col, text_col, n, k)
+    cols = [
+        F.md5(F.concat_ws("", *[F.col(f"h{b * rows + r}") for r in range(rows)])).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    stack_args = ", ".join(f"{b}, b{b}" for b in range(bands))
+    return sig.select(F.col(id_col), *cols).select(
+        F.col(id_col), F.expr(f"stack({bands}, {stack_args}) as (band_idx, band_key)")
+    )
+
+
+def incremental_dedup_flags(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental-ingest dedup — the production shape: a NEW batch is
+    checked against the EXISTING corpus without ever self-joining
+    either side.  Band keys of the new batch probe the base corpus's
+    band keys (a cross equi-join: new-batch-sized × bucket hit rate,
+    NOT corpus²); candidate pairs alone pay the exact Jaccard verify
+    (the df-capped inverted-index core restricted to candidate docs).
+
+    Returns one row per new doc: (id, n_candidates, best_jaccard —
+    max verified Jaccard against the base, NULL when no candidate
+    verifies, is_dup ∈ {0,1} at *threshold*).
+
+    At 100 TB the base band keys are a materialized index (write them
+    partitioned by band like ``save_ivf_index``); each daily batch
+    probes it and appends its own keys — cost scales with the batch,
+    never the corpus."""
+    nb = _band_keys(new_docs, id_col, text_col, n, k, bands)
+    bb = _band_keys(base_docs, id_col, text_col, n, k, bands)
+    cand = (
+        nb.alias("a")
+        .join(
+            bb.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("new_id"), F.col(f"b.{id_col}").alias("base_id")
+        )
+        .distinct()
+    )
+    # exact verify on candidates only: restrict both shingle relations
+    new_sh = shingles(new_docs, id_col, text_col, n).select(
+        F.col(id_col).alias("new_id"), "sh"
+    )
+    base_sh = shingles(base_docs, id_col, text_col, n).select(
+        F.col(id_col).alias("base_id"), "sh"
+    )
+    new_sz = new_sh.groupBy("new_id").agg(F.count(F.lit(1)).alias("sza"))
+    base_sz = base_sh.groupBy("base_id").agg(F.count(F.lit(1)).alias("szb"))
+    common = (
+        cand.join(new_sh, "new_id")
+        .join(base_sh, ["base_id", "sh"])
+        .groupBy("new_id", "base_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = (
+        common.join(new_sz, "new_id")
+        .join(base_sz, "base_id")
+        .withColumn(
+            "jaccard", F.col("common") / (F.col("sza") + F.col("szb") - F.col("common"))
+        )
+    )
+    per_new = cand.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    best = (
+        jac.filter(F.col("jaccard") >= threshold)
+        .groupBy("new_id")
+        .agg(F.max("jaccard").alias("best_jaccard"))
+    )
+    return (
+        new_docs.select(F.col(id_col))
+        .join(per_new.withColumnRenamed("new_id", id_col), id_col, "left")
+        .join(best.withColumnRenamed("new_id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias("n_candidates"),
+            F.col("best_jaccard"),
+            F.when(F.col("best_jaccard").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_dup"),
+        )
+    )

@@ -4978,3 +4978,53 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_estimate_pairs(
         load_table(spark, sf_dir, "documents"), k=_MINHASH_K, bands=_MINHASH_BANDS
     )
+
+
+def _incremental_dedup_oracle(threshold: float = 0.5, split: int = 9000) -> str:
+    bucket = _BUCKET_SQL.format(k="doc_id")
+    return _minhash_cte_prefix() + f"""
+, __bk AS (SELECT doc_id, {bucket} AS bk FROM documents),
+__xc AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS base_id
+         FROM __b a JOIN __bk ka ON ka.doc_id = a.doc_id AND ka.bk >= {split}
+         JOIN __b b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         JOIN __bk kb ON kb.doc_id = b.doc_id AND kb.bk < {split}),
+__xsz AS (SELECT doc_id, count(*) AS sz FROM __sh GROUP BY doc_id),
+__xcm AS (SELECT c.new_id, c.base_id, count(*) AS common
+          FROM __xc c JOIN __sh x ON x.doc_id = c.new_id
+          JOIN __sh y ON y.doc_id = c.base_id AND y.sh = x.sh
+          GROUP BY 1, 2),
+__xj AS (SELECT new_id, common * 1.0 / (xa.sz + yb.sz - common) AS j
+         FROM __xcm JOIN __xsz xa ON xa.doc_id = new_id
+         JOIN __xsz yb ON yb.doc_id = base_id),
+__xpn AS (SELECT new_id, count(*) AS n_candidates FROM __xc GROUP BY 1),
+__xbest AS (SELECT new_id, max(j) AS best_jaccard FROM __xj
+            WHERE j >= {threshold} GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(pn.n_candidates, 0) AS BIGINT) AS n_candidates,
+       b.best_jaccard,
+       CAST(CASE WHEN b.best_jaccard IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup
+FROM (SELECT doc_id FROM __bk WHERE bk >= {split}) d
+LEFT JOIN __xpn pn ON pn.new_id = d.doc_id
+LEFT JOIN __xbest b ON b.new_id = d.doc_id
+"""
+
+
+@_q(
+    "dedup_incremental_flags",
+    _incremental_dedup_oracle(),
+    "Extension (incremental-ingest dedup, the production shape): a 10% hash-split 'new "
+    "batch' probes the other 90%'s MinHash band keys — a CROSS equi-join (batch x bucket "
+    "hit rate, never corpus^2) — and only candidates pay the exact Jaccard verify; per "
+    "new doc: candidate count, best verified Jaccard vs the base, is_dup at 0.5.  At "
+    "scale the base band keys are a materialized index each daily batch probes and "
+    "appends to.",
+)
+def dedup_incremental_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_dedup_flags
+    from ..operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    return incremental_dedup_flags(
+        docs.filter(b >= 9000), docs.filter(b < 9000),
+        k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5,
+    )

@@ -1535,3 +1535,29 @@ def test_simhash_hamming_pairs_pigeonhole_recall(spark):
             if d <= mh:
                 expect[(a, b)] = d
     assert got == expect
+
+
+def test_incremental_dedup_flags_planted_cross_dup(spark):
+    """A new-batch doc that duplicates a base doc is flagged with
+    jaccard 1.0; a novel doc passes with zero candidates; base docs
+    never appear in the output."""
+    from flinkecuserbehavioranalysis_spark.operators.dedup import (
+        incremental_dedup_flags,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+         (101, "totally novel words nothing shared here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in incremental_dedup_flags(new, base).collect()}
+    assert set(out) == {100, 101}
+    assert out[100].is_dup == 1 and out[100].best_jaccard == 1.0
+    assert out[100].n_candidates >= 1
+    assert out[101].is_dup == 0 and out[101].best_jaccard is None
+    assert out[101].n_candidates == 0
