@@ -5028,3 +5028,31 @@ def dedup_incremental_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(b >= 9000), docs.filter(b < 9000),
         k=_MINHASH_K, bands=_MINHASH_BANDS, threshold=0.5,
     )
+
+
+@_q(
+    "text_ann_topk",
+    f"""
+WITH __e AS ({_HASHED_VEC_SOURCE}),
+__q AS (SELECT vec_id AS q_id, v AS qv FROM __e WHERE vec_id < 5),
+__s AS (SELECT q_id, e.vec_id AS neighbor_id,
+               {_COS_SQL.format(a='qv', b='e.v')} AS cos
+        FROM __e e, __q WHERE e.vec_id <> q_id),
+__r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM __s)
+SELECT q_id, neighbor_id, cos, rnk FROM __r WHERE rnk <= 10
+""",
+    "Extension (cross-modal composition): top-10 most-similar DOCUMENTS per query doc "
+    "with NO embedding table — the vocabulary-free hashing-trick vectorizer feeds the "
+    "exact cosine search directly from raw text (swap in IVF/LSH at corpus scale); the "
+    "oracle replays vectorize + search end-to-end.",
+)
+def text_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk
+    from ..operators.text import hashed_vectorize
+
+    hv = (
+        hashed_vectorize(load_table(spark, sf_dir, "documents"), dim=16)
+        .select(F.col("doc_id").alias("vec_id"), F.col("vec").alias("embedding"))
+    )
+    return brute_force_topk(hv, hv.filter(F.col("vec_id") < 5), k=10)
