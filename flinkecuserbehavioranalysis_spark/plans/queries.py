@@ -5056,3 +5056,31 @@ def text_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("vec_id"), F.col("vec").alias("embedding"))
     )
     return brute_force_topk(hv, hv.filter(F.col("vec_id") < 5), k=10)
+
+
+@_q(
+    "shipping_delay_histogram",
+    """
+SELECT CAST((floor(epoch(l_shipdate)) - floor(epoch(o_orderdate))) // 86400 AS BIGINT)
+         AS delay_days,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+""",
+    "Extension (ops metric): order-to-ship latency distribution in whole days — one "
+    "fact-fact equi-join (bucketable at scale) + a delay-bounded group count; the "
+    "fulfillment-SLA histogram.",
+)
+def shipping_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, o = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    # FLOOR division (matches SQL //) — cast-truncation would differ on
+    # negative deltas if dates ever carried time-of-day parts
+    delay = F.floor(
+        (F.col("l_shipdate").cast("long") - F.col("o_orderdate").cast("long"))
+        / F.lit(86400)
+    ).cast("long")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(delay.alias("delay_days"))
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
