@@ -1258,3 +1258,38 @@ def test_streaming_type_transitions_matches_batch(spark):
         for r in QUERIES["event_type_transitions"].fn(spark, SF_DIR).collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_streaming_incremental_dedup_against_static_base(spark):
+    """Incremental ingest as a STREAM: each micro-batch of new docs
+    probes the static base corpus via foreachBatch; accumulated flags
+    equal the batch incremental_dedup_flags on the same split."""
+    from flinkecuserbehavioranalysis_spark.io import load_table
+    from flinkecuserbehavioranalysis_spark.operators.dedup import (
+        incremental_dedup_flags,
+    )
+    from flinkecuserbehavioranalysis_spark.operators.sampling import hash_bucket
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import read_events_stream
+
+    docs = load_table(spark, SF_DIR, "documents")
+    b = hash_bucket("doc_id")
+    base = docs.filter(b < 9000).cache()
+    expect = {
+        r.doc_id: (r.n_candidates, r.best_jaccard, r.is_dup)
+        for r in incremental_dedup_flags(docs.filter(b >= 9000), base).collect()
+    }
+
+    new_stream = read_events_stream(spark, SF_DIR, "documents").filter(
+        hash_bucket("doc_id") >= 9000
+    )
+    sink: list = []
+
+    def probe(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        sink.extend(incremental_dedup_flags(batch_df, base).collect())
+
+    q = new_stream.writeStream.foreachBatch(probe).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    got = {r.doc_id: (r.n_candidates, r.best_jaccard, r.is_dup) for r in sink}
+    assert got == expect and len(got) > 0
