@@ -5084,3 +5084,46 @@ def shipping_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(delay.alias("delay_days"))
         .agg(F.count(F.lit(1)).alias("n_items"))
     )
+
+
+@_q(
+    "vocab_growth_curve",
+    f"""
+WITH __w AS (SELECT {_BUCKET_SQL.format(k='doc_id')} // 1000 AS decile,
+                    string_split(text, ' ') AS ws FROM documents),
+__t AS (SELECT decile,
+               unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS tok
+        FROM __w),
+__f AS (SELECT tok, CAST(min(decile) AS BIGINT) AS first_decile FROM __t GROUP BY tok),
+__h AS (SELECT first_decile, count(*) AS new_tokens FROM __f GROUP BY 1)
+SELECT first_decile AS decile, new_tokens,
+       CAST(sum(new_tokens) OVER (ORDER BY first_decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+FROM __h
+""",
+    "Extension (corpus statistics, Heaps' law): BIGRAM-vocabulary growth as the corpus "
+    "grows — docs split into 10 deterministic hash deciles; each bigram's FIRST decile turns "
+    "cumulative-distinct (normally quadratic to compute) into one token-keyed min + a "
+    "10-row cumulative sum.  Sub-linear new_tokens per decile is the Heaps-law "
+    "signature a crawl-health dashboard watches.",
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import _shingle_expr
+
+    toks = docs.select(
+        (hash_bucket("doc_id") / F.lit(1000)).cast("long").alias("decile"),
+        F.explode(F.expr(_shingle_expr("text", 2))).alias("tok"),
+    )
+    first = toks.groupBy("tok").agg(F.min("decile").alias("first_decile"))
+    hist = first.groupBy("first_decile").agg(F.count(F.lit(1)).alias("new_tokens"))
+    w = Window.orderBy("first_decile").rowsBetween(Window.unboundedPreceding, 0)
+    return hist.select(
+        F.col("first_decile").alias("decile"),
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("long").alias("vocab_size"),
+    )
