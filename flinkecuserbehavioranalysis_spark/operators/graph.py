@@ -74,3 +74,56 @@ def pagerank(
             )
         )
     return ranks.select(F.col("s").alias("id"), "pr")
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Triangle count + global clustering coefficient of an undirected
+    graph — the standard edge-orientation algorithm: with every edge
+    stored (lo, hi), a triangle a<b<c is found exactly once by joining
+    (a,b)⋈(b,c) on the middle vertex and probing (a,c) against the
+    edge set.  Wedges (open two-paths) come from degrees:
+    Σ deg·(deg−1)/2; clustering = 3·triangles / wedges.
+
+    Returns one row: (n_edges, n_triangles, n_wedges,
+    global_clustering — NULL for wedge-free graphs).
+
+    Scale shape: two edge-keyed hash joins (the second a semi-probe) —
+    the join keys are vertex ids, so the classic high-degree-hub skew
+    applies; production systems cap or split hub vertices, noted here
+    as the knob (near-dup graphs are flat by construction)."""
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("lo"),
+        F.greatest(F.col(src), F.col(dst)).alias("hi"),
+    ).filter(F.col("lo") != F.col("hi")).distinct()
+    deg = (
+        e.select(F.col("lo").alias("v"))
+        .union(e.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    ab, bc = e.alias("ab"), e.alias("bc")
+    paths = ab.join(bc, F.col("ab.hi") == F.col("bc.lo")).select(
+        F.col("ab.lo").alias("a"), F.col("ab.hi").alias("b"), F.col("bc.hi").alias("c")
+    )
+    tri = paths.join(
+        e.select(F.col("lo").alias("a"), F.col("hi").alias("c")), ["a", "c"]
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_edges.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedges))
+        .select(
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
+            ).alias("global_clustering"),
+        )
+    )

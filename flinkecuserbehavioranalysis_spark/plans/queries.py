@@ -5127,3 +5127,32 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_tokens",
         F.sum("new_tokens").over(w).cast("long").alias("vocab_size"),
     )
+
+
+@_q(
+    "dedup_graph_triangles",
+    f"""
+WITH __p AS ({_lsh_verified_oracle(0.5)}),
+__e AS (SELECT DISTINCT least(doc_a, doc_b) AS lo, greatest(doc_a, doc_b) AS hi
+        FROM __p WHERE doc_a <> doc_b),
+__d AS (SELECT v, count(*) AS d FROM (
+          SELECT lo AS v FROM __e UNION ALL SELECT hi FROM __e) GROUP BY v),
+__w AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM __d),
+__t AS (SELECT count(*) AS n_triangles
+        FROM __e ab JOIN __e bc ON ab.hi = bc.lo
+        JOIN __e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+__n AS (SELECT count(*) AS n_edges FROM __e)
+SELECT n_edges, n_triangles, n_wedges,
+       CASE WHEN n_wedges > 0 THEN round(3.0 * n_triangles / n_wedges, 6) END
+         AS global_clustering
+FROM __n CROSS JOIN __t CROSS JOIN __w
+""",
+    "Extension (graph diagnostics): triangle count + global clustering coefficient of "
+    "the near-dup graph via edge orientation (each triangle found once as a<b<c) — high "
+    "clustering is the mirror-site signature, low clustering suggests chained false "
+    "positives.  Reuses the session-shared pair set.",
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_stats
+
+    return triangle_stats(_doc_lsh_pairs(spark, sf_dir), "doc_a", "doc_b")

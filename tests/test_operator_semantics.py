@@ -361,3 +361,23 @@ def test_frequent_pairs_and_pagerank_edge_cases(spark):
 
     empty = spark.createDataFrame([], "src string, dst string")
     assert pagerank(empty).collect() == []
+
+
+def test_triangle_stats_known_graph(spark):
+    """K4 minus one edge: 5 edges, 2 triangles, wedges from degrees
+    (two deg-3 + two deg-2 -> 3+3+1+1 = 8), clustering 3*2/8."""
+    from flinkecuserbehavioranalysis_spark.operators.graph import triangle_stats
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("b", "d")],
+        "src string, dst string",
+    )
+    r = triangle_stats(e).collect()[0]
+    assert (r.n_edges, r.n_triangles, r.n_wedges) == (5, 2, 8)
+    assert r.global_clustering == 0.75
+    # edge-free graph: empty aggregates survive, clustering NULL
+    r0 = triangle_stats(
+        spark.createDataFrame([], "src string, dst string")
+    ).collect()[0]
+    assert (r0.n_edges, r0.n_triangles) == (0, 0)
+    assert r0.global_clustering is None
