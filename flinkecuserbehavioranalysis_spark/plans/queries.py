@@ -5156,3 +5156,50 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import triangle_stats
 
     return triangle_stats(_doc_lsh_pairs(spark, sf_dir), "doc_a", "doc_b")
+
+
+def _emb_outlier_oracle(n_cells: int, train_iters: int, tau: float) -> str:
+    cos = _COS_SQL
+    prefix, cur = _kmeans_train_ctes(n_cells, train_iters, None)
+    return (
+        prefix
+        + f"""__oasg AS (SELECT e.vec_id, s.seed_id, {cos.format(a='e.v', b='s.sv')} AS c,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos.format(a='e.v', b='s.sv')} DESC, s.seed_id) AS r
+           FROM __e e CROSS JOIN {cur} s)
+SELECT vec_id, seed_id AS cluster_id, c AS centroid_cos,
+       CAST(CASE WHEN c < {tau} THEN 1 ELSE 0 END AS INT) AS is_outlier
+FROM __oasg WHERE r = 1
+"""
+    )
+
+
+@_q(
+    "embedding_outlier_flags",
+    _emb_outlier_oracle(8, 2, 0.2),
+    "Extension (embedding-space data cleaning): vectors whose cosine to their OWN "
+    "k-means centroid falls below 0.2 are flagged as outliers (mislabeled / corrupt / "
+    "off-distribution samples a curation pass drops) — shares the engine-bit-identical "
+    "Lloyd loop; map-only assignment, per-vector flag.",
+)
+def embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _best_cell_scored, _pack, dot, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = kmeans_fit(emb, n_cells=8, train_iters=2)
+    v = emb.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v_vec")
+    ).withColumn("v_norm", F.sqrt(dot(F.col("v_vec"), F.col("v_vec"))))
+    best = _best_cell_scored("v_vec", "v_norm")
+    return (
+        v.crossJoin(F.broadcast(_pack(seeds)))
+        .select(F.col("vec_id"), best.alias("__b"))
+        .select(
+            "vec_id",
+            F.col("__b.id").alias("cluster_id"),
+            F.col("__b.c").alias("centroid_cos"),
+            F.when(F.col("__b.c") < 0.2, F.lit(1)).otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_outlier"),
+        )
+    )
