@@ -418,11 +418,11 @@ def build_vocab(
       pre-count can make it worse.
     - ``max_size > single_stage_cap`` — a 10M-term limit would turn
       both the top-K heap and the id window into one fat partition, so
-      the ranking AUTO-SHARDS: range-partition the counts on
-      (cnt desc, token asc) into *shards* sorted shards (persisted once
-      so the two passes below see identical partitioning), rank within
-      each shard, then offset by the shard-count prefix sums (a
-      *shards*-row driver aggregate).  Range partitioning totally
+      the ranking AUTO-SHARDS via ``operators.ranking.global_rank``:
+      range-partition the counts on (cnt desc, token asc) into *shards*
+      sorted shards (persisted once so both passes see identical
+      partitioning), rank within each shard, then offset by the
+      shard-count prefix sums (a *shards*-row driver aggregate).  Range partitioning totally
       orders the shards, so offset + local rank IS the global rank —
       the classic distributed global-rank, no single-partition stage
       anywhere.  Eager to the extent of the shards-row offsets collect.
@@ -447,29 +447,11 @@ def build_vocab(
         w = Window.orderBy(*order)
         return counts.withColumn("vocab_id", F.row_number().over(w).cast("long"))
 
-    part = (
-        base.repartitionByRange(shards, *order)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
-    offs = {
-        r["__pid"]: r["n"]
-        for r in part.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    cum, running = {}, 0
-    for pid in sorted(offs):
-        cum[pid] = running
-        running += offs[pid]
-    off_df = part.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in cum.items()], "__pid int, __off long"
-    )
-    w_in = Window.partitionBy("__pid").orderBy(*order)
-    return (
-        part.withColumn("__r", F.row_number().over(w_in))
-        .join(F.broadcast(off_df), "__pid")
-        .withColumn("vocab_id", (F.col("__off") + F.col("__r")).cast("long"))
-        .filter(F.col("vocab_id") <= max_size)
-        .select("token", "cnt", "vocab_id")
+    from .ranking import global_rank
+
+    ranked, _total = global_rank(base, order, rank_col="vocab_id", shards=shards)
+    return ranked.filter(F.col("vocab_id") <= max_size).select(
+        "token", "cnt", "vocab_id"
     )
 
 

@@ -5203,3 +5203,234 @@ def embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_outlier"),
         )
     )
+
+
+# =====================================================================
+# Round-4 session 2 — ranking, grouping-sets, native sessions, drift,
+# corpus mixing
+# =====================================================================
+
+
+@_q(
+    "customer_value_deciles",
+    """
+WITH __r AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+             FROM orders GROUP BY 1),
+__n AS (SELECT o_custkey, rev,
+               ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile FROM __r)
+SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_customers,
+       CAST(min(rev) AS DOUBLE) AS min_revenue,
+       CAST(max(rev) AS DOUBLE) AS max_revenue,
+       CAST(sum(rev) AS DOUBLE) AS decile_revenue
+FROM __n GROUP BY 1
+""",
+    "Extension (distributed ranking): customers bucketed into revenue deciles with EXACT "
+    "NTILE(10) semantics but NO single-partition window — range-partitioned shard-local "
+    "row_number + prefix-sum offsets (operators/ranking.py), the same machinery as "
+    "build_vocab's auto-shard.  The oracle runs the real single-partition ntile; matching "
+    "it proves the distributed closed form is bit-identical, ties included.",
+)
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    d = global_ntile(
+        rev,
+        [F.col("rev").desc(), F.col("o_custkey").asc()],
+        10,
+        bucket_col="decile",
+        shards=32,
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("rev").cast("double").alias("min_revenue"),
+        F.max("rev").cast("double").alias("max_revenue"),
+        F.sum("rev").cast("double").alias("decile_revenue"),
+    )
+
+
+@_q(
+    "revenue_grouping_sets",
+    f"""
+WITH __pre AS (SELECT l_returnflag, l_linestatus, SUM({_REVENUE_SQL}) AS r,
+                      count(*) AS n
+               FROM lineitem GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus, CAST(sum(r) AS DOUBLE) AS revenue,
+       CAST(sum(n) AS BIGINT) AS n_lines,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM __pre GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+    "Extension (§2.8 multi-level aggregation #3): explicit GROUPING SETS — detail, "
+    "per-returnflag subtotal and grand total ONLY (no per-linestatus level, which is what "
+    "distinguishes it from CUBE) via DataFrame.groupingSets + grouping_id; "
+    "pre-aggregated to the 6 (flag, status) base groups before the 3-way Expand so the "
+    "multi-level pass costs base-groups x levels, never rows x levels.",
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pre = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_revenue()).alias("r"), F.count(F.lit(1)).alias("n")
+    )
+    g = pre.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.sum("r").cast("double").alias("revenue"),
+        F.sum("n").cast("long").alias("n_lines"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+    return g.select("l_returnflag", "l_linestatus", "revenue", "n_lines", "gid")
+
+
+@_q(
+    "events_native_sessions",
+    """
+WITH __f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS is_start
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+__g AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM __f)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end,
+       count(*) AS n_events
+FROM __g GROUP BY user_id, sid
+""",
+    "Extension (W8, native session windows): F.session_window(ts, '30 minutes') — "
+    "Spark's built-in MergingSessions aggregation (merge while inter-event gap <= gap, "
+    "probed empirically: a gap of exactly 1800 s still merges; window end = last event "
+    "+ gap).  The oracle is the equivalent gaps-and-islands SQL, so the query "
+    "cross-checks the native operator against the lag/sum formulation used by "
+    "sessionize_users.  Same streaming story as tumbling windows: session_window works "
+    "under readStream + watermark unchanged.",
+)
+def events_native_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return s.select(
+        "user_id",
+        F.col("session_window.start").cast("long").alias("session_start"),
+        F.col("session_window.end").cast("long").alias("session_end"),
+        "n_events",
+    )
+
+
+@_q(
+    "token_drift_chisq",
+    f"""
+WITH __t AS (
+  SELECT {_BUCKET_SQL.format(k="doc_id")} < 5000 AS in_a,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+__c AS (SELECT token,
+               CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        FROM __t GROUP BY token),
+__tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM __c),
+__s AS (SELECT token, n_a, n_b,
+               round(((n_a / ta - n_b / tb) * (n_a / ta - n_b / tb))
+                     / (n_a / ta + n_b / tb), 9) AS drift
+        FROM __c CROSS JOIN __tot)
+SELECT token, n_a, n_b, drift FROM __s
+ORDER BY drift DESC, token LIMIT 20
+""",
+    "Extension (corpus drift detection): chi-square-style per-token distribution drift "
+    "between two deterministic md5 halves of the corpus — the monitor that catches a "
+    "crawler or dedup change shifting the token mix.  (pA-pB)^2/(pA+pB) is "
+    "division/multiply only (exactly-rounded IEEE on both engines — the repo's no-log "
+    "rule for cross-engine float exactness), one token-keyed shuffle plus a broadcast "
+    "1-row totals join, TakeOrderedAndProject top-20.",
+)
+def token_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (hash_bucket("doc_id") < 5000).alias("in_a"),
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).alias(
+            "token"
+        ),
+    )
+    cnt = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("n_b"),
+    )
+    tot = cnt.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    pa = F.col("n_a") / F.col("ta")
+    pb = F.col("n_b") / F.col("tb")
+    drift = F.round((pa - pb) * (pa - pb) / (pa + pb), 9).alias("drift")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select("token", "n_a", "n_b", drift)
+        .orderBy(F.col("drift").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@_q(
+    "corpus_mix_rebalance",
+    f"""
+WITH __c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+__k AS (SELECT count(*) AS k, sum(n_docs) AS total FROM __c),
+__r AS (SELECT lang, n_docs,
+               least(10000, (total * 10000) // (k * n_docs)) AS thr_bp,
+               (total + k * n_docs - 1) // (k * n_docs) AS repeats
+        FROM __c CROSS JOIN __k),
+__kept AS (SELECT d.lang, count(*) AS n_kept
+           FROM documents d JOIN __r r ON d.lang = r.lang
+           WHERE {_BUCKET_SQL.format(k="d.doc_id")} < r.thr_bp
+           GROUP BY d.lang)
+SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs,
+       CAST(r.thr_bp AS BIGINT) AS thr_bp,
+       CAST(coalesce(kk.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(r.repeats AS BIGINT) AS repeats
+FROM __r r LEFT JOIN __kept kk ON kk.lang = r.lang
+""",
+    "Extension (training-mix rebalancing, Dolma/Pile-style): resample a skewed corpus "
+    "toward UNIFORM per-language shares — overrepresented strata get a deterministic "
+    "md5-bucket downsample threshold (integer basis points: thr = total*1e4 DIV "
+    "(k*n_s), exact on both engines, no float boundary), underrepresented ones an "
+    "upsample repeat factor (ceil via integer arithmetic).  One stratum-count shuffle + "
+    "a broadcast threshold join + one filtered recount; the kept-set itself is the same "
+    "filter applied to the corpus, composable into corpus_prepare_stats.",
+)
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    k = c.agg(F.count(F.lit(1)).alias("k"), F.sum("n_docs").alias("total"))
+    r = c.crossJoin(F.broadcast(k)).select(
+        "lang",
+        "n_docs",
+        F.least(
+            F.lit(10000), F.expr("(total * 10000) DIV (k * n_docs)")
+        ).alias("thr_bp"),
+        F.expr("(total + k * n_docs - 1) DIV (k * n_docs)").alias("repeats"),
+    )
+    kept = (
+        docs.select("lang", hash_bucket("doc_id").alias("__b"))
+        .join(F.broadcast(r.select("lang", "thr_bp")), "lang")
+        .filter(F.col("__b") < F.col("thr_bp"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        r.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("thr_bp").cast("long").alias("thr_bp"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.col("repeats").cast("long").alias("repeats"),
+        )
+    )
