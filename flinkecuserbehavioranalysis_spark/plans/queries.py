@@ -5434,3 +5434,42 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("repeats").cast("long").alias("repeats"),
         )
     )
+
+
+@_q(
+    "local_supplier_revenue",
+    f"""
+SELECT n_name, CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    "Extension (TPC-H Q5 proper): revenue from LOCAL supply chains — the supplier join "
+    "carries the cross-dimension residual s_nationkey = c_nationkey (the element "
+    "region_revenue omits), so the optimizer must thread two independent dimension "
+    "paths into one fact scan; supplier/nation broadcast, one join-side shuffle on the "
+    "order key, pre-aggregated map-side.",
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, o, c, s, n = (
+        load_table(spark, sf_dir, t)
+        for t in ("lineitem", "orders", "customer", "supplier", "nation")
+    )
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(_revenue()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
