@@ -123,3 +123,35 @@ def heavy_hitters(
         .filter(F.col("freq") >= F.ceil(F.lit(phi) * F.col("__n")))
         .select(key_col, "freq")
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: a hot key on the big side would pin one
+    reducer in a plain shuffle join, so each big-side row picks one of
+    *salt* sub-keys (deterministic hash of the whole row — rows of the
+    same hot key spread across *salt* reducers) while the small side is
+    REPLICATED once per sub-key via a broadcast-seed explode.  Join on
+    (key, salt) then drop the salt: same rows as the plain join, hot
+    keys now bounded by |hot| / salt per task.
+
+    Complements AQE's skew-split (which handles sort-merge skew at
+    runtime): salting also covers the cases AQE can't re-plan, e.g. a
+    downstream keyed aggregation that must consume the join's
+    partitioning.  For a genuinely broadcast-able small side prefer
+    ``F.broadcast`` — salting only pays when BOTH sides shuffle."""
+    big_salted = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+    )
+    small_rep = small.crossJoin(
+        F.broadcast(
+            small.sparkSession.range(salt).select(F.col("id").cast("long").alias("__salt"))
+        )
+    )
+    out = big_salted.join(small_rep, [on, "__salt"], how)
+    return out.drop("__salt")

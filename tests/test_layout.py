@@ -75,3 +75,41 @@ def test_compact_small_files_preserves_rows_and_bounds_files(spark, docs, tmp_pa
     back = spark.read.parquet(dst)
     assert back.count() == docs.count()
     assert files_touched(back, F.lit(True)) <= 4
+
+
+def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path):
+    from flinkecuserbehavioranalysis_spark.operators.layout import zorder_write
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    linear, zpath = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    clustered_write(ev, linear, ["user_id"], n_files=16)
+    zorder_write(ev, zpath, "user_id", "value", n_files=16)
+
+    lin, zo = spark.read.parquet(linear), spark.read.parquet(zpath)
+    assert zo.count() == ev.count()
+    n_lin, n_zo = files_touched(lin, F.lit(True)), files_touched(zo, F.lit(True))
+
+    lo_u, hi_u = 100, 120
+    lo_v = ev.approxQuantile("value", [0.45], 0.01)[0]
+    hi_v = ev.approxQuantile("value", [0.55], 0.01)[0]
+    u_pred = (F.col("user_id") >= lo_u) & (F.col("user_id") <= hi_u)
+    v_pred = (F.col("value") >= lo_v) & (F.col("value") <= hi_v)
+
+    # linear layout: user filter prunes, value filter reads ~everything
+    assert files_touched(lin, u_pred) < n_lin
+    assert files_touched(lin, v_pred) >= n_lin - 1
+    # z-order: BOTH filters skip files
+    assert files_touched(zo, u_pred) < n_zo
+    assert files_touched(zo, v_pred) < n_zo
+    # and the filtered rows are identical to the source
+    assert zo.filter(v_pred).count() == ev.filter(v_pred).count()
+    assert zo.filter(u_pred).count() == ev.filter(u_pred).count()
+
+
+def test_zorder_write_empty_input(spark, tmp_path):
+    from flinkecuserbehavioranalysis_spark.operators.layout import zorder_write
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "value").filter(F.lit(False))
+    path = str(tmp_path / "zempty")
+    zorder_write(ev, path, "user_id", "value")
+    assert spark.read.parquet(path).count() == 0

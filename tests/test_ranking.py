@@ -67,3 +67,26 @@ def test_ntile_more_buckets_than_rows_degenerates_to_rank(spark):
         df, [F.col("v").asc(), F.col("id").asc()], 10, bucket_col="b", shards=4
     )
     assert {(r.v, r.b) for r in out.collect()} == {(10, 1), (20, 2), (30, 3)}
+
+
+def test_salted_join_matches_plain_join(spark):
+    """operators/skew.py salted_join — same multiset of rows as the
+    plain join under a pathologically hot key, all join types."""
+    from flinkecuserbehavioranalysis_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(k, k * 10) for k in range(2, 40)],
+        "k long, payload long",
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b"), (99, "never")], "k long, tag string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r.k, r.payload, r.tag)
+            for r in salted_join(big, small, "k", salt=4, how=how).collect()
+        )
+        want = sorted(
+            (r.k, r.payload, r.tag) for r in big.join(small, "k", how).collect()
+        )
+        assert got == want, how
