@@ -261,3 +261,48 @@ def test_join_strategy_hints_are_honored(spark):
         with contextlib.redirect_stdout(buf):
             j.explain("formatted")
         assert node in buf.getvalue(), (hint, node)
+
+
+def test_decile_ranking_has_no_single_partition_window(spark):
+    """customer_value_deciles' NTILE must come from the distributed
+    global-rank machinery: every window stage in the plan is keyed by
+    the shard id (partition-local), never an unpartitioned Window."""
+    plan = _explain(spark, "customer_value_deciles")
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start() : m.start() + 300]
+        assert "__pid" in seg, seg  # partition-local rank only
+
+
+def test_local_supplier_revenue_broadcasts_both_dims(spark):
+    plan = _explain(spark, "local_supplier_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # supplier & nation
+
+
+def test_grouping_sets_expand_after_preaggregation(spark):
+    """The 3-way Expand must sit ABOVE the base-group aggregation (cost
+    = base groups x levels), not directly on the lineitem scan."""
+    plan = _explain(spark, "revenue_grouping_sets")
+    assert "Expand" in plan
+    scan_pos = plan.find("Scan parquet")
+    expand_pos = plan.find("Expand")
+    agg_before_expand = plan.count("HashAggregate", 0, expand_pos) >= 1
+    assert agg_before_expand and scan_pos != -1
+    # and the pre-aggregation reads only the 4 needed columns
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert rs and "l_partkey" not in rs[0] and "l_shipdate" not in rs[0]
+
+
+def test_native_sessions_single_shuffle(spark):
+    """session_window aggregation = one exchange on user_id, then the
+    merging-sessions aggregate; no extra sort-based repartition."""
+    plan = _explain(spark, "events_native_sessions")
+    assert "hashpartitioning(user_id" in plan
+    assert plan.count("Exchange") <= 2  # agg exchange (+AQE reuse at most)
+
+
+def test_token_drift_broadcasts_totals_and_takes_ordered(spark):
+    plan = _explain(spark, "token_drift_chisq")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
