@@ -5555,3 +5555,40 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("long").alias("sum_k"),
         F.countDistinct(k).cast("long").alias("n_distinct_k"),
     )
+
+
+@_q(
+    "customer_top_orders_lateral",
+    """
+WITH __r AS (
+  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders)
+SELECT c_custkey, o_orderkey, price
+FROM customer JOIN __r ON o_custkey = c_custkey
+WHERE rnk <= 2
+""",
+    "Extension (correlated LATERAL subquery surface): each customer's top-2 orders "
+    "written as `FROM customer, LATERAL (... WHERE o_custkey = c_custkey ORDER BY ... "
+    "LIMIT 2)` — Catalyst DECORRELATES the per-row subquery into a window + key "
+    "equi-join, so the nested loop a naive reading implies never exists "
+    "(plan-tested: no BroadcastNestedLoopJoin/CartesianProduct).  Honest plan caveat, "
+    "also pinned by test: this decorrelation does NOT get the WindowGroupLimit "
+    "top-k-per-group fast path (it keeps one extra global-ordering exchange); the "
+    "direct window formulation — row_number over (partition by key) + rank filter, as "
+    "used by topn_per_window — compiles to partial+final WindowGroupLimit around a "
+    "single exchange and is what a hot path should use.  The surface is supported and "
+    "verified; the formulation choice is a measured plan tradeoff.",
+)
+def customer_top_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("__lat_cust")
+    return spark.sql(
+        """
+SELECT c_custkey, t.o_orderkey, t.price FROM __lat_cust,
+LATERAL (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+         FROM __lat_orders o WHERE o.o_custkey = __lat_cust.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+    )

@@ -306,3 +306,32 @@ def test_token_drift_broadcasts_totals_and_takes_ordered(spark):
     plan = _explain(spark, "token_drift_chisq")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lateral_limit_decorrelates_without_nested_loop(spark):
+    """customer_top_orders_lateral: the correlated LATERAL ... LIMIT 2
+    must decorrelate into a window + key equi-join — never a
+    per-customer nested loop.  It does NOT get the WindowGroupLimit
+    fast path (pinned below so a Spark upgrade that fixes this is
+    noticed); the direct window formulation does."""
+    plan = _explain(spark, "customer_top_orders_lateral")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" not in plan  # decorrelation misses the fast path
+
+    # the formulation hot paths should use: rank filter over an ordered
+    # partition window compiles to partial+final WindowGroupLimit
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flinkecuserbehavioranalysis_spark.io import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    df = o.withColumn("rn", F.row_number().over(w)).filter("rn <= 2")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert buf.getvalue().count("WindowGroupLimit") >= 2  # partial + final
