@@ -5592,3 +5592,56 @@ LATERAL (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
 """
     )
+
+
+@_q(
+    "daily_revenue_ewma",
+    """
+WITH __d AS (
+  SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+__p AS (
+  SELECT d.day, d.cents,
+         CAST(sum(j.cents * (CAST(1 AS BIGINT) << CAST(13 - (d.day - j.day) AS INT)))
+           AS BIGINT) AS scaled,
+         count(*) AS n_days
+  FROM __d d JOIN __d j ON d.day - j.day BETWEEN 0 AND 13
+  GROUP BY d.day, d.cents)
+SELECT day, CAST(cents AS DOUBLE) / 100 AS revenue,
+       CAST(scaled AS DOUBLE) / 819200 AS ewma_num, n_days
+FROM __p
+""",
+    "Extension (time-series smoothing, float-determinism pattern): 14-day "
+    "exponentially-weighted daily revenue with alpha = 1/2 — weights 2^-k are EXACT "
+    "binary, so the whole smoothing runs in INTEGER cents scaled by 1 << (13-k); "
+    "engines sum bit-identical BIGINTs in any order and the single final "
+    "double-division is exactly rounded, sidestepping float-summation order entirely "
+    "(the repo's no-log rule applied to decay weights).  Scale shape: the fact scan "
+    "collapses to a day-count-sized relation first; the 14-wide band join is "
+    "dimension-sized, never touching the fact again.",
+)
+def daily_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        (F.col("o_orderdate").cast("long") / F.lit(86400)).cast("long").alias("day")
+    ).agg(
+        (F.sum(_dec("o_totalprice")) * 100).cast("long").alias("cents")
+    )
+    jj = d.select(F.col("day").alias("jday"), F.col("cents").alias("jcents"))
+    gap = F.col("day") - F.col("jday")
+    pairs = d.join(jj, (gap >= 0) & (gap <= 13))
+    weight = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(13 - (day - jday) AS INT))")
+    return (
+        pairs.groupBy("day", "cents")
+        .agg(
+            F.sum(F.col("jcents") * weight).cast("long").alias("scaled"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select(
+            "day",
+            (F.col("cents").cast("double") / 100).alias("revenue"),
+            (F.col("scaled").cast("double") / 819200).alias("ewma_num"),
+            "n_days",
+        )
+    )
