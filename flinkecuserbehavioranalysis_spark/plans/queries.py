@@ -5645,3 +5645,172 @@ def daily_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
         )
     )
+
+
+@_q(
+    "conversion_latency_percentiles",
+    """
+WITH __b AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts FROM events),
+__v AS (SELECT user_id, day, min(ts) AS t0 FROM __b
+        WHERE event_type = 'view' GROUP BY 1, 2),
+__p AS (SELECT b.user_id, b.day, min(epoch_us(b.ts) - epoch_us(v.t0)) AS delay_us
+        FROM __b b JOIN __v v USING (user_id, day)
+        WHERE b.event_type = 'purchase' AND b.ts > v.t0 GROUP BY 1, 2)
+SELECT day, count(*) AS n_conversions,
+       round(quantile_cont(CAST(delay_us AS DOUBLE) / 1000000, 0.5), 6) AS p50_s,
+       round(quantile_cont(CAST(delay_us AS DOUBLE) / 1000000, 0.9), 6) AS p90_s
+FROM __p GROUP BY day
+""",
+    "Extension (product analytics): per-day view→purchase conversion LATENCY "
+    "percentiles — first view anchors each (user, day), the earliest later purchase "
+    "converts it, delays measured in exact integer microseconds (unix_micros / "
+    "epoch_us, the repo's fractional-second parity rule) then percentile-interpolated "
+    "over exactly-halved doubles.  Same co-partitioned (user, day) aggregation chain "
+    "as funnel_daily_conversion — the exchange is reused across the anchor and "
+    "conversion stages.",
+)
+def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        "ts",
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "day")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, ["user_id", "day"])
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id", "day")
+        .agg(F.min(F.unix_micros("ts") - F.unix_micros("t0")).alias("delay_us"))
+    )
+    delay_s = F.col("delay_us").cast("double") / 1000000
+    pct = F.percentile(delay_s, F.array(F.lit(0.5), F.lit(0.9)))
+    return p.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.element_at(pct, 1), 6).alias("p50_s"),
+        F.round(F.element_at(pct, 2), 6).alias("p90_s"),
+    )
+
+
+@_q(
+    "customer_rfm_segments",
+    """
+WITH __c AS (
+  SELECT o_custkey,
+         max(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) AS recency_day,
+         count(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY 1),
+__n AS (
+  SELECT o_custkey, monetary,
+         ntile(4) OVER (ORDER BY recency_day DESC, o_custkey) AS r,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+  FROM __c)
+SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f, CAST(m AS BIGINT) AS m,
+       count(*) AS n_customers, CAST(sum(monetary) AS DOUBLE) AS segment_revenue
+FROM __n GROUP BY 1, 2, 3
+""",
+    "Extension (customer segmentation): RFM quartile coding — recency / frequency / "
+    "monetary each quartiled with EXACT NTILE(4) semantics via three chained "
+    "operators/ranking.global_ntile passes (each a range-shuffle + shard-local rank + "
+    "offsets, NO single-partition window even at hundreds of millions of customers), "
+    "then the ≤64 (r, f, m) segment cells aggregated.  The oracle runs the real "
+    "single-partition ntiles — matching them proves all three distributed orderings, "
+    "ties included.",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_ntile
+
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderdate").cast("long") / F.lit(86400)).cast("long")).alias(
+            "recency_day"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(_dec("o_totalprice")).alias("monetary"),
+    )
+    for dim, colname in (
+        ("recency_day", "r"),
+        ("frequency", "f"),
+        ("monetary", "m"),
+    ):
+        c = global_ntile(
+            c,
+            [F.col(dim).desc(), F.col("o_custkey").asc()],
+            4,
+            bucket_col=colname,
+            shards=32,
+        )
+    return c.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary").cast("double").alias("segment_revenue"),
+    )
+
+
+@_q(
+    "top_session_paths",
+    """
+WITH __f AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS is_start
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+__s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM __f),
+__g AS (
+  SELECT user_id, event_type, sid,
+         row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+  FROM __s),
+__p AS (
+  SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM __g WHERE rn <= 3 GROUP BY user_id, sid)
+SELECT path, count(*) AS n_sessions
+FROM __p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20
+""",
+    "Extension (behavioral path analysis): the 20 most common session-opening "
+    "event-type paths (first 3 events of each 30-min-gap session, joined with '>') — "
+    "the Sankey-source query.  All windows are user-partitioned (scale-safe), the "
+    "per-session path is an array_sort over ≤3 collected structs (rn is unique within "
+    "a session, so ordering is exact), and the final top-20 is "
+    "TakeOrderedAndProject over path-count cardinality.",
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    is_start = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    marked = ev.select(
+        "user_id", "ts", "event_id", "event_type", is_start.alias("is_start")
+    )
+    sid = F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    with_sid = marked.withColumn("sid", sid)
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    )
+    first3 = with_sid.withColumn("rn", rn).filter(F.col("rn") <= 3)
+    paths = first3.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
