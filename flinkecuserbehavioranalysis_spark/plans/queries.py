@@ -5814,3 +5814,98 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(20)
     )
+
+
+@_q(
+    "referential_integrity_report",
+    """
+WITH __lo AS (SELECT count(*) AS n_child,
+                     sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+              FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+__oc AS (SELECT count(*) AS n_child,
+                sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+         FROM orders ord LEFT JOIN customer c ON ord.o_custkey = c.c_custkey),
+__cn AS (SELECT count(*) AS n_child,
+                sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+         FROM customer cu LEFT JOIN nation n ON cu.c_nationkey = n.n_nationkey)
+SELECT 'lineitem->orders' AS edge, n_child, CAST(n_orphans AS BIGINT) AS n_orphans FROM __lo
+UNION ALL
+SELECT 'orders->customer', n_child, CAST(n_orphans AS BIGINT) FROM __oc
+UNION ALL
+SELECT 'customer->nation', n_child, CAST(n_orphans AS BIGINT) FROM __cn
+""",
+    "Extension (warehouse health / expectation checks): orphan counts along every "
+    "foreign-key edge of the star schema — each edge one left join reduced to a 1-row "
+    "aggregate (orders/customer parent sides shuffle-joined at fact scale; nation "
+    "broadcast), unioned into the report a data-contract gate consumes.  The oracle "
+    "re-states each edge independently.",
+)
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def edge(child, parent, ck, pk, name, broadcast_parent=False):
+        p = parent.select(pk)
+        if broadcast_parent:
+            p = F.broadcast(p)
+        j = child.select(ck).join(p, F.col(ck) == F.col(pk), "left")
+        return j.agg(
+            F.lit(name).alias("edge"),
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        ).select("edge", "n_child", "n_orphans")
+
+    return (
+        edge(li, o, "l_orderkey", "o_orderkey", "lineitem->orders")
+        .unionAll(edge(o, c, "o_custkey", "c_custkey", "orders->customer"))
+        .unionAll(edge(c, n, "c_nationkey", "n_nationkey", "customer->nation", True))
+    )
+
+
+@_q(
+    "hourly_activity_bitmask",
+    """
+WITH __m AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         bit_or(CAST(1 AS BIGINT) << CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS INT))
+           AS mask
+  FROM events GROUP BY 1, 2)
+SELECT day, count(*) AS n_user_days,
+       CAST(sum(CASE WHEN bit_count(mask) >= 12 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_heavy_users,
+       CAST(sum(CASE WHEN (mask & 4080) <> 0 AND (mask & 16711680) <> 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_morning_and_evening
+FROM __m GROUP BY day
+""",
+    "Extension (bitmask aggregation): per-(user, day) hourly activity packed into a "
+    "24-bit mask with bit_or(1 << hour) — the bitmap trick that turns 24 boolean "
+    "columns into one BIGINT aggregate; popcount >= 12 flags heavy users, and "
+    "mask & 0xFF0 (hours 4-11) vs mask & 0xFF0000 (hours 16-23) detects "
+    "morning+evening users in pure integer ops, engine-exact.  One (user, day) "
+    "shuffle then a day-sized rollup.",
+)
+def hourly_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    m = ev.groupBy(
+        "user_id", (sec / F.lit(86400)).cast("long").alias("day")
+    ).agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST((CAST(ts AS LONG) % 86400) DIV 3600 AS INT))")).alias("mask"))
+    return m.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_user_days"),
+        F.sum(F.when(F.bit_count("mask") >= 12, 1).otherwise(0))
+        .cast("long")
+        .alias("n_heavy_users"),
+        F.sum(
+            F.when(
+                ((F.col("mask").bitwiseAND(F.lit(4080))) != 0)
+                & ((F.col("mask").bitwiseAND(F.lit(16711680))) != 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_morning_and_evening"),
+    )
