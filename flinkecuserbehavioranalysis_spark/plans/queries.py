@@ -5909,3 +5909,58 @@ def hourly_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_morning_and_evening"),
     )
+
+
+@_q(
+    "dedup_method_agreement",
+    f"""
+WITH __lsh AS ({_lsh_verified_oracle(0.5)}),
+__sh AS ({_simhash_pairs_oracle(32)}),
+__l AS (SELECT DISTINCT least(doc_a, doc_b) AS lo, greatest(doc_a, doc_b) AS hi
+        FROM __lsh),
+__s AS (SELECT DISTINCT least(doc_a, doc_b) AS lo, greatest(doc_a, doc_b) AS hi
+        FROM __sh),
+__b AS (SELECT count(*) AS n_both FROM __l JOIN __s USING (lo, hi)),
+__nl AS (SELECT count(*) AS n_lsh FROM __l),
+__ns AS (SELECT count(*) AS n_simhash FROM __s)
+SELECT n_lsh, n_simhash, n_both,
+       CASE WHEN n_lsh + n_simhash - n_both > 0
+            THEN round(CAST(n_both AS DOUBLE) / (n_lsh + n_simhash - n_both), 6) END
+         AS pair_jaccard
+FROM __nl CROSS JOIN __ns CROSS JOIN __b
+""",
+    "Extension (dedup meta-evaluation): agreement between the two production near-dup "
+    "detectors — MinHash-LSH verified pairs (Jaccard >= 0.5) vs 32-bit SimHash "
+    "Hamming <= 3 — as pair-set counts and Jaccard overlap, the IN-ENGINE evaluation "
+    "that decides which detector (or both) a corpus run should trust.  Reuses the "
+    "session-shared LSH pair set; both pair relations are signature-sized, the "
+    "agreement join is pair-keyed.",
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_hamming_pairs
+
+    lsh = _doc_lsh_pairs(spark, sf_dir).select(
+        F.least("doc_a", "doc_b").alias("lo"), F.greatest("doc_a", "doc_b").alias("hi")
+    ).distinct()
+    sh = simhash_hamming_pairs(
+        load_table(spark, sf_dir, "documents"), bits=32
+    ).select(
+        F.least("doc_a", "doc_b").alias("lo"), F.greatest("doc_a", "doc_b").alias("hi")
+    ).distinct()
+    nl = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    ns = sh.agg(F.count(F.lit(1)).alias("n_simhash"))
+    nb = lsh.join(sh, ["lo", "hi"]).agg(F.count(F.lit(1)).alias("n_both"))
+    denom = F.col("n_lsh") + F.col("n_simhash") - F.col("n_both")
+    return (
+        nl.crossJoin(ns)
+        .crossJoin(nb)
+        .select(
+            "n_lsh",
+            "n_simhash",
+            "n_both",
+            F.when(
+                denom > 0,
+                F.round(F.col("n_both").cast("double") / denom, 6),
+            ).alias("pair_jaccard"),
+        )
+    )
