@@ -5964,3 +5964,62 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair_jaccard"),
         )
     )
+
+
+@_q(
+    "doc_fluency_scores",
+    """
+WITH __w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+__bg AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))
+                  AS bg
+         FROM __w),
+__top AS (SELECT bg FROM (SELECT bg, count(*) AS cnt FROM __bg GROUP BY bg)
+          ORDER BY cnt DESC, bg LIMIT 1000),
+__sc AS (SELECT b.doc_id, count(*) AS n_bigrams,
+                CAST(sum(CASE WHEN t.bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_common
+         FROM __bg b LEFT JOIN __top t ON b.bg = t.bg
+         GROUP BY b.doc_id)
+SELECT doc_id, n_bigrams, n_common,
+       round(CAST(n_common AS DOUBLE) / n_bigrams, 6) AS fluency
+FROM __sc
+""",
+    "Extension (model-free fluency proxy, KenLM-shaped without the LM): each doc "
+    "scored by the fraction of its bigram OCCURRENCES that fall in the corpus's 1,000 "
+    "most common bigrams — natural prose tracks the corpus head, gibberish and "
+    "boilerplate-stripped fragments don't.  One corpus bigram count shuffle, the head "
+    "list via TakeOrderedAndProject then BROADCAST into a left join marker (the corpus "
+    "stream is never shuffled against it), one doc-keyed aggregation.  Log-free ratio "
+    "per the cross-engine float rule.",
+)
+def doc_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _shingle_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", F.explode(F.expr(_shingle_expr("text", 2))).alias("bg")
+    )
+    top = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bg").asc())
+        .limit(1000)
+        .select("bg", F.lit(1).alias("__c"))
+    )
+    j = bg.join(F.broadcast(top), "bg", "left")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("__c"), F.lit(0))).cast("long").alias("n_common"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_common",
+            F.round(F.col("n_common").cast("double") / F.col("n_bigrams"), 6).alias(
+                "fluency"
+            ),
+        )
+    )
