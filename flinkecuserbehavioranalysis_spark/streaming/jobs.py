@@ -446,3 +446,33 @@ def streaming_latest_per_key(
         *[F.max_by(c, ordk).alias(f"last_{c}") for c in payload_cols],
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def streaming_activity_bitmask(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of the ``hourly_activity_bitmask`` per-(user, day)
+    stage: ``bit_or(1 << hour)`` is associative/commutative, so the
+    24-bit activity mask accumulates incrementally in update mode with
+    8 bytes of state per key — the bitmap profile a serving store can
+    upsert per micro-batch (day-bucketed state, evictable by
+    watermark)."""
+    sec = F.col(ts_col).cast("long")
+    wm = stream.withWatermark(ts_col, watermark)
+    return (
+        wm.groupBy(
+            F.col(key_col),
+            (sec / F.lit(86400)).cast("long").alias("day"),
+        )
+        .agg(
+            F.bit_or(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST((CAST({ts_col} AS LONG) % 86400) DIV 3600 AS INT))"
+                )
+            ).alias("mask")
+        )
+    )

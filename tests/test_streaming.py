@@ -1293,3 +1293,36 @@ def test_streaming_incremental_dedup_against_static_base(spark):
     q.awaitTermination(180)
     got = {r.doc_id: (r.n_candidates, r.best_jaccard, r.is_dup) for r in sink}
     assert got == expect and len(got) > 0
+
+
+def test_streaming_activity_bitmask_matches_batch(spark):
+    """bit_or masks accumulated incrementally (update mode) must equal
+    the batch bit_or over the same bounded replay."""
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import (
+        streaming_activity_bitmask,
+    )
+
+    stream = read_events_stream(spark, SF_DIR)
+    got = run_bounded(
+        streaming_activity_bitmask(stream), output_mode="update"
+    )
+    # update mode can emit a key several times across micro-batches —
+    # the LAST emission per key carries the complete mask
+    last = {}
+    for r in got:
+        last[(r["user_id"], r["day"])] = r["mask"]
+
+    ev = load_table(spark, SF_DIR, "events")
+    sec = F.col("ts").cast("long")
+    batch = ev.groupBy(
+        "user_id", (sec / F.lit(86400)).cast("long").alias("day")
+    ).agg(
+        F.bit_or(
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                "CAST((CAST(ts AS LONG) % 86400) DIV 3600 AS INT))"
+            )
+        ).alias("mask")
+    )
+    want = {(r.user_id, r.day): r.mask for r in batch.collect()}
+    assert last == want and len(want) > 0
