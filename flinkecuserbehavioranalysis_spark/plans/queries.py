@@ -6023,3 +6023,87 @@ def doc_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_q(
+    "value_equidepth_histogram",
+    """
+WITH __n AS (
+  SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+  FROM events)
+SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+       round(min(value), 6) AS lo, round(max(value), 6) AS hi
+FROM __n GROUP BY bucket
+""",
+    "Extension (equi-depth histogram — the optimizer-statistics shape): events.value "
+    "cut into 10 EXACTLY equal-population buckets via the distributed global NTILE "
+    "(range shuffle + shard rank + offsets, ranking.py) — this is the operator's "
+    "fact-table-scale exercise: the ranked relation is the raw event stream, not a "
+    "pre-aggregate, and the oracle's single-partition ntile must still match "
+    "bit-identically (ties broken by event_id).  Bucket boundaries are the "
+    "equi-depth statistics a cost model or a drift monitor consumes.",
+)
+def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_ntile
+
+    ev = load_table(spark, sf_dir, "events").select("value", "event_id")
+    b = global_ntile(
+        ev,
+        [F.col("value").asc(), F.col("event_id").asc()],
+        10,
+        bucket_col="bucket",
+        shards=32,
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
+
+
+@_q(
+    "cohort_ltv_curves",
+    """
+WITH __f AS (
+  SELECT o_custkey,
+         min(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 2592000) AS cohort
+  FROM orders GROUP BY 1),
+__r AS (
+  SELECT f.cohort,
+         CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 2592000 - f.cohort AS offset_m,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders o JOIN __f f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2)
+SELECT cohort, offset_m, CAST(rev AS DOUBLE) AS revenue,
+       CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY offset_m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS cumulative_ltv
+FROM __r
+""",
+    "Extension (cohort lifetime value): customers grouped by first-order epoch-month "
+    "(30-day buckets — calendar-free), revenue laid out as a (cohort, month-offset) "
+    "triangle with the cumulative LTV curve per cohort.  The co-partitioned o_custkey "
+    "first-order join reuses the aggregation exchange; the cumulative window runs over "
+    "the months^2/2-bounded triangle, never the fact table.  Decimal sums cast to "
+    "double only at the edge.",
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    month = (F.col("o_orderdate").cast("long") / F.lit(2592000)).cast("long")
+    f = o.groupBy("o_custkey").agg(F.min(month).alias("cohort"))
+    r = (
+        o.join(f, "o_custkey")
+        .groupBy("cohort", (month - F.col("cohort")).alias("offset_m"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    w = Window.partitionBy("cohort").orderBy("offset_m").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return r.select(
+        "cohort",
+        "offset_m",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w).cast("double").alias("cumulative_ltv"),
+    )
