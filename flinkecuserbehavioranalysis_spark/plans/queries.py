@@ -5425,7 +5425,7 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
     return (
-        r.join(kept, "lang", "left")
+        r.join(F.broadcast(kept), "lang", "left")
         .select(
             "lang",
             F.col("n_docs").cast("long").alias("n_docs"),
