@@ -6107,3 +6107,57 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("revenue"),
         F.sum("rev").over(w).cast("double").alias("cumulative_ltv"),
     )
+
+
+@_q(
+    "embedding_covariance_matrix",
+    """
+WITH __e AS (SELECT vec_id, embedding AS v FROM embeddings),
+__p AS (SELECT i.i AS i, j.j AS j,
+               (v[i.i + 1])::DOUBLE AS xi, (v[j.j + 1])::DOUBLE AS xj
+        FROM __e, range(0, 64) i(i), range(0, 64) j(j)
+        WHERE j.j >= i.i),
+__s AS (SELECT i, j, count(*) AS n,
+               sum(CAST(xi * xj AS DECIMAL(28,12))) AS sxy,
+               sum(CAST(xi AS DECIMAL(28,12))) AS sx,
+               sum(CAST(xj AS DECIMAL(28,12))) AS sy
+        FROM __p GROUP BY i, j)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n,
+       round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n, 6)
+         + 0.0 AS cov
+FROM __s
+""",
+    "Extension (distributed feature statistics): the full 64x64 embedding covariance "
+    "matrix (upper triangle, 2,080 cells) — the PCA / whitening / drift-detection "
+    "primitive.  Pair fan-out is dim^2-bounded per vector with map-side partial "
+    "aggregation, so shuffle bytes ∝ 2,080 cells x partitions, never rows; sums go "
+    "through DECIMAL(28,12) (the kmeans decimal-stability pattern) so both engines "
+    "accumulate bit-identically in any order, and the covariance assembly is a final "
+    "exactly-rounded double expression.",
+)
+def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(F.col("embedding").cast("array<double>").alias("v"))
+    pi = v.select("v", F.posexplode("v").alias("i", "xi"))
+    pij = pi.select(
+        "i", "xi", F.posexplode("v").alias("j", "xj")
+    ).filter(F.col("j") >= F.col("i"))
+    dec = "decimal(28,12)"
+    s = pij.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("xi") * F.col("xj")).cast(dec)).alias("sxy"),
+        F.sum(F.col("xi").cast(dec)).alias("sx"),
+        F.sum(F.col("xj").cast(dec)).alias("sy"),
+    )
+    cov = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n")
+    ) / F.col("n")
+    return s.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        "n",
+        # + 0.0 canonicalizes IEEE negative zero (round can yield -0.0
+        # on one engine and +0.0 on the other; -0.0 + 0.0 == +0.0)
+        (F.round(cov, 6) + F.lit(0.0)).alias("cov"),
+    )
