@@ -6109,10 +6109,9 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "embedding_covariance_matrix",
-    """
-WITH __e AS (SELECT vec_id, embedding AS v FROM embeddings),
+#: Shared DuckDB CTE body for the embedding covariance upper triangle —
+#: consumed by embedding_covariance_matrix and the power-iteration query.
+_EMB_COV_CTES = """__e AS (SELECT vec_id, embedding AS v FROM embeddings),
 __p AS (SELECT i.i AS i, j.j AS j,
                (v[i.i + 1])::DOUBLE AS xi, (v[j.j + 1])::DOUBLE AS xj
         FROM __e, range(0, 64) i(i), range(0, 64) j(j)
@@ -6121,11 +6120,83 @@ __s AS (SELECT i, j, count(*) AS n,
                sum(CAST(xi * xj AS DECIMAL(28,12))) AS sxy,
                sum(CAST(xi AS DECIMAL(28,12))) AS sx,
                sum(CAST(xj AS DECIMAL(28,12))) AS sy
-        FROM __p GROUP BY i, j)
-SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n,
+        FROM __p GROUP BY i, j),
+__cov AS (SELECT i, j, n,
        round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n, 6)
          + 0.0 AS cov
-FROM __s
+       FROM __s)"""
+
+
+def _emb_cov_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance cells (i, j, n, cov) — the Spark twin
+    of ``_EMB_COV_CTES``; see embedding_covariance_matrix for the plan
+    notes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(F.col("embedding").cast("array<double>").alias("v"))
+    # ONE Generate per vector: the 2,080 (i, j, xi, xj) upper-triangle
+    # structs are built as a single flattened array expression, then
+    # exploded once — a nested posexplode(v) inside posexplode(v)
+    # re-copies the 64-element array into every one of the 64 outer
+    # rows (the Generate-projection re-evaluation family; measured 9 s
+    # -> ~2 s for the covariance pass at sf0.01)
+    pij = v.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(63)),
+                        lambda j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            (
+                                F.element_at(F.col("v"), i + 1)
+                                * F.element_at(F.col("v"), j + 1)
+                            ).alias("prod"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.prod")
+    dec = "decimal(28,12)"
+    srel = pij.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("prod").cast(dec)).alias("sxy"),
+    )
+    # per-dimension sums from ONE cheap single explode (64 rows/vector)
+    # instead of duplicating xi/xj into all 2,080 pair rows
+    dim_sums = (
+        v.select(F.posexplode("v").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.sum(F.col("x").cast(dec)).alias("sd"))
+    )
+    srel = srel.join(
+        F.broadcast(dim_sums.select(F.col("d").alias("i"), F.col("sd").alias("sx"))),
+        "i",
+    ).join(
+        F.broadcast(dim_sums.select(F.col("d").alias("j"), F.col("sd").alias("sy"))),
+        "j",
+    )
+    cov = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n")
+    ) / F.col("n")
+    return srel.select(
+        "i",
+        "j",
+        "n",
+        # + 0.0 canonicalizes IEEE negative zero (round can yield -0.0
+        # on one engine and +0.0 on the other; -0.0 + 0.0 == +0.0)
+        (F.round(cov, 6) + F.lit(0.0)).alias("cov"),
+    )
+
+
+@_q(
+    "embedding_covariance_matrix",
+    f"""
+WITH {_EMB_COV_CTES}
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n, cov FROM __cov
 """,
     "Extension (distributed feature statistics): the full 64x64 embedding covariance "
     "matrix (upper triangle, 2,080 cells) — the PCA / whitening / drift-detection "
@@ -6136,28 +6207,85 @@ FROM __s
     "exactly-rounded double expression.",
 )
 def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(F.col("embedding").cast("array<double>").alias("v"))
-    pi = v.select("v", F.posexplode("v").alias("i", "xi"))
-    pij = pi.select(
-        "i", "xi", F.posexplode("v").alias("j", "xj")
-    ).filter(F.col("j") >= F.col("i"))
-    dec = "decimal(28,12)"
-    s = pij.groupBy("i", "j").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("xi") * F.col("xj")).cast(dec)).alias("sxy"),
-        F.sum(F.col("xi").cast(dec)).alias("sx"),
-        F.sum(F.col("xj").cast(dec)).alias("sy"),
-    )
-    cov = (
-        F.col("sxy").cast("double")
-        - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n")
-    ) / F.col("n")
-    return s.select(
+    c = _emb_cov_df(spark, sf_dir)
+    return c.select(
         F.col("i").cast("long").alias("i"),
         F.col("j").cast("long").alias("j"),
         "n",
-        # + 0.0 canonicalizes IEEE negative zero (round can yield -0.0
-        # on one engine and +0.0 on the other; -0.0 + 0.0 == +0.0)
-        (F.round(cov, 6) + F.lit(0.0)).alias("cov"),
+        "cov",
+    )
+
+
+def _power_iteration_oracle(iters: int = 3) -> str:
+    rounds = ""
+    cur = "__v0"
+    for r in range(iters):
+        rounds += f"""__u{r} AS (SELECT m.i,
+            CAST(sum(CAST(m.cov * v.val AS DECIMAL(28,12))) AS DOUBLE) AS u
+            FROM __m m JOIN {cur} v ON m.j = v.i GROUP BY m.i),
+__m{r} AS (SELECT max(abs(u)) AS mx FROM __u{r}),
+__v{r + 1} AS (SELECT u.i, round(u.u / m.mx, 6) + 0.0 AS val
+             FROM __u{r} u CROSS JOIN __m{r} m),
+"""
+        cur = f"__v{r + 1}"
+    return f"""
+WITH {_EMB_COV_CTES},
+__m AS (SELECT i, j, cov FROM __cov
+        UNION ALL SELECT j, i, cov FROM __cov WHERE i <> j),
+__v0 AS (SELECT DISTINCT i, 1.0 AS val FROM __cov),
+{rounds}__fin AS (SELECT i, val FROM {cur})
+SELECT CAST(f.i AS BIGINT) AS dim, f.val AS loading,
+       round(m.mx, 6) AS eigenvalue_est
+FROM __fin f CROSS JOIN __m{iters - 1} m
+"""
+
+
+@_q(
+    "embedding_principal_component",
+    _power_iteration_oracle(3),
+    "Extension (iterative algorithm #4 — PCA direction): the dominant eigenvector of "
+    "the 64x64 embedding covariance matrix by 3 unrolled power-iteration rounds over "
+    "the (i, j, cov) cell relation — matvec as a join+sum (DECIMAL-accumulated, "
+    "order-independent), max-abs normalization (division is exactly rounded, no sqrt), "
+    "negative zero canonicalized per round.  The matrix is dim^2-sized, so after the "
+    "one fact-scale covariance pass every round is dimension-scale work — the same "
+    "collapse-then-iterate shape as kmeans and pagerank; the oracle replays every "
+    "round.  The final eigenvalue estimate is the last normalization constant "
+    "(Rayleigh-style), and the loading vector is the whitening/drift direction a "
+    "curation pipeline projects onto.",
+)
+def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EAGER BY CONTRACT: the covariance matrix is dimension-bounded
+    # (2,080 cells regardless of corpus size), so it is materialized
+    # once — the fact-scale pass runs exactly once and every iteration
+    # round is then a plan over a literal dim^2 relation (a lazy chain
+    # re-ran the covariance lineage per matvec: measured 10.7 s vs
+    # ~3 s at sf0.01)
+    cells = _emb_cov_df(spark, sf_dir).select("i", "j", "cov").collect()
+    cov = spark.createDataFrame(cells, "i int, j int, cov double")
+    m = cov.unionAll(
+        cov.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    )
+    v = cov.select("i").distinct().select("i", F.lit(1.0).alias("val"))
+    mx = None
+    for _ in range(3):
+        u = (
+            m.join(v.select(F.col("i").alias("j"), "val"), "j")
+            .groupBy("i")
+            .agg(
+                F.sum((F.col("cov") * F.col("val")).cast("decimal(28,12)"))
+                .cast("double")
+                .alias("u")
+            )
+        )
+        mx = u.agg(F.max(F.abs(F.col("u"))).alias("mx"))
+        v = u.crossJoin(F.broadcast(mx)).select(
+            "i", (F.round(F.col("u") / F.col("mx"), 6) + F.lit(0.0)).alias("val")
+        )
+    return v.crossJoin(F.broadcast(mx)).select(
+        F.col("i").cast("long").alias("dim"),
+        F.col("val").alias("loading"),
+        F.round(F.col("mx"), 6).alias("eigenvalue_est"),
     )
