@@ -6289,3 +6289,82 @@ def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("val").alias("loading"),
         F.round(F.col("mx"), 6).alias("eigenvalue_est"),
     )
+
+
+@_q(
+    "embedding_drift_by_dim",
+    f"""
+WITH __e AS (SELECT {_BUCKET_SQL.format(k="vec_id")} < 5000 AS in_a,
+                    embedding AS v FROM embeddings),
+__x AS (SELECT in_a, d.d AS dim, (v[d.d + 1])::DOUBLE AS x
+        FROM __e, range(0, 64) d(d)),
+__s AS (SELECT dim,
+               CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+               sum(CASE WHEN in_a THEN CAST(x AS DECIMAL(28,12)) ELSE 0 END) AS sa,
+               sum(CASE WHEN in_a THEN 0 ELSE CAST(x AS DECIMAL(28,12)) END) AS sb,
+               sum(CASE WHEN in_a THEN CAST(x * x AS DECIMAL(28,12)) ELSE 0 END) AS qa,
+               sum(CASE WHEN in_a THEN 0 ELSE CAST(x * x AS DECIMAL(28,12)) END) AS qb
+        FROM __x GROUP BY dim),
+__z AS (SELECT dim, na, nb,
+               CAST(sa AS DOUBLE) / na AS ma, CAST(sb AS DOUBLE) / nb AS mb,
+               (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / na
+                 AS va,
+               (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / nb
+                 AS vb
+        FROM __s)
+SELECT CAST(dim AS BIGINT) AS dim, na, nb,
+       round(ma - mb, 6) + 0.0 AS mean_diff,
+       round((ma - mb) / sqrt(va / na + vb / nb), 6) + 0.0 AS z_score
+FROM __z
+""",
+    "Extension (embedding-space drift detection — the vector complement of "
+    "token_drift_chisq): per-dimension Welch z-scores of the mean gap between two "
+    "deterministic md5 halves of the embedding table — the monitor that catches an "
+    "encoder change or a scraped-distribution shift.  Two-moment DECIMAL(28,12) "
+    "accumulation (order-independent), then a closed-form double expression; sqrt is "
+    "exactly rounded in IEEE so the z-score stays engine-identical, and negative zero "
+    "is canonicalized.  One dim-keyed shuffle over a 64x fan-out, 64 rows out.",
+)
+def embedding_drift_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        (hash_bucket("vec_id") < 5000).alias("in_a"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    x = e.select("in_a", F.posexplode("v").alias("dim", "x"))
+    dec = "decimal(28,12)"
+    zero = F.lit(0).cast(dec)
+    srel = x.groupBy("dim").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("nb"),
+        F.sum(F.when(F.col("in_a"), F.col("x").cast(dec)).otherwise(zero)).alias("sa"),
+        F.sum(F.when(F.col("in_a"), zero).otherwise(F.col("x").cast(dec))).alias("sb"),
+        F.sum(
+            F.when(F.col("in_a"), (F.col("x") * F.col("x")).cast(dec)).otherwise(zero)
+        ).alias("qa"),
+        F.sum(
+            F.when(F.col("in_a"), zero).otherwise((F.col("x") * F.col("x")).cast(dec))
+        ).alias("qb"),
+    )
+    ma = F.col("sa").cast("double") / F.col("na")
+    mb = F.col("sb").cast("double") / F.col("nb")
+    va = (
+        F.col("qa").cast("double")
+        - F.col("sa").cast("double") * F.col("sa").cast("double") / F.col("na")
+    ) / F.col("na")
+    vb = (
+        F.col("qb").cast("double")
+        - F.col("sb").cast("double") * F.col("sb").cast("double") / F.col("nb")
+    ) / F.col("nb")
+    return srel.select(
+        F.col("dim").cast("long").alias("dim"),
+        "na",
+        "nb",
+        (F.round(ma - mb, 6) + F.lit(0.0)).alias("mean_diff"),
+        (F.round((ma - mb) / F.sqrt(va / F.col("na") + vb / F.col("nb")), 6) + F.lit(0.0)).alias(
+            "z_score"
+        ),
+    )
