@@ -6368,3 +6368,74 @@ def embedding_drift_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_score"
         ),
     )
+
+
+@_q(
+    "fluency_quality_gains",
+    """
+WITH __w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+__bg AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))
+                  AS bg
+         FROM __w),
+__top AS (SELECT bg FROM (SELECT bg, count(*) AS cnt FROM __bg GROUP BY bg)
+          ORDER BY cnt DESC, bg LIMIT 1000),
+__fl AS (SELECT b.doc_id,
+                CAST(sum(CASE WHEN t.bg IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*) AS fluency
+         FROM __bg b LEFT JOIN __top t ON b.bg = t.bg GROUP BY b.doc_id),
+__q AS (SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               length(text) AS n_chars,
+               len(list_filter(string_split(text, ' '),
+                   w -> w IN ('the', 'a', 'an', 'of', 'to', 'and', 'in', 'is',
+                              'it', 'that'))) AS n_stop
+        FROM documents),
+__lab AS (SELECT f.doc_id, f.fluency,
+                 CASE WHEN q.n_words >= 5 AND q.n_words <= 1000
+                           AND q.n_stop * 1.0 / q.n_words <= 0.5
+                           AND (q.n_chars - (q.n_words - 1)) * 1.0 / q.n_words >= 2.0
+                           AND (q.n_chars - (q.n_words - 1)) * 1.0 / q.n_words <= 12.0
+                      THEN 1 ELSE 0 END AS ok
+          FROM __fl f JOIN __q q ON f.doc_id = q.doc_id),
+__n AS (SELECT doc_id, fluency, ok,
+               ntile(5) OVER (ORDER BY fluency DESC, doc_id) AS bucket
+        FROM __lab)
+SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+       CAST(sum(ok) AS BIGINT) AS n_ok,
+       round(sum(ok) * 1.0 / count(*), 6) AS ok_rate,
+       round(min(fluency), 6) AS min_fluency
+FROM __n GROUP BY bucket
+""",
+    "Extension (in-engine score evaluation — the gains-table shape): the bigram-head "
+    "fluency score bucketed into quintiles via the distributed global NTILE, "
+    "cross-tabulated against the independent rule-based quality gate — the lift table "
+    "that tells a pipeline owner whether a cheap score predicts the expensive label "
+    "before swapping it into the keep predicate.  Composes doc_fluency_scores' "
+    "broadcast-head scoring with quality_ok as a map-side label; one ranking pass over "
+    "the doc-sized scored relation.",
+)
+def fluency_quality_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_ntile
+    from ..operators.text import quality_ok
+
+    fl = doc_fluency_scores(spark, sf_dir).select(
+        "doc_id", (F.col("n_common").cast("double") / F.col("n_bigrams")).alias("fluency")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    lab = fl.join(
+        docs.select("doc_id", quality_ok("text").cast("int").alias("ok")), "doc_id"
+    )
+    b = global_ntile(
+        lab,
+        [F.col("fluency").desc(), F.col("doc_id").asc()],
+        5,
+        bucket_col="bucket",
+        shards=16,
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ok").cast("long").alias("n_ok"),
+        F.round(F.sum("ok") / F.count(F.lit(1)), 6).alias("ok_rate"),
+        F.round(F.min("fluency"), 6).alias("min_fluency"),
+    )
