@@ -594,17 +594,29 @@ def build_ivf_index(
         train_iters=train_iters,
         train_fraction=train_fraction,
     )
+    assigned = ivf_assign(v, seeds, corpus_probes=corpus_probes)
+    return seeds, assigned
+
+
+def ivf_assign(
+    v: DataFrame, seeds: DataFrame, corpus_probes: int = 2
+) -> DataFrame:
+    """Map-only cell assignment against a FROZEN codebook: broadcast
+    the packed seeds, pick the best (or top-2) cells per vector.  Works
+    identically on a batch or a STREAMING DataFrame — the transform has
+    no shuffle and no state, so incremental index ingest is just this
+    projection feeding an append sink partitioned by cell (tested via
+    bounded replay against the batch build)."""
     packed = _pack(seeds)
     cell_expr = (
         F.array(_best_cell("v_vec", "v_norm"))
         if corpus_probes == 1
         else _top2_cells("v_vec", "v_norm")
     )
-    assigned = (
+    return (
         v.crossJoin(F.broadcast(packed))
         .select("neighbor_id", "v_vec", "v_norm", F.explode(cell_expr).alias("cell"))
     )
-    return seeds, assigned
 
 
 def save_ivf_index(seeds: DataFrame, assigned: DataFrame, path: str) -> None:

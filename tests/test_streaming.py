@@ -1326,3 +1326,36 @@ def test_streaming_activity_bitmask_matches_batch(spark):
     )
     want = {(r.user_id, r.day): r.mask for r in batch.collect()}
     assert last == want and len(want) > 0
+
+
+def test_streaming_ivf_ingest_matches_batch_postings(spark, tmp_path):
+    """Incremental index ingest: new embeddings stream through the
+    frozen codebook's map-only cell assignment into an append sink
+    partitioned by cell — after a bounded replay the postings equal
+    the batch build exactly (ids, cells, and vector doubles)."""
+    from flinkecuserbehavioranalysis_spark.operators.similarity import (
+        _as_double,
+        build_ivf_index,
+        dot,
+        ivf_assign,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    seeds, batch_assigned = build_ivf_index(emb, n_cells=8, train_iters=1)
+
+    stream = read_events_stream(spark, SF_DIR, table="embeddings")
+    v = stream.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("v_vec")
+    ).withColumn("v_norm", F.sqrt(dot(F.col("v_vec"), F.col("v_vec"))))
+    out_dir = str(tmp_path / "postings")
+
+    def append(batch, _bid):
+        batch.write.mode("append").partitionBy("cell").parquet(out_dir)
+
+    run_bounded(ivf_assign(v, seeds), foreach_batch=append)
+
+    got = spark.read.parquet(out_dir)
+    want = batch_assigned
+    g = {(r.neighbor_id, int(r.cell), tuple(r.v_vec)) for r in got.collect()}
+    w = {(r.neighbor_id, int(r.cell), tuple(r.v_vec)) for r in want.collect()}
+    assert g == w and len(w) > 0
