@@ -6439,3 +6439,122 @@ def fluency_quality_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("ok") / F.count(F.lit(1)), 6).alias("ok_rate"),
         F.round(F.min("fluency"), 6).alias("min_fluency"),
     )
+
+
+@_q(
+    "events_dow_adjusted_anomaly",
+    """
+WITH __d AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow,
+         count(*) AS n
+  FROM events GROUP BY 1, 2, 3),
+__m AS (
+  SELECT event_type, dow, count(*) AS k,
+         CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS q
+  FROM __d GROUP BY 1, 2)
+SELECT d.event_type, d.day, d.n,
+       round(CAST(m.s AS DOUBLE) / m.k, 6) AS dow_mean,
+       round((d.n - CAST(m.s AS DOUBLE) / m.k)
+             / sqrt((CAST(m.q AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.k) / m.k), 6)
+         + 0.0 AS z_score
+FROM __d d JOIN __m m ON d.event_type = m.event_type AND d.dow = m.dow
+WHERE (CAST(m.q AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.k) / m.k > 0
+""",
+    "Extension (seasonality-adjusted anomaly detection): each (type, day) volume "
+    "z-scored against its OWN day-of-week cohort — Mondays compare to Mondays, so a "
+    "weekly-seasonal dip stops tripping the trailing-window detector "
+    "(events_daily_anomaly's complement).  Integer sum/sum-of-squares moments, exactly "
+    "rounded sqrt/divisions, broadcast (type, dow) moment join, negative zero "
+    "canonicalized; zero-variance cohorts are excluded on both engines.",
+)
+def events_dow_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.col("ts").cast("long") / F.lit(86400)).cast("long")
+    d = ev.groupBy(
+        "event_type", day.alias("day"), ((day + 4) % 7).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = d.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("q"),
+    )
+    var = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("k")
+    ) / F.col("k")
+    mean = F.col("s").cast("double") / F.col("k")
+    return (
+        d.join(F.broadcast(m), ["event_type", "dow"])
+        .filter(var > 0)
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round(mean, 6).alias("dow_mean"),
+            (F.round((F.col("n") - mean) / F.sqrt(var), 6) + F.lit(0.0)).alias(
+                "z_score"
+            ),
+        )
+    )
+
+
+@_q(
+    "value_ks_drift_by_type",
+    f"""
+WITH __b AS (
+  SELECT event_type, {_BUCKET_SQL.format(k="event_id")} < 5000 AS in_a,
+         least(999, CAST(floor(value / 0.5) AS BIGINT)) AS bin
+  FROM events),
+__c AS (SELECT event_type, bin,
+               CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        FROM __b GROUP BY 1, 2),
+__t AS (SELECT event_type, sum(ca) AS ta, sum(cb) AS tb FROM __c GROUP BY 1),
+__cdf AS (SELECT c.event_type,
+                 sum(c.ca) OVER w * 1.0 / t.ta AS fa,
+                 sum(c.cb) OVER w * 1.0 / t.tb AS fb
+          FROM __c c JOIN __t t ON c.event_type = t.event_type
+          WINDOW w AS (PARTITION BY c.event_type ORDER BY c.bin
+                       ROWS UNBOUNDED PRECEDING))
+SELECT event_type, round(max(abs(fa - fb)), 6) AS ks_stat
+FROM __cdf GROUP BY event_type
+""",
+    "Extension (distribution drift — the numeric complement of token_drift_chisq): a "
+    "binned Kolmogorov-Smirnov statistic per event type between two deterministic md5 "
+    "halves — max CDF gap over 1,000 half-unit value bins.  Bin counts are exact "
+    "integers, the CDF is a cumulative window over the BIN relation (≤1,000 rows per "
+    "type — bounded, partitioned by type), and every float op is a single "
+    "exactly-rounded division, so both engines agree bit-for-bit.",
+)
+def value_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        (hash_bucket("event_id") < 5000).alias("in_a"),
+        F.least(F.lit(999), F.floor(F.col("value") / 0.5)).cast("long").alias("bin"),
+    )
+    c = b.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("cb"),
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        (F.sum("ca").over(w) / F.col("ta")).alias("fa"),
+        (F.sum("cb").over(w) / F.col("tb")).alias("fb"),
+    )
+    return cdf.groupBy("event_type").agg(
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_stat")
+    )
