@@ -6558,3 +6558,128 @@ def value_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdf.groupBy("event_type").agg(
         F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_stat")
     )
+
+
+@_q(
+    "dedup_savings_report",
+    f"""
+WITH RECURSIVE __p AS ({_lsh_verified_oracle(0.5)}),
+__e AS (SELECT doc_a AS s, doc_b AS d FROM __p
+        UNION SELECT doc_b, doc_a FROM __p),
+__r AS (SELECT s AS v, d AS w FROM __e
+        UNION
+        SELECT r.v, e.d FROM __r r JOIN __e e ON r.w = e.s),
+__lbl AS (SELECT v AS doc_id, least(v, min(w)) AS canonical_id FROM __r GROUP BY v),
+__c AS (SELECT d.doc_id, d.source, d.n_chars,
+               coalesce(l.canonical_id, d.doc_id) AS canonical_id
+        FROM documents d LEFT JOIN __lbl l USING (doc_id))
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removable,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       CAST(sum(CASE WHEN doc_id <> canonical_id THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_removable,
+       round(sum(CASE WHEN doc_id <> canonical_id THEN n_chars ELSE 0 END) * 1.0
+             / sum(n_chars), 6) AS savings_ratio
+FROM __c GROUP BY source
+""",
+    "Extension (dedup ROI reporting): per-source bytes/doc savings if the corpus is "
+    "canonicalized — which crawls are paying for their duplication.  Reuses the "
+    "memoized session-shared canonical map (no second LSH pass), one broadcast join to "
+    "doc metadata, source-keyed rollup; the oracle replays the recursive-CTE closure.",
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    canon = _doc_canonical_map(spark, sf_dir).select("doc_id", "canonical_id")
+    c = docs.join(canon, "doc_id")
+    removable = F.col("doc_id") != F.col("canonical_id")
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(removable, 1).otherwise(0)).cast("long").alias("n_removable"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.sum(F.when(removable, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_removable"),
+        F.round(
+            F.sum(F.when(removable, F.col("n_chars")).otherwise(0))
+            / F.sum("n_chars"),
+            6,
+        ).alias("savings_ratio"),
+    )
+
+
+@_q(
+    "interarrival_percentiles_by_type",
+    """
+WITH __g AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id, event_type
+                                               ORDER BY ts, event_id)) AS gap_us
+  FROM events)
+SELECT event_type, count(*) AS n_gaps,
+       round(quantile_cont(CAST(gap_us AS DOUBLE) / 1000000, 0.5), 6) AS p50_s,
+       round(quantile_cont(CAST(gap_us AS DOUBLE) / 1000000, 0.9), 6) AS p90_s
+FROM __g WHERE gap_us IS NOT NULL GROUP BY event_type
+""",
+    "Extension (behavioral cadence): per-type inter-arrival percentiles of each user's "
+    "same-type event gaps — the base rate a burst/fraud detector calibrates its windows "
+    "against.  Gaps in exact integer microseconds from a user-partitioned lag window "
+    "(never a global sort), then exactly-halved doubles through the shared "
+    "percentile-interpolation definition.",
+)
+def interarrival_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    gap_s = F.col("gap_us").cast("double") / 1000000
+    pct = F.percentile(gap_s, F.array(F.lit(0.5), F.lit(0.9)))
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.element_at(pct, 1), 6).alias("p50_s"),
+        F.round(F.element_at(pct, 2), 6).alias("p90_s"),
+    )
+
+
+@_q(
+    "user_concentration_report",
+    """
+WITH __u AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+__n AS (SELECT user_id, n,
+               ntile(100) OVER (ORDER BY n DESC, user_id) AS pct
+        FROM __u)
+SELECT count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events,
+       round(sum(CASE WHEN pct = 1 THEN n ELSE 0 END) * 1.0 / sum(n), 6)
+         AS top1_share,
+       round(sum(CASE WHEN pct <= 10 THEN n ELSE 0 END) * 1.0 / sum(n), 6)
+         AS top10_share
+FROM __n
+""",
+    "Extension (skew diagnosis — the measurement behind every salting decision): what "
+    "share of all events the top 1% / 10% of users generate, with EXACT percentile "
+    "membership via the distributed global NTILE(100) over per-user counts.  A "
+    "top1_share near 1 says every user-keyed shuffle in the engine needs its salted "
+    "variants; integer sums and two exactly-rounded divisions.",
+)
+def user_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_ntile
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    b = global_ntile(
+        u, [F.col("n").desc(), F.col("user_id").asc()], 100, bucket_col="pct", shards=16
+    )
+    return b.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.round(
+            F.sum(F.when(F.col("pct") == 1, F.col("n")).otherwise(0)) / F.sum("n"), 6
+        ).alias("top1_share"),
+        F.round(
+            F.sum(F.when(F.col("pct") <= 10, F.col("n")).otherwise(0)) / F.sum("n"), 6
+        ).alias("top10_share"),
+    )
