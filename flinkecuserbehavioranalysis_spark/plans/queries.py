@@ -6683,3 +6683,66 @@ def user_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("pct") <= 10, F.col("n")).otherwise(0)) / F.sum("n"), 6
         ).alias("top10_share"),
     )
+
+
+@_q(
+    "markov_next_event_accuracy",
+    """
+WITH __l AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events),
+__t AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM __l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+__pred AS (SELECT prev_type, next_type AS predicted FROM (
+             SELECT prev_type, next_type,
+                    row_number() OVER (PARTITION BY prev_type
+                                       ORDER BY n DESC, next_type) AS r
+             FROM __t) WHERE r = 1)
+SELECT t.prev_type, p.predicted,
+       CAST(sum(t.n) AS BIGINT) AS n_transitions,
+       CAST(sum(CASE WHEN t.next_type = p.predicted THEN t.n ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(sum(CASE WHEN t.next_type = p.predicted THEN t.n ELSE 0 END) * 1.0
+             / sum(t.n), 6) AS accuracy
+FROM __t t JOIN __pred p USING (prev_type)
+GROUP BY t.prev_type, p.predicted
+""",
+    "Extension (in-engine model evaluation #3): the majority-class Markov predictor — "
+    "for each current event type, predict the most frequent next type and score its "
+    "accuracy over all observed transitions (the baseline any sequence model must "
+    "beat, computed where the data lives).  Reuses the transition-matrix shape: one "
+    "user-partitioned lag window, a 25-cell count, an argmax-per-row "
+    "(deterministically tiebroken) and a broadcast join back.",
+)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    r = Window.partitionBy("prev_type").orderBy(
+        F.col("n").desc(), F.col("next_type").asc()
+    )
+    pred = (
+        pairs.withColumn("r", F.row_number().over(r))
+        .filter(F.col("r") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted"))
+    )
+    hit = F.when(F.col("next_type") == F.col("predicted"), F.col("n")).otherwise(0)
+    return (
+        pairs.join(F.broadcast(pred), "prev_type")
+        .groupBy("prev_type", "predicted")
+        .agg(
+            F.sum("n").cast("long").alias("n_transitions"),
+            F.sum(hit).cast("long").alias("n_correct"),
+            F.round(F.sum(hit) / F.sum("n"), 6).alias("accuracy"),
+        )
+    )
