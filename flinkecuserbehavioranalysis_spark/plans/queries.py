@@ -6746,3 +6746,103 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(hit) / F.sum("n"), 6).alias("accuracy"),
         )
     )
+
+
+@_q(
+    "embedding_correlation_matrix",
+    f"""
+WITH {_EMB_COV_CTES},
+__diag AS (SELECT i AS d, cov AS var FROM __cov WHERE i = j)
+SELECT CAST(c.i AS BIGINT) AS i, CAST(c.j AS BIGINT) AS j,
+       round(c.cov / sqrt(a.var * b.var), 6) + 0.0 AS corr
+FROM __cov c JOIN __diag a ON c.i = a.d JOIN __diag b ON c.j = b.d
+WHERE a.var > 0 AND b.var > 0
+""",
+    "Extension (feature statistics #2): Pearson correlation cells from the shared "
+    "covariance relation — corr = cov / sqrt(var_i * var_j) with the 64-row diagonal "
+    "joined broadcast twice; sqrt and division exactly rounded over the already-"
+    "deterministic rounded covariances, zero-variance dimensions excluded on both "
+    "engines, negative zero canonicalized.  The whitening / redundant-feature map of "
+    "the embedding space at dim^2 cost after one corpus pass.",
+)
+def embedding_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cov = _emb_cov_df(spark, sf_dir).select("i", "j", "cov")
+    diag = cov.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), F.col("cov").alias("var")
+    )
+    c = (
+        cov.join(
+            F.broadcast(diag.select(F.col("d").alias("i"), F.col("var").alias("va"))),
+            "i",
+        )
+        .join(
+            F.broadcast(diag.select(F.col("d").alias("j"), F.col("var").alias("vb"))),
+            "j",
+        )
+        .filter((F.col("va") > 0) & (F.col("vb") > 0))
+    )
+    return c.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        (
+            F.round(F.col("cov") / F.sqrt(F.col("va") * F.col("vb")), 6) + F.lit(0.0)
+        ).alias("corr"),
+    )
+
+
+@_q(
+    "revenue_forecast_backtest",
+    """
+WITH __d AS (
+  SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+__f AS (
+  SELECT day, cents,
+         lag(cents, 7)  OVER w AS l7,  lag(cents, 14) OVER w AS l14,
+         lag(cents, 21) OVER w AS l21, lag(cents, 28) OVER w AS l28
+  FROM __d WINDOW w AS (ORDER BY day)),
+__s AS (
+  SELECT day, cents,
+         abs(4 * cents - (l7 + l14 + l21 + l28)) AS err_q
+  FROM __f WHERE l28 IS NOT NULL)
+SELECT count(*) AS n_days,
+       round(CAST(sum(err_q) AS DOUBLE) / (4 * 100 * count(*)), 6) AS mae,
+       round(CAST(sum(err_q) AS DOUBLE) / (4 * CAST(sum(cents) AS DOUBLE)), 6) AS wape
+FROM __s
+""",
+    "Extension (in-engine forecasting baseline): the seasonal-naive forecast — each "
+    "day predicted by the mean of the same weekday's last 4 observations — backtested "
+    "over the whole history with MAE and weighted-absolute-percentage error.  The "
+    "model any revenue forecast must beat, computed on the day-sized pre-aggregation "
+    "(the lag window's single ordered partition is calendar-bounded, the documented "
+    "weekly_revenue_wow exception); integer cents keep every engine difference to two "
+    "final exactly-rounded divisions.",
+)
+def revenue_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        (F.col("o_orderdate").cast("long") / F.lit(86400)).cast("long").alias("day")
+    ).agg((F.sum(_dec("o_totalprice")) * 100).cast("long").alias("cents"))
+    w = Window.orderBy("day")
+    f = d.select(
+        "day",
+        "cents",
+        *[F.lag("cents", k).over(w).alias(f"l{k}") for k in (7, 14, 21, 28)],
+    ).filter(F.col("l28").isNotNull())
+    # exact integer quarter-cents: |4*actual - sum(lags)| sums as BIGINT,
+    # so the whole backtest is order-independent with two final divisions
+    err_q = F.abs(
+        4 * F.col("cents") - (F.col("l7") + F.col("l14") + F.col("l21") + F.col("l28"))
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            F.sum(err_q).cast("double") / (400 * F.count(F.lit(1))), 6
+        ).alias("mae"),
+        F.round(
+            F.sum(err_q).cast("double") / (4 * F.sum("cents").cast("double")), 6
+        ).alias("wape"),
+    )
