@@ -62,10 +62,18 @@ def partitioned_write(
     directory gets *n_files_per_partition* files instead of one shard
     per upstream task (the classic small-file explosion)."""
     cols = [F.col(c) for c in partition_cols]
-    # One shuffle keyed on the partition columns: every row of a given
-    # partition value lands in n_files_per_partition tasks.
+    # One shuffle keyed on (partition columns, salt): hash partitioning
+    # sends each (value, salt) combination to exactly one task, so every
+    # directory gets n_files_per_partition files and distinct values
+    # still spread across the cluster.  (A bare repartition(n, *cols)
+    # could NOT do this: each value hashes to one task regardless of n,
+    # and n=1 would serialize the whole write through a single task.)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                  F.lit(max(n_files_per_partition, 1)))
     (
-        df.repartition(n_files_per_partition, *cols)
+        df.withColumn("__salt", salt)
+        .repartition(*cols, F.col("__salt"))
+        .drop("__salt")
         .write.mode("overwrite")
         .partitionBy(*partition_cols)
         .parquet(path)

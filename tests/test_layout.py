@@ -113,3 +113,28 @@ def test_zorder_write_empty_input(spark, tmp_path):
     path = str(tmp_path / "zempty")
     zorder_write(ev, path, "user_id", "value")
     assert spark.read.parquet(path).count() == 0
+
+
+def test_partitioned_write_files_per_partition_bounded(spark, docs, tmp_path):
+    """n_files_per_partition=k salts each value across k writer tasks:
+    every directory gets between 1 and k files (salt collisions inside
+    one task can merge, never exceed), and rows survive exactly."""
+    import collections
+
+    path = str(tmp_path / "parted_k")
+    # AQE would coalesce this tiny shuffle into one task and merge all
+    # salts — disable it here; at real scale the partitions stay wide
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        partitioned_write(docs, path, ["lang"], n_files_per_partition=3)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    per_dir = collections.Counter(
+        r.f.rsplit("/", 2)[1]
+        for r in back.select(F.input_file_name().alias("f")).distinct().collect()
+    )
+    assert per_dir and all(1 <= n <= 3 for n in per_dir.values())
+    assert any(n > 1 for n in per_dir.values())
