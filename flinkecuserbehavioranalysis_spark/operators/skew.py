@@ -144,7 +144,14 @@ def salted_join(
     runtime): salting also covers the cases AQE can't re-plan, e.g. a
     downstream keyed aggregation that must consume the join's
     partitioning.  For a genuinely broadcast-able small side prefer
-    ``F.broadcast`` — salting only pays when BOTH sides shuffle."""
+    ``F.broadcast`` — salting only pays when BOTH sides shuffle.
+
+    Only big-side-preserving join types are legal: a right/full join
+    would emit each unmatched small-side row once PER SALT replica."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(f"salted_join does not support how={how!r} "
+                         "(small side is replicated per salt)")
     big_salted = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
     )

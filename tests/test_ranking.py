@@ -90,3 +90,14 @@ def test_salted_join_matches_plain_join(spark):
             (r.k, r.payload, r.tag) for r in big.join(small, "k", how).collect()
         )
         assert got == want, how
+
+
+def test_salted_join_rejects_small_side_preserving_types(spark):
+    from flinkecuserbehavioranalysis_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, 2)], "k long, payload long")
+    small = spark.createDataFrame([(1, "a")], "k long, tag string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="replicated per salt"):
+        salted_join(big, small, "k", how="full")
