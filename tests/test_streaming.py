@@ -1359,3 +1359,65 @@ def test_streaming_ivf_ingest_matches_batch_postings(spark, tmp_path):
     g = {(r.neighbor_id, int(r.cell), tuple(r.v_vec)) for r in got.collect()}
     w = {(r.neighbor_id, int(r.cell), tuple(r.v_vec)) for r in want.collect()}
     assert g == w and len(w) > 0
+
+
+def test_late_data_dropped_after_watermark_closes_window(spark, tmp_path):
+    """T4 (late-data drop): a row arriving after the watermark has
+    passed its window's end is DROPPED from an append-mode windowed
+    aggregation — two checkpointed availableNow runs: run 1 advances
+    the watermark past the old window, run 2 delivers the late row
+    (dropped, its window never emits) plus on-time rows (merged into
+    run-1 state and emitted when their window closes)."""
+    import os
+    import time
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    collected = []
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "user_id long, e long").select(
+            "user_id", F.col("e").cast("timestamp").alias("ts")
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = [
+            f for f in os.listdir(str(tmp_path / name)) if f.endswith(".parquet")
+        ][0]
+        os.rename(str(tmp_path / name / part), os.path.join(src, f"{name}.parquet"))
+
+    def run_once():
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").cast("long").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda b, _i: collected.extend(
+                (r.ws, r.n) for r in b.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: t=10000 and t=20000 -> watermark 20000 - 600 = 19400;
+    # closed windows [7200) (and nothing in [0)) emit
+    write_file("b1", [(1, 10000), (1, 20000)])
+    run_once()
+    after_run1 = dict(collected)
+    assert after_run1.get(7200) == 1 and 0 not in after_run1
+
+    # run 2: late t=100 (window [0) closed long ago), on-time t=20100,
+    # and t=25000 which pushes the watermark to 24400, closing [18000)
+    time.sleep(0.1)
+    write_file("b2", [(1, 100), (1, 20100), (1, 25000)])
+    run_once()
+    got = dict(collected)
+    # late row dropped: had it been accepted, closed window [0) would
+    # have emitted n=1 in run 2
+    assert 0 not in got
+    # run-2 state merged with run-1: [18000) = t=20000 + t=20100
+    assert got.get(18000) == 2
