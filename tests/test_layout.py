@@ -138,3 +138,25 @@ def test_partitioned_write_files_per_partition_bounded(spark, docs, tmp_path):
     )
     assert per_dir and all(1 <= n <= 3 for n in per_dir.values())
     assert any(n > 1 for n in per_dir.values())
+
+
+def test_morton_interleave_matches_python_reference(spark):
+    """_morton must be the exact bit-interleave (bijective on the
+    bits-bounded grid) — checked cell-by-cell against a Python
+    reference on an 8-bit grid sample."""
+    from flinkecuserbehavioranalysis_spark.operators.layout import _morton
+
+    def ref(a, b, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(a, b) for a in range(0, 256, 17) for b in range(0, 256, 23)]
+    df = spark.createDataFrame(rows, "a long, b long").select(
+        "a", "b", _morton(F.col("a"), F.col("b"), 8).alias("z")
+    )
+    got = {(r.a, r.b): r.z for r in df.collect()}
+    assert got == {(a, b): ref(a, b, 8) for a, b in rows}
+    assert len(set(got.values())) == len(got)  # bijective on the grid
