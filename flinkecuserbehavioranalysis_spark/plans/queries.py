@@ -6272,7 +6272,7 @@ def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame
     mx = None
     for _ in range(3):
         u = (
-            m.join(v.select(F.col("i").alias("j"), "val"), "j")
+            m.join(F.broadcast(v.select(F.col("i").alias("j"), "val")), "j")
             .groupBy("i")
             .agg(
                 F.sum((F.col("cov") * F.col("val")).cast("decimal(28,12)"))
