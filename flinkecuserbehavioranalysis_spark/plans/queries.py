@@ -6130,7 +6130,13 @@ __cov AS (SELECT i, j, n,
 def _emb_cov_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle covariance cells (i, j, n, cov) — the Spark twin
     of ``_EMB_COV_CTES``; see embedding_covariance_matrix for the plan
-    notes."""
+    notes.  PERSISTED + MEMOIZED per (session, sf_dir) like the
+    canonical map: the covariance / correlation / principal-component
+    family shares one fact-scale pass."""
+    return _cached_canon(spark, sf_dir, "emb_cov_cells", lambda: _emb_cov_build(spark, sf_dir).persist())
+
+
+def _emb_cov_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select(F.col("embedding").cast("array<double>").alias("v"))
     # ONE Generate per vector: the 2,080 (i, j, xi, xj) upper-triangle
