@@ -6852,3 +6852,180 @@ def revenue_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(err_q).cast("double") / (4 * F.sum("cents").cast("double")), 6
         ).alias("wape"),
     )
+
+
+@_q(
+    "supplier_quality_scorecard",
+    f"""
+SELECT s_name,
+       count(*) AS n_items,
+       CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue,
+       round(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS late_rate,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS return_rate
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+""",
+    "Extension (vendor scorecard): per-supplier volume, >30-day-late rate, return "
+    "rate and revenue in ONE grouped pass over the fact join — supplier broadcast, "
+    "orders co-keyed on the order key, conditional aggregation instead of N "
+    "filtered scans.",
+)
+def supplier_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+    ret = F.col("l_returnflag") == "R"
+    return j.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+        F.sum(F.when(ret, 1).otherwise(0)).cast("long").alias("n_returned"),
+        F.sum(_revenue()).cast("double").alias("revenue"),
+        F.round(F.sum(F.when(late, 1).otherwise(0)) / F.count(F.lit(1)), 6).alias(
+            "late_rate"
+        ),
+        F.round(F.sum(F.when(ret, 1).otherwise(0)) / F.count(F.lit(1)), 6).alias(
+            "return_rate"
+        ),
+    )
+
+
+@_q(
+    "text_readability_scores",
+    """
+WITH __s AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+         len(list_filter(string_split(text, '. '), x -> x <> '')) AS n_sents,
+         len(list_filter(string_split(text, ' '), w -> length(w) >= 7)) AS n_long
+  FROM documents)
+SELECT doc_id, n_words, CAST(n_sents AS BIGINT) AS n_sentences,
+       round(CASE WHEN n_sents > 0 THEN n_words * 1.0 / n_sents END, 6)
+         AS words_per_sentence,
+       round(CASE WHEN n_words > 0 THEN n_long * 1.0 / n_words END, 6)
+         AS long_word_ratio
+FROM __s
+""",
+    "Extension (model-free readability proxy, LIX/Coleman-shaped without logs or "
+    "syllables): words per '. '-delimited sentence and the >=7-char long-word share — "
+    "the two integer-ratio signals the classic readability indices combine.  Pure "
+    "map-only projection at scan speed; ratios are single exactly-rounded divisions.",
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    sents = F.filter(F.split(F.col("text"), "\\. ", -1), lambda x: x != "")
+    longw = F.filter(words, lambda w: F.length(w) >= 7)
+    n_words, n_sents, n_long = F.size(words), F.size(sents), F.size(longw)
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sentences"),
+        F.round(
+            F.when(n_sents > 0, n_words.cast("double") / n_sents), 6
+        ).alias("words_per_sentence"),
+        F.round(
+            F.when(n_words > 0, n_long.cast("double") / n_words), 6
+        ).alias("long_word_ratio"),
+    )
+
+
+@_q(
+    "part_price_dispersion",
+    """
+WITH __s AS (
+  SELECT p_type, count(*) AS n,
+         sum(CAST(p_retailprice AS DECIMAL(28,12))) AS s,
+         sum(CAST(p_retailprice * p_retailprice AS DECIMAL(28,12))) AS q
+  FROM part GROUP BY p_type)
+SELECT p_type, n,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean_price,
+       round(sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+             / (CAST(s AS DOUBLE) / n), 6) AS cv
+FROM __s WHERE n >= 2 AND CAST(s AS DOUBLE) > 0
+""",
+    "Extension (pricing consistency): per-type retail-price coefficient of variation "
+    "(std / mean) — the commodity-vs-specialty signal — via the decimal two-moment "
+    "pattern: order-independent DECIMAL(28,12) sums, then one closed-form double "
+    "expression (sqrt and divisions exactly rounded).  One part-type shuffle.",
+)
+def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    dec = "decimal(28,12)"
+    s = part.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p_retailprice").cast(dec)).alias("s"),
+        F.sum((F.col("p_retailprice") * F.col("p_retailprice")).cast(dec)).alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / F.col("n")
+    return (
+        s.filter((F.col("n") >= 2) & (F.col("s").cast("double") > 0))
+        .select(
+            "p_type",
+            "n",
+            F.round(mean, 6).alias("mean_price"),
+            F.round(F.sqrt(var) / mean, 6).alias("cv"),
+        )
+    )
+
+
+@_q(
+    "nation_customer_value_quartiles",
+    """
+WITH __r AS (SELECT c_nationkey, o_custkey,
+                    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             GROUP BY 1, 2),
+__n AS (SELECT c_nationkey, rev,
+               ntile(4) OVER (PARTITION BY c_nationkey
+                              ORDER BY rev DESC, o_custkey) AS quartile
+        FROM __r)
+SELECT n_name, CAST(quartile AS BIGINT) AS quartile,
+       count(*) AS n_customers, CAST(sum(rev) AS DOUBLE) AS quartile_revenue
+FROM __n JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, quartile
+""",
+    "Extension (partitioned ranking — the scale-SAFE ntile): customer revenue "
+    "quartiles WITHIN each nation via the native partitioned window (partitionBy "
+    "bounds each sort to one nation's customers — no single-partition stage, so no "
+    "ranking.py machinery needed; the global-order variants are what demand it).  "
+    "Broadcast nation names, one customer aggregation exchange reused by the window.",
+)
+def nation_customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("rev").desc(), F.col("o_custkey").asc()
+    )
+    q = r.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+    return (
+        q.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev").cast("double").alias("quartile_revenue"),
+        )
+    )
