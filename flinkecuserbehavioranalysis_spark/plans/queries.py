@@ -7029,3 +7029,76 @@ def nation_customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum("rev").cast("double").alias("quartile_revenue"),
         )
     )
+
+
+@_q(
+    "order_lines_distribution",
+    """
+WITH __c AS (SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1)
+SELECT CAST(n_lines AS BIGINT) AS n_lines, count(*) AS n_orders
+FROM __c GROUP BY n_lines
+""",
+    "Extension (fact-shape profiling): the lines-per-order distribution — the join "
+    "fan-out statistic every orders⋈lineitem cost estimate rests on.  Two chained "
+    "aggregations, the second over the already-order-sized relation.",
+)
+def order_lines_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    return c.groupBy("n_lines").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@_q(
+    "region_quarterly_growth",
+    f"""
+WITH __r AS (
+  SELECT r_name,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 7776000 AS quarter,
+         SUM({{rev}}) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2)
+SELECT r_name, quarter, CAST(rev AS DOUBLE) AS revenue,
+       round(CAST(rev AS DOUBLE)
+             / CAST(lag(rev) OVER (PARTITION BY r_name ORDER BY quarter) AS DOUBLE)
+             - 1.0, 6) AS qoq_growth
+FROM __r
+""".format(rev="CAST(o_totalprice AS DECIMAL(18,2))"),
+    "Extension (regional trend): revenue per (region, 90-day epoch quarter) with "
+    "quarter-over-quarter growth — broadcast dim chain into one grouped pass, then a "
+    "lag window over the region-partitioned, calendar-bounded quarter relation "
+    "(first quarter's growth is NULL on both engines).  Calendar-free epoch "
+    "bucketing per the repo rule.",
+)
+def region_quarterly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    q = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            "r_name",
+            (F.col("o_orderdate").cast("long") / F.lit(7776000))
+            .cast("long")
+            .alias("quarter"),
+        )
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    w = Window.partitionBy("r_name").orderBy("quarter")
+    return q.select(
+        "r_name",
+        "quarter",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.lag(F.col("rev")).over(w).cast("double")
+            - 1.0,
+            6,
+        ).alias("qoq_growth"),
+    )
