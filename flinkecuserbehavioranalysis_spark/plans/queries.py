@@ -7102,3 +7102,86 @@ def region_quarterly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("qoq_growth"),
     )
+
+
+@_q(
+    "mktsegment_revenue_share",
+    """
+WITH __s AS (
+  SELECT c_mktsegment, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+         count(*) AS n_orders
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1),
+__t AS (SELECT sum(rev) AS tot FROM __s)
+SELECT c_mktsegment, n_orders, CAST(rev AS DOUBLE) AS revenue,
+       round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS revenue_share
+FROM __s CROSS JOIN __t
+""",
+    "Extension (segment mix): revenue and share per customer market segment — one "
+    "fact join + grouped pass, the segment-sized result joined to its own 1-row total "
+    "broadcast; decimal sums, one exactly-rounded share division.",
+)
+def mktsegment_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    t = s.agg(F.sum("rev").alias("tot"))
+    return s.crossJoin(F.broadcast(t)).select(
+        "c_mktsegment",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(F.col("rev").cast("double") / F.col("tot").cast("double"), 6).alias(
+            "revenue_share"
+        ),
+    )
+
+
+@_q(
+    "tax_effect_by_linestatus",
+    """
+WITH __x AS (
+  SELECT l_linestatus,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS ep,
+         CAST(CAST(1 - l_discount AS DECIMAL(4,2))
+              * CAST(1 + l_tax AS DECIMAL(4,2)) AS DECIMAL(8,4)) AS factor,
+         CAST(1 - l_discount AS DECIMAL(4,2)) AS disc
+  FROM lineitem)
+SELECT l_linestatus, count(*) AS n_items,
+       CAST(SUM(ep * disc) AS DOUBLE) AS net_revenue,
+       CAST(SUM(ep * factor) AS DOUBLE) AS charged_revenue,
+       round(CAST(SUM(ep * factor) AS DOUBLE) / CAST(SUM(ep * disc) AS DOUBLE)
+             - 1.0, 6) AS effective_tax_rate
+FROM __x GROUP BY l_linestatus
+""",
+    "Extension (TPC-H Q1's tax leg): net vs tax-charged revenue per linestatus and "
+    "the effective blended tax rate.  Discount and tax are 2-dp values, so "
+    "(1-d)*(1+t) is EXACT at 4 dp — quantizing the combined factor to DECIMAL(8,4) "
+    "performs no rounding at all (an earlier draft re-quantized the disc_price "
+    "product to 2 dp and tripped the HALF_UP-vs-HALF_EVEN boundary between engines); "
+    "every sum is then an exact decimal, scan-only with map-side combine.",
+)
+def tax_effect_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ep = _dec("l_extendedprice")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    factor = (disc * (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")).cast(
+        "decimal(8,4)"
+    )
+    agg = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(ep * disc).alias("nr"),
+        F.sum(ep * factor).alias("cr"),
+    )
+    return agg.select(
+        "l_linestatus",
+        "n_items",
+        F.col("nr").cast("double").alias("net_revenue"),
+        F.col("cr").cast("double").alias("charged_revenue"),
+        F.round(
+            F.col("cr").cast("double") / F.col("nr").cast("double") - 1.0, 6
+        ).alias("effective_tax_rate"),
+    )
