@@ -19,9 +19,24 @@ def pagerank(
     dst: str = "dst",
     iters: int = 3,
     damping: float = 0.85,
+    tol: float | None = None,
 ) -> DataFrame:
     """PageRank over an UNDIRECTED edge set, *iters* synchronous
     rounds, teleport restricted to the subgraph's nodes.
+
+    Two modes (round-4 verdict ask #4):
+
+    - **fixed-round** (``tol=None``, default): *iters* rounds unrolled
+      lazily — replayable by a SQL oracle, no driver actions.
+    - **convergence** (``tol`` set): iterate until the L1 rank movement
+      ``Σ|pr_new − pr_old| <= tol`` (``tol=0`` = exact fixed point,
+      reachable because every rank is rounded to 6 dp per round), with
+      *iters* as the safety cap.  Each round materializes via
+      ``localCheckpoint`` (flat lineage) and pays one node-sized
+      self-join + scalar agg as the probe — the same discipline as
+      ``duplicate_components``' label-sum probe (dedup.py), cost
+      documented in SCALE.md.  Early-stopping at the fixed point is
+      result-identical to any longer unroll (property-tested).
 
     Returns (id, pr).  Undirected symmetrization means no dangling
     nodes (every node has out-degree ≥ 1) and every node receives at
@@ -46,20 +61,26 @@ def pagerank(
     ``duplicate_components`` documents."""
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     e = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    converge = tol is not None
+    if converge:
+        e = e.localCheckpoint(eager=True)
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     n1 = deg.agg(F.count(F.lit(1)).alias("__n"))
     ranks = (
         deg.crossJoin(F.broadcast(n1))
         .select("s", "deg", "__n", F.round(F.lit(1.0) / F.col("__n"), 6).alias("pr"))
     )
-    for _ in range(iters):
+    if converge:
+        ranks = ranks.localCheckpoint(eager=True)
+
+    def _round(prev: DataFrame) -> DataFrame:
         contrib = e.join(
-            ranks.select("s", (F.col("pr") / F.col("deg")).alias("__c")), "s"
+            prev.select("s", (F.col("pr") / F.col("deg")).alias("__c")), "s"
         )
         new = contrib.groupBy("d").agg(
             F.sum(F.col("__c").cast("decimal(28,12)")).cast("double").alias("__s")
         )
-        ranks = (
+        return (
             deg.crossJoin(F.broadcast(n1))
             .join(new.select(F.col("d").alias("s"), "__s"), "s")
             .select(
@@ -73,6 +94,22 @@ def pagerank(
                 ).alias("pr"),
             )
         )
+
+    for _ in range(iters):
+        nxt = _round(ranks)
+        if not converge:
+            ranks = nxt
+            continue
+        nxt = nxt.localCheckpoint(eager=True)
+        moved = (
+            nxt.select("s", F.col("pr").alias("__new"))
+            .join(ranks.select("s", F.col("pr").alias("__old")), "s")
+            .agg(F.sum(F.abs(F.col("__new") - F.col("__old"))).alias("l1"))
+            .collect()[0]["l1"]
+        )
+        ranks = nxt
+        if moved is None or moved <= tol:
+            break
     return ranks.select(F.col("s").alias("id"), "pr")
 
 

@@ -68,8 +68,15 @@ def partitioned_write(
     # still spread across the cluster.  (A bare repartition(n, *cols)
     # could NOT do this: each value hashes to one task regardless of n,
     # and n=1 would serialize the whole write through a single task.)
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
-                  F.lit(max(n_files_per_partition, 1)))
+    if "__salt" in df.columns:
+        raise ValueError("partitioned_write: input must not carry a __salt column")
+    # monotonically_increasing_id term: full-duplicate rows (same hash
+    # of all columns) still spread across the per-partition files.
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns])
+        + F.monotonically_increasing_id(),
+        F.lit(max(n_files_per_partition, 1)),
+    )
     (
         df.withColumn("__salt", salt)
         .repartition(*cols, F.col("__salt"))

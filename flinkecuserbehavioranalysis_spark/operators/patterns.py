@@ -133,6 +133,7 @@ def pattern_sequence(
     within_seconds: float,
     contiguity: str | list[str] = "relaxed",
     tiebreak_col: str | None = None,
+    emit_double: bool = False,
 ) -> DataFrame:
     """N-step quantified sequence pattern — the generalization of
     ``pattern_pairs`` to flink-cep chains of any length:
@@ -167,7 +168,9 @@ def pattern_sequence(
     passes share one partitioning+ordering → a single shuffle+sort on
     *key_col*, which holds at 100 TB because per-key history is
     bounded.  Returns (key_col, step1_ts … stepN_ts) as epoch-second
-    longs."""
+    longs — or exact doubles with *emit_double* (the CEP compiler's
+    mode: negation windows must compare at full event-time precision
+    before the final floor)."""
     n = len(steps)
     if n < 2:
         raise ValueError(f"pattern_sequence needs >= 2 steps, got {n}")
@@ -205,12 +208,13 @@ def pattern_sequence(
             .drop("__cand", f"__g{i + 1}")
         )
     chain = F.col("__g0.chain")
+    out_ty = "double" if emit_double else "long"
     return cur.filter(
         F.col("__g0").isNotNull()
         & (F.element_at(chain, n) - F.element_at(chain, 1) < F.lit(float(within_seconds)))
     ).select(
         F.col(key_col),
-        *[F.element_at(chain, i + 1).cast("long").alias(f"step{i + 1}_ts") for i in range(n)],
+        *[F.element_at(chain, i + 1).cast(out_ty).alias(f"step{i + 1}_ts") for i in range(n)],
     )
 
 

@@ -44,10 +44,21 @@ def global_rank(
     ``row_number`` would require."""
     from pyspark.sql import Window
 
+    from .. import cache as _frame_cache
+
     part = (
         df.repartitionByRange(shards, *order)
         .withColumn("__pid", F.spark_partition_id())
         .persist()
+    )
+    # Register the persisted shard with the session cache registry so
+    # chained callers (three ntile passes over a fact-scale relation)
+    # can't accumulate cached partitions for the whole session: the
+    # LRU cap evicts old shards, and clear_cache() releases them all.
+    # Keys are unique per call — this is lifecycle, not memoization.
+    _frame_cache.pin(
+        (df.sparkSession.sparkContext.applicationId, "__global_rank", id(part)),
+        lambda: part,
     )
     offs = {
         r["__pid"]: r["n"]

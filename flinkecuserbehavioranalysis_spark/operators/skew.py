@@ -152,8 +152,18 @@ def salted_join(
                    "leftsemi", "left_anti", "leftanti"):
         raise ValueError(f"salted_join does not support how={how!r} "
                          "(small side is replicated per salt)")
+    if "__salt" in big.columns or "__salt" in small.columns:
+        raise ValueError("salted_join: inputs must not carry a __salt column")
+    # Salt = hash(all columns) + monotonically_increasing_id: the id term
+    # spreads even FULL-DUPLICATE rows (identical event rows on a hot key
+    # are common; a pure column hash would send them all to one reducer).
     big_salted = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns])
+            + F.monotonically_increasing_id(),
+            F.lit(salt),
+        ),
     )
     small_rep = small.crossJoin(
         F.broadcast(

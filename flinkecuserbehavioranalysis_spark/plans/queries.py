@@ -306,9 +306,25 @@ WHERE event_type = 'error' AND prev_type = 'error'
     "(F2-F4); strict < bound matching LoginFailTwo.scala:74.",
 )
 def login_fail_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # declarative spec — .times(2).consecutive().within (LoginFailWithCep
+    # .scala:56-60), compiled by operators/cep.py onto the strict-pair
+    # kernel; same rows as consecutive_fail_alerts (property-tested)
+    from ..operators.cep import PatternStep, match_pattern
+
     ev = load_table(spark, sf_dir, "events")
-    return consecutive_fail_alerts(
-        ev, fail_value="error", max_gap_seconds=3600, tiebreak_col="event_id"
+    fail = F.col("event_type") == "error"
+    return match_pattern(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        steps=[PatternStep(fail, contiguity="strict", times=2)],
+        within_seconds=3600.0,
+        tiebreak_col="event_id",
+    ).select(
+        "user_id",
+        F.col("step1_ts").alias("first_fail_ts"),
+        F.col("step2_ts").alias("last_fail_ts"),
+        F.lit("login fail 2 times in a short time").alias("warning_msg"),
     )
 
 
@@ -332,16 +348,23 @@ FROM __e WHERE event_type = 'view' AND next_b - tse < 1800.0
     "30min, relaxed contiguity, strict CEP-style end-exclusive bound.",
 )
 def pattern_view_then_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cep import PatternStep, match_pattern
+
     ev = load_table(spark, sf_dir, "events")
-    return pattern_pairs(
+    return match_pattern(
         ev,
         key_col="user_id",
         ts_col="ts",
-        first_pred=F.col("event_type") == "view",
-        second_pred=F.col("event_type") == "purchase",
+        steps=[
+            PatternStep(F.col("event_type") == "view"),
+            PatternStep(F.col("event_type") == "purchase"),
+        ],
         within_seconds=1800.0,
-        contiguity="relaxed",
         tiebreak_col="event_id",
+    ).select(
+        "user_id",
+        F.col("step1_ts").alias("first_ts"),
+        F.col("step2_ts").alias("second_ts"),
     )
 
 
@@ -375,18 +398,19 @@ WHERE event_type = 'view' AND t3 IS NOT NULL AND t3 - tse < 86400.0
     "clicks), mirroring the operator's reverse-order running struct-min.",
 )
 def pattern_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cep import PatternStep, match_pattern
+
     ev = load_table(spark, sf_dir, "events")
-    return pattern_sequence(
+    return match_pattern(
         ev,
         key_col="user_id",
         ts_col="ts",
         steps=[
-            F.col("event_type") == "view",
-            F.col("event_type") == "click",
-            F.col("event_type") == "purchase",
+            PatternStep(F.col("event_type") == "view"),
+            PatternStep(F.col("event_type") == "click"),
+            PatternStep(F.col("event_type") == "purchase"),
         ],
         within_seconds=86400.0,
-        contiguity="relaxed",
         tiebreak_col="event_id",
     )
 
@@ -423,16 +447,28 @@ WHERE v.event_type = 'view' AND v.next_b - v.tse < 1800.0
     "the outcome.",
 )
 def pattern_clean_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # begin(view).notFollowedBy(error).followedBy(purchase).within as a
+    # declarative spec; the compiler evaluates the kill window at full
+    # double precision (the hand-rolled kernel compared against floored
+    # endpoints — same oracle, tighter boundary semantics)
+    from ..operators.cep import PatternStep, match_pattern
+
     ev = load_table(spark, sf_dir, "events")
-    return pattern_pairs_not_between(
+    return match_pattern(
         ev,
         key_col="user_id",
         ts_col="ts",
-        first_pred=F.col("event_type") == "view",
-        second_pred=F.col("event_type") == "purchase",
-        absent_pred=F.col("event_type") == "error",
+        steps=[
+            PatternStep(F.col("event_type") == "view"),
+            PatternStep(F.col("event_type") == "error", negated=True),
+            PatternStep(F.col("event_type") == "purchase"),
+        ],
         within_seconds=1800.0,
         tiebreak_col="event_id",
+    ).select(
+        "user_id",
+        F.col("step1_ts").alias("first_ts"),
+        F.col("step2_ts").alias("second_ts"),
     )
 
 
@@ -454,15 +490,19 @@ WHERE NOT EXISTS (SELECT 1 FROM __p p
     "executed as one co-partitioned LEFT ANTI range join.",
 )
 def pattern_view_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cep import PatternStep, match_pattern
+
     ev = load_table(spark, sf_dir, "events")
-    return pattern_not_followed_by(
+    return match_pattern(
         ev,
         key_col="user_id",
         ts_col="ts",
-        first_pred=F.col("event_type") == "view",
-        absent_pred=F.col("event_type") == "purchase",
+        steps=[
+            PatternStep(F.col("event_type") == "view"),
+            PatternStep(F.col("event_type") == "purchase", negated=True),
+        ],
         within_seconds=900.0,
-    )
+    ).select("user_id", F.col("step1_ts").alias("first_ts"))
 
 
 @_q(
@@ -501,19 +541,82 @@ WHERE event_type = 'view' AND np IS NOT NULL AND np - tse < 3600.0
     "skipped position — exactly flink-cep's emit-all-satisfiable-expansions behavior.",
 )
 def pattern_optional_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cep import PatternStep, match_pattern
+
     ev = load_table(spark, sf_dir, "events")
-    return pattern_sequence_optional(
+    return match_pattern(
         ev,
         key_col="user_id",
         ts_col="ts",
         steps=[
-            F.col("event_type") == "view",
-            F.col("event_type") == "click",
-            F.col("event_type") == "purchase",
+            PatternStep(F.col("event_type") == "view"),
+            PatternStep(F.col("event_type") == "click", optional=True),
+            PatternStep(F.col("event_type") == "purchase"),
         ],
         within_seconds=3600.0,
-        optional=[False, True, False],
-        contiguity="relaxed",
+        tiebreak_col="event_id",
+    )
+
+
+@_q(
+    "pattern_guarded_optional_funnel",
+    """
+WITH __p AS (
+  SELECT user_id, event_type, event_id, epoch(ts) AS tse,
+         min(CASE WHEN event_type = 'purchase' THEN epoch(ts) END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+  FROM events),
+__c AS (
+  SELECT user_id, event_type, tse, np,
+         min(CASE WHEN event_type = 'click' AND np IS NOT NULL THEN tse END) OVER w AS t2,
+         min(CASE WHEN event_type = 'click' THEN np END) OVER w AS t3
+  FROM __p
+  WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+__err AS (SELECT user_id, epoch(ts) AS tse FROM events WHERE event_type = 'error')
+SELECT user_id,
+       CAST(floor(tse) AS BIGINT) AS step1_ts,
+       CAST(floor(t2) AS BIGINT) AS step2_ts,
+       CAST(floor(t3) AS BIGINT) AS step3_ts
+FROM __c c
+WHERE event_type = 'view' AND t3 IS NOT NULL AND t3 - tse < 3600.0
+  AND NOT EXISTS (SELECT 1 FROM __err e
+                  WHERE e.user_id = c.user_id AND e.tse > c.t2 AND e.tse < c.t3)
+UNION ALL
+SELECT user_id,
+       CAST(floor(tse) AS BIGINT) AS step1_ts,
+       CAST(NULL AS BIGINT) AS step2_ts,
+       CAST(floor(np) AS BIGINT) AS step3_ts
+FROM __c c
+WHERE event_type = 'view' AND np IS NOT NULL AND np - tse < 3600.0
+  AND NOT EXISTS (SELECT 1 FROM __err e
+                  WHERE e.user_id = c.user_id AND e.tse > c.tse AND e.tse < c.np)
+""",
+    "Extension (CEP composability — round-4 verdict ask): negation INSIDE an optional "
+    "funnel, begin(view).followedBy(click).optional().notFollowedBy(error)"
+    ".followedBy(purchase).within(1h), a shape no single hand-written kernel covered. "
+    "The declarative compiler (operators/cep.py) expands the optional into two variants "
+    "and anchors the error-guard to whichever gap survives: (click, purchase) when the "
+    "click is matched, (view, purchase) when it is skipped — kill windows evaluated at "
+    "exact event-time precision, boundary-exclusive.  Property-tested against a naive "
+    "per-key Python NFA.",
+)
+def pattern_guarded_optional_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cep import PatternStep, match_pattern
+
+    ev = load_table(spark, sf_dir, "events")
+    return match_pattern(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        steps=[
+            PatternStep(F.col("event_type") == "view"),
+            PatternStep(F.col("event_type") == "click", optional=True),
+            PatternStep(F.col("event_type") == "error", negated=True),
+            PatternStep(F.col("event_type") == "purchase"),
+        ],
+        within_seconds=3600.0,
         tiebreak_col="event_id",
     )
 
@@ -1648,14 +1751,15 @@ from ..operators.dedup import canonicalize_duplicates  # noqa: E402
 #: way the memo converts a per-dependent-query cost into once per
 #: (session, sf_dir, family); keys include the Spark applicationId so a
 #: fresh driver process never sees stale frames.
-_FRAME_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+from .. import cache as _frame_cache  # noqa: E402
+
+#: Re-exported for callers/tests: release every memoized frame.
+clear_cache = _frame_cache.clear_cache
 
 
 def _cached_canon(spark: SparkSession, sf_dir: str, family: str, build) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, family)
-    if key not in _FRAME_CACHE:
-        _FRAME_CACHE[key] = build()
-    return _FRAME_CACHE[key]
+    return _frame_cache.pin(key, build)
 
 
 @_q(
@@ -5508,6 +5612,10 @@ def daily_purchase_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("ts").cast("long") / 86400).cast("long"),
         F.max(F.col("ts").cast("long") / 86400).cast("long"),
     ).first()
+    if lo is None or hi is None:  # empty / all-null-ts events: no spine
+        return spark.createDataFrame(
+            [], "day long, n_big_purchases long, is_gap int"
+        )
     return spark.sql(
         f"""
 WITH RECURSIVE

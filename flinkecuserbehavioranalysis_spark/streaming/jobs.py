@@ -452,20 +452,25 @@ def streaming_activity_bitmask(
     stream: DataFrame,
     ts_col: str = "ts",
     key_col: str = "user_id",
-    watermark: str = "0 seconds",
+    watermark: str = "1 day",
 ) -> DataFrame:
     """Streaming twin of the ``hourly_activity_bitmask`` per-(user, day)
     stage: ``bit_or(1 << hour)`` is associative/commutative, so the
     24-bit activity mask accumulates incrementally in update mode with
-    8 bytes of state per key — the bitmap profile a serving store can
-    upsert per micro-batch (day-bucketed state, evictable by
-    watermark)."""
-    sec = F.col(ts_col).cast("long")
+    8 bytes of state per key.
+
+    The day bucket is a ``window(ts, '1 day')`` on the WATERMARKED
+    event-time column — not a derived ``cast(ts)/86400`` column — so
+    Spark's state store recognizes it as an event-time window and
+    EVICTS each (key, day) entry once the watermark passes day-end +
+    delay; a derived column would accumulate one state row per
+    (key, day) forever.  ``window.start`` is projected back to the
+    epoch-day long so the output schema matches the batch twin."""
     wm = stream.withWatermark(ts_col, watermark)
     return (
         wm.groupBy(
             F.col(key_col),
-            (sec / F.lit(86400)).cast("long").alias("day"),
+            F.window(F.col(ts_col), "1 day").alias("__w"),
         )
         .agg(
             F.bit_or(
@@ -474,5 +479,12 @@ def streaming_activity_bitmask(
                     f"CAST((CAST({ts_col} AS LONG) % 86400) DIV 3600 AS INT))"
                 )
             ).alias("mask")
+        )
+        .select(
+            key_col,
+            (F.unix_timestamp(F.col("__w.start")) / F.lit(86400))
+            .cast("long")
+            .alias("day"),
+            "mask",
         )
     )

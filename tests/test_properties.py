@@ -1017,3 +1017,171 @@ def test_pattern_one_or_more_matches_naive(spark, data):
             if run and t <= run[0][0] + within:
                 expect.append((k, run[0][0], t, len(run)))
     assert got == sorted(expect)
+
+
+@given(SEQ_EVENTS)
+@settings(max_examples=15, deadline=None)
+def test_match_pattern_guarded_optional_matches_naive_nfa(spark, events):
+    """Declarative CEP compiler (operators/cep.py) on the composite
+    'negation inside an optional funnel' — a, b optional, NOT x, c —
+    vs a naive per-key NFA: lex-min chains per expansion variant, then
+    the boundary-exclusive kill window anchored to whichever gap
+    survives the expansion."""
+    from flinkecuserbehavioranalysis_spark.operators.cep import (
+        PatternStep,
+        match_pattern,
+    )
+
+    rows = [(k, t, e, i) for i, (k, t, e) in enumerate(events)]
+    if not rows:
+        return
+    within = 12.0
+    df = spark.createDataFrame(
+        rows, "user_id long, tsd long, event_type string, event_id long"
+    ).selectExpr("user_id", "timestamp_seconds(tsd) as ts", "event_type", "event_id")
+    got = sorted(
+        (
+            (r.user_id, r.step1_ts, r.step2_ts, r.step3_ts)
+            for r in match_pattern(
+                df,
+                key_col="user_id",
+                ts_col="ts",
+                steps=[
+                    PatternStep(F.col("event_type") == "a"),
+                    PatternStep(F.col("event_type") == "b", optional=True),
+                    PatternStep(F.col("event_type") == "x", negated=True),
+                    PatternStep(F.col("event_type") == "c"),
+                ],
+                within_seconds=within,
+                tiebreak_col="event_id",
+            ).collect()
+        ),
+        key=repr,
+    )
+
+    by_key: dict[int, list[tuple[int, str]]] = {}
+    for k, t, e, i in sorted(rows, key=lambda r: (r[1], r[3])):
+        by_key.setdefault(k, []).append((t, e))
+
+    def killed(seq, lo, hi):
+        return any(e == "x" and lo < t < hi for t, e in seq)
+
+    expect = []
+    for k, seq in by_key.items():
+        for i in range(len(seq)):
+            full = _lex_min_chain(
+                seq,
+                [lambda e: e == "a", lambda e: e == "b", lambda e: e == "c"],
+                ["relaxed", "relaxed"],
+                i,
+            )
+            if (
+                full is not None
+                and full[-1] - full[0] < within
+                and not killed(seq, full[1], full[2])
+            ):
+                expect.append((k, full[0], full[1], full[2]))
+            skip = _lex_min_chain(
+                seq,
+                [lambda e: e == "a", lambda e: e == "c"],
+                ["relaxed"],
+                i,
+            )
+            if (
+                skip is not None
+                and skip[-1] - skip[0] < within
+                and not killed(seq, skip[0], skip[1])
+            ):
+                expect.append((k, skip[0], None, skip[1]))
+    assert got == sorted(expect, key=repr)
+
+
+@given(SEQ_EVENTS)
+@settings(max_examples=10, deadline=None)
+def test_match_pattern_trailing_negation_two_steps_matches_naive(spark, events):
+    """Compiler combination no hand-written kernel had: a 2-step chain
+    with a TRAILING negation — (a, b, NOT x): kill iff x strictly after
+    the matched b and strictly before a's deadline (first + within)."""
+    from flinkecuserbehavioranalysis_spark.operators.cep import (
+        PatternStep,
+        match_pattern,
+    )
+
+    rows = [(k, t, e, i) for i, (k, t, e) in enumerate(events)]
+    if not rows:
+        return
+    within = 12.0
+    df = spark.createDataFrame(
+        rows, "user_id long, tsd long, event_type string, event_id long"
+    ).selectExpr("user_id", "timestamp_seconds(tsd) as ts", "event_type", "event_id")
+    got = sorted(
+        (
+            (r.user_id, r.step1_ts, r.step2_ts)
+            for r in match_pattern(
+                df,
+                key_col="user_id",
+                ts_col="ts",
+                steps=[
+                    PatternStep(F.col("event_type") == "a"),
+                    PatternStep(F.col("event_type") == "b"),
+                    PatternStep(F.col("event_type") == "x", negated=True),
+                ],
+                within_seconds=within,
+                tiebreak_col="event_id",
+            ).collect()
+        ),
+        key=repr,
+    )
+
+    by_key: dict[int, list[tuple[int, str]]] = {}
+    for k, t, e, i in sorted(rows, key=lambda r: (r[1], r[3])):
+        by_key.setdefault(k, []).append((t, e))
+    expect = []
+    for k, seq in by_key.items():
+        for i in range(len(seq)):
+            chain = _lex_min_chain(
+                seq,
+                [lambda e: e == "a", lambda e: e == "b"],
+                ["relaxed"],
+                i,
+            )
+            if (
+                chain is not None
+                and chain[-1] - chain[0] < within
+                and not any(
+                    e == "x" and chain[1] < t < chain[0] + within for t, e in seq
+                )
+            ):
+                expect.append((k, chain[0], chain[1]))
+    assert got == sorted(expect, key=repr)
+
+
+def test_match_pattern_spec_validation(spark):
+    from flinkecuserbehavioranalysis_spark.operators.cep import (
+        PatternStep,
+        match_pattern,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, "a", 0)], "user_id long, tsd long, event_type string, event_id long"
+    ).selectExpr("user_id", "timestamp_seconds(tsd) as ts", "event_type", "event_id")
+    a = F.col("event_type") == "a"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lead"):
+        match_pattern(df, "user_id", "ts",
+                      [PatternStep(a, negated=True), PatternStep(a)], 10.0)
+    with _pytest.raises(ValueError, match="adjacent negations"):
+        match_pattern(df, "user_id", "ts",
+                      [PatternStep(a), PatternStep(a, negated=True),
+                       PatternStep(a, negated=True), PatternStep(a)], 10.0)
+    with _pytest.raises(ValueError, match="after a negation"):
+        match_pattern(df, "user_id", "ts",
+                      [PatternStep(a), PatternStep(a, negated=True),
+                       PatternStep(a, contiguity="strict")], 10.0)
+    with _pytest.raises(ValueError, match="uniform contiguity"):
+        match_pattern(df, "user_id", "ts",
+                      [PatternStep(a, optional=True),
+                       PatternStep(a, contiguity="strict")], 10.0)
+    with _pytest.raises(ValueError, match="bare filter|no compilable"):
+        match_pattern(df, "user_id", "ts", [PatternStep(a)], 10.0)
