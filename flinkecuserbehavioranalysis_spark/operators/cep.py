@@ -120,22 +120,12 @@ def _validate(steps: list[PatternStep]) -> None:
             )
 
 
-def match_pattern(
-    df: DataFrame,
-    key_col: str,
-    ts_col: str,
-    steps: list[PatternStep],
-    within_seconds: float,
-    tiebreak_col: str | None = None,
-) -> DataFrame:
-    """Compile *steps* and return (key_col, step1_ts … stepN_ts) —
-    one column per positive ATOM (``times`` counted), epoch-second
-    longs, NULL where an optional step was skipped in that variant."""
-    _validate(steps)
+def _expand_units(steps: list[PatternStep]) -> tuple[list[tuple], int]:
+    """Expand ``times`` quantifiers into atom units.
 
-    # ---- expand to units: positive atom groups + negations ----------
-    # unit: ("pos", [(pred, contig), ...], [global atom idx], optional)
-    #     | ("neg", pred)
+    unit: ("pos", [(pred, contig), ...], [global atom idx], optional)
+        | ("neg", pred)
+    Returns (units, n_atoms)."""
     units: list[tuple] = []
     n_atoms = 0
     for s in steps:
@@ -148,40 +138,17 @@ def match_pattern(
             units.append(("pos", atoms, idxs, s.optional))
     if n_atoms == 0:
         raise ValueError("match_pattern: no positive step")
-
-    opt_units = [u for u, unit in enumerate(units) if unit[0] == "pos" and unit[3]]
-
-    variants: list[DataFrame] = []
-    for r in range(len(opt_units) + 1):
-        for drop in combinations(opt_units, r):
-            v = _compile_variant(
-                df, key_col, ts_col, units, set(drop), n_atoms,
-                within_seconds, tiebreak_col,
-            )
-            if v is not None:
-                variants.append(v)
-    if not variants:
-        raise ValueError("match_pattern: no compilable variant (every "
-                         "expansion degenerates to a bare filter)")
-    out = variants[0]
-    for v in variants[1:]:
-        out = out.unionByName(v)
-    return out
+    return units, n_atoms
 
 
-def _compile_variant(
-    df: DataFrame,
-    key_col: str,
-    ts_col: str,
-    units: list[tuple],
-    drop: set[int],
-    n_atoms: int,
-    within_seconds: float,
-    tiebreak_col: str | None,
-) -> DataFrame | None:
-    # surviving atoms in order + negations anchored to local positions
+def _variant_spec(units: list[tuple], drop: set[int]) -> dict | None:
+    """One optional-expansion variant: surviving atoms in order plus
+    negations anchored to 1-based local positions (ri=None = trailing).
+    Returns None for variants that are not a pattern (no atoms, a bare
+    single-step filter with no negation, or a negation with no left
+    anchor)."""
     atoms: list[tuple[Column, str, int]] = []  # (pred, contig, global idx)
-    negs: list[tuple[Column, int, int | None]] = []  # (pred, left 1-based local, right local|None)
+    negs: list[tuple[Column, int, int | None]] = []
     pending_negs: list[Column] = []
     for u, unit in enumerate(units):
         if unit[0] == "neg":
@@ -200,15 +167,67 @@ def _compile_variant(
             atoms.append((pred, contig, gi))
     for np_ in pending_negs:  # trailing negation(s)
         negs.append((np_, len(atoms), None))
-    # merge adjacent negations created by dropping the optional between
+    # merge negations sharing a gap (incl. adjacency created by drops)
     merged: dict[tuple[int, int | None], Column] = {}
     for pred, li, ri in negs:
         k = (li, ri)
         merged[k] = pred if k not in merged else (merged[k] | pred)
-
-    n_pos = len(atoms)
-    if n_pos == 0 or (n_pos == 1 and not merged):
+    if not atoms or (len(atoms) == 1 and not merged):
         return None  # bare filter, not a pattern
+    return {"atoms": atoms, "negs": merged}
+
+
+def variant_specs(steps: list[PatternStep]) -> list[dict]:
+    """Validate *steps* and return every compilable optional-expansion
+    variant (shared by the batch compiler and the streaming twin)."""
+    _validate(steps)
+    units, n_atoms = _expand_units(steps)
+    opt_units = [u for u, unit in enumerate(units) if unit[0] == "pos" and unit[3]]
+    specs: list[dict] = []
+    for r in range(len(opt_units) + 1):
+        for drop in combinations(opt_units, r):
+            spec = _variant_spec(units, set(drop))
+            if spec is not None:
+                specs.append(spec)
+    if not specs:
+        raise ValueError("match_pattern: no compilable variant (every "
+                         "expansion degenerates to a bare filter)")
+    for spec in specs:
+        spec["n_atoms"] = n_atoms
+    return specs
+
+
+def match_pattern(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    steps: list[PatternStep],
+    within_seconds: float,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Compile *steps* and return (key_col, step1_ts … stepN_ts) —
+    one column per positive ATOM (``times`` counted), epoch-second
+    longs, NULL where an optional step was skipped in that variant."""
+    variants = [
+        _compile_variant(df, key_col, ts_col, spec, within_seconds, tiebreak_col)
+        for spec in variant_specs(steps)
+    ]
+    out = variants[0]
+    for v in variants[1:]:
+        out = out.unionByName(v)
+    return out
+
+
+def _compile_variant(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    spec: dict,
+    within_seconds: float,
+    tiebreak_col: str | None,
+) -> DataFrame:
+    atoms, merged, n_atoms = spec["atoms"], spec["negs"], spec["n_atoms"]
+    n_pos = len(atoms)
 
     if n_pos == 1:
         pred, _, _ = atoms[0]

@@ -1508,7 +1508,7 @@ def event_last_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_train_ctes(
-    n_cells: int,
+    n_cells: int | str,
     train_iters: int,
     train_buckets: int | None,
     source: str = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
@@ -1519,8 +1519,10 @@ def _kmeans_train_ctes(
     sums rounded to 6 dp for the means, so the trained codebook is
     bit-identical to Spark's.  *source* supplies the (vec_id, v) input
     relation — any vectorizable modality plugs in (the text-topic query
-    passes the hashed-vectorizer CTE).  Returns (sql_prefix,
-    final_seed_cte)."""
+    passes the hashed-vectorizer CTE).  *n_cells* may be a SQL
+    expression string (e.g. a scalar subquery deriving the cell count
+    from the corpus size — the adaptive-blocking twin of the Spark
+    side's eager count).  Returns (sql_prefix, final_seed_cte)."""
     cos = _COS_SQL
     train_where = (
         f"WHERE {_BUCKET_SQL.format(k='vec_id')} < {train_buckets}"
@@ -4282,20 +4284,38 @@ FROM __sdm m LEFT JOIN __sdp p USING (vec_id)
     )
 
 
+#: Adaptive SemDeDup blocking: cells scale with the corpus so
+#: per-cluster size (and the within-cluster quadratic term) stays
+#: ~constant.  max(8, n // 500) keeps the driver SFs at 8 cells
+#: (unchanged results) and held the round-5 sf1->sf3 slope linear —
+#: the fixed-8 variant measured 15.3x at 3x the vectors (BENCH_DIFF).
+_SEMDEDUP_CELLS_PER = 500
+
+
+def _semdedup_cells(n: int) -> int:
+    return max(8, n // _SEMDEDUP_CELLS_PER)
+
+
 @_q(
     "semantic_dedup_flags",
-    _semdedup_oracle(8, 2, 0.4),
+    _semdedup_oracle(
+        f"(SELECT greatest(8, count(*) // {_SEMDEDUP_CELLS_PER}) FROM __et)", 2, 0.4
+    ),
     "Extension (SemDeDup, Abbas et al. 2023): semantic dedup by k-means blocking — "
     "vectors compared only within their cluster, flagged when a smaller-id cluster-mate "
-    "has cosine >= 0.4 (greedy keep-first).  Oracle replays the full Lloyd training loop; "
-    "the pair stage is quadratic only within a cluster (n_cells is the blocking knob).",
+    "has cosine >= 0.4 (greedy keep-first).  Oracle replays the full Lloyd training loop. "
+    "Blocking is ADAPTIVE (round 5): n_cells = max(8, n/500) derived from the corpus on "
+    "both engines (eager 1-row count on the Spark side, scalar subquery in the oracle's "
+    "seed LIMIT), so per-cluster size — and the within-cluster quadratic term — stays "
+    "constant as the corpus grows; the fixed-cell variant measured super-linear at 30x "
+    "(BENCH_DIFF round-5).",
 )
 def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup
 
-    return semantic_dedup(
-        load_table(spark, sf_dir, "embeddings"), n_cells=8, train_iters=2, tau=0.4
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = _semdedup_cells(emb.count())
+    return semantic_dedup(emb, n_cells=cells, train_iters=2, tau=0.4)
 
 
 @_q(
@@ -4653,6 +4673,32 @@ def weekly_uv_from_daily_sketches(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         daily.groupBy("week")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("uv_est"))
+    )
+
+
+@_q(
+    "weekly_uv_exact",
+    """
+SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 7 AS week,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS uv
+FROM events GROUP BY 1
+""",
+    "Exact twin of weekly_uv_from_daily_sketches (driver-rotation insurance — the "
+    "sketch query is rows-only by design, this sibling is oracle-exact): weekly "
+    "distinct users via one (week, user) pre-distinct then a count — the two-level "
+    "exact shape whose partial aggregation bounds the shuffle to distinct pairs.  "
+    "The HLL estimate is tolerance-tested against this twin "
+    "(tests/test_scale_utilities.py).",
+)
+def weekly_uv_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.col("ts").cast("long") / F.lit(86400)).cast("long")
+    week = (day / F.lit(7)).cast("long")
+    return (
+        ev.select(week.alias("week"), "user_id")
+        .distinct()
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).cast("long").alias("uv"))
     )
 
 

@@ -1561,3 +1561,24 @@ def test_incremental_dedup_flags_planted_cross_dup(spark):
     assert out[100].n_candidates >= 1
     assert out[101].is_dup == 0 and out[101].best_jaccard is None
     assert out[101].n_candidates == 0
+
+
+def test_weekly_uv_sketch_within_tolerance_of_exact_twin(spark):
+    """weekly_uv_from_daily_sketches (rows-only: Datasketches HLL union)
+    vs its oracle-exact sibling weekly_uv_exact — estimates must land
+    within HLL tolerance of the exact weekly distinct counts
+    (driver-rotation insurance, round-4 verdict ask #8)."""
+    from flinkecuserbehavioranalysis_spark.plans.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r.week: r.uv for r in QUERIES["weekly_uv_exact"].fn(spark, sf).collect()
+    }
+    est = {
+        r.week: r.uv_est
+        for r in QUERIES["weekly_uv_from_daily_sketches"].fn(spark, sf).collect()
+    }
+    assert set(exact) == set(est)
+    assert len(exact) > 0
+    for wk, ex in exact.items():
+        assert abs(est[wk] - ex) <= max(3, 0.05 * ex), (wk, ex, est[wk])

@@ -1421,3 +1421,202 @@ def test_late_data_dropped_after_watermark_closes_window(spark, tmp_path):
     assert 0 not in got
     # run-2 state merged with run-1: [18000) = t=20000 + t=20100
     assert got.get(18000) == 2
+
+
+def _cep_steps(*specs):
+    from flinkecuserbehavioranalysis_spark.operators.cep import PatternStep
+
+    out = []
+    for ev, kw in specs:
+        out.append(PatternStep(F.col("event_type") == ev, **kw))
+    return out
+
+
+def test_match_pattern_stream_guarded_optional_matches_batch(spark):
+    """Streaming CEP compiler on the composite spec (optional + mid-gap
+    negation, no trailing negation -> immediate emission): bounded
+    ordered replay must equal the batch compiler exactly."""
+    from flinkecuserbehavioranalysis_spark.operators.cep import match_pattern
+    from flinkecuserbehavioranalysis_spark.streaming.cep import match_pattern_stream
+
+    steps = _cep_steps(
+        ("view", {}),
+        ("click", {"optional": True}),
+        ("error", {"negated": True}),
+        ("purchase", {}),
+    )
+    stream = read_events_stream(spark, SF_DIR).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    got = sorted(
+        (
+            (r.key, r.step1_ts, r.step2_ts, r.step3_ts)
+            for r in run_bounded(
+                match_pattern_stream(
+                    stream, "user_id", "ts", steps, 3600.0, tiebreak_col="event_id"
+                )
+            )
+        ),
+        key=repr,
+    )
+    batch = sorted(
+        (
+            (r.user_id, r.step1_ts, r.step2_ts, r.step3_ts)
+            for r in match_pattern(
+                load_table(spark, SF_DIR, "events"),
+                "user_id",
+                "ts",
+                steps,
+                3600.0,
+                tiebreak_col="event_id",
+            ).collect()
+        ),
+        key=repr,
+    )
+    assert got == batch
+    assert len(got) > 0
+
+
+def test_match_pattern_stream_trailing_negation_matches_batch(spark):
+    """Trailing negation through the streaming compiler: survivors are
+    decided by TIME (watermark past first+within), so compare to the
+    batch compiler restricted to decided anchors."""
+    from flinkecuserbehavioranalysis_spark.operators.cep import match_pattern
+    from flinkecuserbehavioranalysis_spark.streaming.cep import match_pattern_stream
+
+    steps = _cep_steps(("view", {}), ("purchase", {"negated": True}))
+    within = 900.0
+    stream = read_events_stream(spark, SF_DIR).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    got = sorted(
+        (r.key, r.step1_ts)
+        for r in run_bounded(
+            match_pattern_stream(stream, "user_id", "ts", steps, within)
+        )
+    )
+    wm = _max_ts(spark)
+    batch = sorted(
+        (r.user_id, r.step1_ts)
+        for r in match_pattern(
+            load_table(spark, SF_DIR, "events"), "user_id", "ts", steps, within
+        ).collect()
+        if r.step1_ts + within <= wm
+    )
+    assert got == batch
+    assert len(got) > 0
+
+
+def test_match_pattern_stream_strict_times_matches_batch(spark):
+    """times(2).consecutive() (login-fail shape) through the streaming
+    compiler equals the batch compiler on a bounded replay."""
+    from flinkecuserbehavioranalysis_spark.operators.cep import match_pattern
+    from flinkecuserbehavioranalysis_spark.streaming.cep import match_pattern_stream
+
+    steps = _cep_steps(("error", {"contiguity": "strict", "times": 2}))
+    stream = read_events_stream(spark, SF_DIR).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    got = sorted(
+        (r.key, r.step1_ts, r.step2_ts)
+        for r in run_bounded(
+            match_pattern_stream(
+                stream, "user_id", "ts", steps, 3600.0, tiebreak_col="event_id"
+            )
+        )
+    )
+    batch = sorted(
+        (r.user_id, r.step1_ts, r.step2_ts)
+        for r in match_pattern(
+            load_table(spark, SF_DIR, "events"),
+            "user_id",
+            "ts",
+            steps,
+            3600.0,
+            tiebreak_col="event_id",
+        ).collect()
+    )
+    assert got == batch
+    assert len(got) > 0
+
+
+def test_match_pattern_stream_multibatch_state_carry(spark, tmp_path):
+    """Cross-micro-batch state in the streaming CEP compiler: a chain
+    opened in batch 1 advances in batch 2; a mid-gap kill recorded in
+    batch 2 blocks the advance in batch 3 (boundary-exclusive both
+    ends); a parked trailing-negation completion is killed by a later
+    batch's absent and survivors flush on watermark advance."""
+    import time
+
+    from flinkecuserbehavioranalysis_spark.streaming.cep import match_pattern_stream
+
+    in_dir = tmp_path / "cep_stream"
+
+    def w(rows):
+        spark.createDataFrame(
+            rows, "user_id long, event_type string, tsd long"
+        ).selectExpr(
+            "user_id", "event_type", "timestamp_seconds(tsd) as ts"
+        ).coalesce(1).write.mode("append").parquet(str(in_dir))
+        time.sleep(1.1)
+
+    # spec: a -> NOT x -> b, within 100
+    steps = _cep_steps(("a", {}), ("x", {"negated": True}), ("b", {}))
+    # u1: a@100 (b1), b@120 (b2) -> match (no x between)
+    # u2: a@100 (b1), x@110 (b2 records kill), b@120 (b3) -> killed
+    # u3: a@100, x@100 same-ts (b1): does NOT kill (strictly later);
+    #     b@105 (b2) -> match
+    # u4: a@100 (b1); x@120 and b@120 same ts (b3): kill needs < b_ts,
+    #     120 < 120 false -> match survives
+    w([(1, "a", 100), (2, "a", 100), (3, "a", 100), (3, "x", 100), (4, "a", 100)])
+    w([(1, "b", 120), (2, "x", 110), (3, "b", 105)])
+    w([(2, "b", 120), (4, "x", 120), (4, "b", 120)])
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    out = match_pattern_stream(
+        stream, "user_id", "ts", steps, 100.0, watermark="500 seconds"
+    )
+    got = sorted((r.key, r.step1_ts, r.step2_ts) for r in run_bounded(out))
+    assert got == [(1, 100, 120), (3, 100, 105), (4, 100, 120)]
+
+
+def test_match_pattern_stream_multibatch_trailing_negation(spark, tmp_path):
+    """Parked completions across batches: (a, b, NOT x) — a completion
+    parked in batch 1 is killed by batch 2's x inside the deadline;
+    another survives and flushes once the watermark passes first+within."""
+    import time
+
+    from flinkecuserbehavioranalysis_spark.streaming.cep import match_pattern_stream
+
+    in_dir = tmp_path / "cep_stream_trail"
+
+    def w(rows):
+        spark.createDataFrame(
+            rows, "user_id long, event_type string, tsd long"
+        ).selectExpr(
+            "user_id", "event_type", "timestamp_seconds(tsd) as ts"
+        ).coalesce(1).write.mode("append").parquet(str(in_dir))
+        time.sleep(1.1)
+
+    steps = _cep_steps(("a", {}), ("b", {}), ("x", {"negated": True}))
+    # u1: a@100 b@110 (completes, deadline 150); x@130 in b2 kills it
+    # u2: a@100 b@110 (completes); x@150 == deadline in b2 -> end-
+    #     exclusive, does NOT kill; sentinel@900 flushes the watermark
+    w([(1, "a", 100), (1, "b", 110), (2, "a", 100), (2, "b", 110)])
+    w([(1, "x", 130), (2, "x", 150)])
+    w([(9, "other", 900)])
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    out = match_pattern_stream(
+        stream, "user_id", "ts", steps, 50.0, watermark="10 seconds"
+    )
+    got = sorted((r.key, r.step1_ts, r.step2_ts) for r in run_bounded(out))
+    assert got == [(2, 100, 110)]
