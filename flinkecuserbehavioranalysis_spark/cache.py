@@ -18,7 +18,13 @@ chained ntile passes can't pile up cached partitions either.
 The LRU cap bounds executor storage to ``max_entries`` frames; the
 largest memoized frames are corpus-pair-set sized (≪ fact scale), so
 at 100 TB the cap translates to a fixed, small multiple of the dedup
-signature footprint, not of the corpus.
+signature footprint, not of the corpus.  Measured at sf1: eight family
+queries hold 0.8 MB of cached blocks; ``clear_cache()`` releases every
+registry persist (BENCH_DIFF round-5 accounting).  One caveat:
+``localCheckpoint`` blocks (the components loop's materialization) are
+not synchronously unpersistable — dropping the evicted frame's
+reference lets Spark's ContextCleaner GC them, so they are bounded by
+the same cap, released asynchronously.
 """
 
 from __future__ import annotations

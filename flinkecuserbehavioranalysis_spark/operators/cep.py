@@ -78,6 +78,13 @@ class PatternStep:
                   contiguity across a negation is contradictory: the
                   immediately-next event is the only candidate, so
                   there is no gap to police).
+    one_or_more — ``oneOrMore().consecutive().greedy()``: the MAXIMAL
+                  run of consecutive events matching *pred*.  Supported
+                  shape (the ``pattern_one_or_more`` kernel's): exactly
+                  two steps, the loop leading, the follower strict —
+                  the compiler dispatches to that kernel and emits
+                  (step1_ts = run start, step2_ts = follower, step1_n =
+                  run length).
     """
 
     pred: Column
@@ -85,11 +92,35 @@ class PatternStep:
     times: int = 1
     optional: bool = False
     negated: bool = False
+    one_or_more: bool = False
+
+
+def _validate_loop(steps: list[PatternStep]) -> None:
+    """The looping-quantifier shape: [A oneOrMore, B] — the exact form
+    ``pattern_one_or_more`` implements (greedy consecutive run + strict
+    next).  Anything else with a loop step is rejected explicitly."""
+    if len(steps) != 2 or not steps[0].one_or_more or steps[1].one_or_more:
+        raise ValueError(
+            "one_or_more is supported as [loop_step, follower] (exactly two "
+            "steps, loop leading) — the oneOrMore().consecutive().greedy()"
+            ".next(B) kernel shape"
+        )
+    a, b = steps
+    if a.negated or a.optional or a.times != 1 or b.negated or b.optional or b.times != 1:
+        raise ValueError("loop patterns cannot mix optional/negated/times steps")
+    if b.contiguity != "strict":
+        raise ValueError(
+            "the follower of a one_or_more loop must be contiguity='strict' "
+            "(greedy consecutive run + next; a relaxed follower has no kernel)"
+        )
 
 
 def _validate(steps: list[PatternStep]) -> None:
     if not steps:
         raise ValueError("match_pattern: empty spec")
+    if any(s.one_or_more for s in steps):
+        _validate_loop(steps)
+        return
     for i, s in enumerate(steps):
         if s.contiguity not in ("strict", "relaxed"):
             raise ValueError(f"step {i}: contiguity must be 'strict' or 'relaxed'")
@@ -207,7 +238,27 @@ def match_pattern(
 ) -> DataFrame:
     """Compile *steps* and return (key_col, step1_ts … stepN_ts) —
     one column per positive ATOM (``times`` counted), epoch-second
-    longs, NULL where an optional step was skipped in that variant."""
+    longs, NULL where an optional step was skipped in that variant.
+    A ``one_or_more`` loop spec additionally returns ``step1_n``
+    (the greedy run length)."""
+    if any(s.one_or_more for s in steps):
+        from .patterns import pattern_one_or_more
+
+        _validate_loop(steps)
+        return pattern_one_or_more(
+            df,
+            key_col=key_col,
+            ts_col=ts_col,
+            a_pred=steps[0].pred,
+            b_pred=steps[1].pred,
+            within_seconds=within_seconds,
+            tiebreak_col=tiebreak_col,
+        ).select(
+            F.col(key_col),
+            F.col("first_a_ts").cast("long").alias("step1_ts"),
+            F.col("b_ts").cast("long").alias("step2_ts"),
+            F.col("n_a").alias("step1_n"),
+        )
     variants = [
         _compile_variant(df, key_col, ts_col, spec, within_seconds, tiebreak_col)
         for spec in variant_specs(steps)

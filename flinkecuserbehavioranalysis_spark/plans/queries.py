@@ -4772,23 +4772,26 @@ WHERE epoch(b.b_ts) <= epoch(r.first_a) + 86400.0
     "state; greedy = one match per purchase.",
 )
 def pattern_view_burst_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.patterns import pattern_one_or_more
+    # the loop-quantifier shape through the declarative compiler
+    # (dispatches onto pattern_one_or_more)
+    from ..operators.cep import PatternStep, match_pattern
 
     ev = load_table(spark, sf_dir, "events")
-    out = pattern_one_or_more(
+    return match_pattern(
         ev,
         key_col="user_id",
         ts_col="ts",
-        a_pred=F.col("event_type") == "view",
-        b_pred=F.col("event_type") == "purchase",
+        steps=[
+            PatternStep(F.col("event_type") == "view", one_or_more=True),
+            PatternStep(F.col("event_type") == "purchase", contiguity="strict"),
+        ],
         within_seconds=DAY,
         tiebreak_col="event_id",
-    )
-    return out.select(
+    ).select(
         "user_id",
-        F.col("first_a_ts").cast("long").alias("first_view_ts"),
-        F.col("b_ts").cast("long").alias("purchase_ts"),
-        F.col("n_a").alias("n_views"),
+        F.col("step1_ts").alias("first_view_ts"),
+        F.col("step2_ts").alias("purchase_ts"),
+        F.col("step1_n").alias("n_views"),
     )
 
 

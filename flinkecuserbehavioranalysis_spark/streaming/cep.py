@@ -60,6 +60,28 @@ def match_pattern_stream(
     tiebreak_col: str | None = None,
     watermark: str = "0 seconds",
 ) -> DataFrame:
+    if any(s.one_or_more for s in steps):
+        from pyspark.sql import functions as F
+
+        from ..operators.cep import _validate_loop
+        from .stateful import streaming_one_or_more
+
+        _validate_loop(steps)
+        return streaming_one_or_more(
+            events,
+            key_col=key_col,
+            ts_col=ts_col,
+            a_pred=steps[0].pred,
+            b_pred=steps[1].pred,
+            within_seconds=within_seconds,
+            tiebreak_col=tiebreak_col,
+            watermark=watermark,
+        ).select(
+            F.col("key"),
+            F.col("first_a_ts").cast("long").alias("step1_ts"),
+            F.col("b_ts").cast("long").alias("step2_ts"),
+            F.col("n_a").alias("step1_n"),
+        )
     specs = variant_specs(steps)
     n_atoms = specs[0]["n_atoms"]
     pols = {c for spec in specs for _, c, _ in spec["atoms"][1:]}

@@ -1185,3 +1185,36 @@ def test_match_pattern_spec_validation(spark):
                        PatternStep(a, contiguity="strict")], 10.0)
     with _pytest.raises(ValueError, match="bare filter|no compilable"):
         match_pattern(df, "user_id", "ts", [PatternStep(a)], 10.0)
+
+
+def test_match_pattern_loop_spec_validation(spark):
+    from flinkecuserbehavioranalysis_spark.operators.cep import (
+        PatternStep,
+        match_pattern,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, "a", 0)], "user_id long, tsd long, event_type string, event_id long"
+    ).selectExpr("user_id", "timestamp_seconds(tsd) as ts", "event_type", "event_id")
+    a = F.col("event_type") == "a"
+    b = F.col("event_type") == "b"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly two"):
+        match_pattern(df, "user_id", "ts", [PatternStep(a, one_or_more=True)], 10.0)
+    with _pytest.raises(ValueError, match="exactly two"):
+        match_pattern(
+            df, "user_id", "ts",
+            [PatternStep(b), PatternStep(a, one_or_more=True)], 10.0,
+        )
+    with _pytest.raises(ValueError, match="strict"):
+        match_pattern(
+            df, "user_id", "ts",
+            [PatternStep(a, one_or_more=True), PatternStep(b)], 10.0,
+        )
+    with _pytest.raises(ValueError, match="optional/negated"):
+        match_pattern(
+            df, "user_id", "ts",
+            [PatternStep(a, one_or_more=True),
+             PatternStep(b, contiguity="strict", optional=True)], 10.0,
+        )

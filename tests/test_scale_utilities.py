@@ -1582,3 +1582,58 @@ def test_weekly_uv_sketch_within_tolerance_of_exact_twin(spark):
     assert len(exact) > 0
     for wk, ex in exact.items():
         assert abs(est[wk] - ex) <= max(3, 0.05 * ex), (wk, ex, est[wk])
+
+
+def test_aqe_skew_join_split_triggers_and_its_limits(spark):
+    """The 100 TB skew insurance policy, pinned at bench scale:
+
+    (a) AQE splits a genuinely skewed sort-merge join when both join
+        children are plain shuffle reads (thresholds scaled to this
+        container's data — defaults are 256 MB, sized for clusters);
+    (b) the SAME skew with an aggregation under one join child is NOT
+        split (OptimizeSkewedJoin pattern-matches direct shuffle reads
+        only) — the case operators/skew.salted_join exists for.
+    """
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 600_000).select(
+            F.when(F.col("id") % 10 < 6, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pay"),
+        )
+        small_plain = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("tag")
+        )
+
+        def final_plan(df):
+            df.collect()
+            return (
+                df._jdf.queryExecution().executedPlan().finalPhysicalPlan().toString()
+            )
+
+        plan_a = final_plan(big.join(small_plain, "k").select("k", "pay"))
+        assert "skew=true" in plan_a, "AQE did not split the skewed join"
+
+        small_agged = (
+            spark.range(0, 50_000)
+            .select((F.col("id") % 25_000).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("tag"))
+        )
+        plan_b = final_plan(big.join(small_agged, "k").select("k", "pay"))
+        assert "skew=true" not in plan_b, (
+            "AQE now splits joins over aggregated children — revisit whether "
+            "salted_join is still needed for this shape"
+        )
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -1620,3 +1620,40 @@ def test_match_pattern_stream_multibatch_trailing_negation(spark, tmp_path):
     )
     got = sorted((r.key, r.step1_ts, r.step2_ts) for r in run_bounded(out))
     assert got == [(2, 100, 110)]
+
+
+def test_match_pattern_stream_loop_dispatch_matches_batch(spark):
+    """one_or_more loop spec through both compilers: streaming dispatch
+    (streaming_one_or_more) equals the batch dispatch
+    (pattern_one_or_more) on a bounded replay, renamed columns incl.
+    the run length."""
+    from flinkecuserbehavioranalysis_spark.operators.cep import match_pattern
+    from flinkecuserbehavioranalysis_spark.streaming.cep import match_pattern_stream
+
+    steps = _cep_steps(
+        ("view", {"one_or_more": True}), ("purchase", {"contiguity": "strict"})
+    )
+    stream = read_events_stream(spark, SF_DIR).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    got = sorted(
+        (r.key, r.step1_ts, r.step2_ts, r.step1_n)
+        for r in run_bounded(
+            match_pattern_stream(
+                stream, "user_id", "ts", steps, 86400.0, tiebreak_col="event_id"
+            )
+        )
+    )
+    batch = sorted(
+        (r.user_id, r.step1_ts, r.step2_ts, r.step1_n)
+        for r in match_pattern(
+            load_table(spark, SF_DIR, "events"),
+            "user_id",
+            "ts",
+            steps,
+            86400.0,
+            tiebreak_col="event_id",
+        ).collect()
+    )
+    assert got == batch
+    assert len(got) > 0
