@@ -125,9 +125,10 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
-        )
+        path = f"{args.sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written dataset dir (scratch SFs)
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     queries, oracles = E.queries(), E.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
