@@ -622,6 +622,53 @@ def pattern_guarded_optional_funnel(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @_q(
+    "pattern_unresolved_error_burst",
+    """
+WITH __l AS (
+  SELECT user_id, event_type, ts,
+         epoch(ts) AS tse,
+         lag(event_type) OVER w AS prev_type,
+         lag(epoch(ts)) OVER w AS prev_tse
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+__pairs AS (
+  SELECT user_id, prev_tse, tse FROM __l
+  WHERE event_type = 'error' AND prev_type = 'error'
+    AND tse - prev_tse < 3600.0)
+SELECT p.user_id,
+       CAST(floor(p.prev_tse) AS BIGINT) AS step1_ts,
+       CAST(floor(p.tse) AS BIGINT) AS step2_ts
+FROM __pairs p
+WHERE NOT EXISTS (
+  SELECT 1 FROM events s
+  WHERE s.user_id = p.user_id AND s.event_type = 'purchase'
+    AND epoch(s.ts) > p.tse AND epoch(s.ts) < p.prev_tse + 3600.0)
+""",
+    "Extension (compiler composite: quantifier + TRAILING negation): two CONSECUTIVE "
+    "errors within 1 h (times(2).consecutive()) with NO purchase between the second "
+    "error and the first error's deadline — the unresolved-failure alert "
+    "(begin(error).times(2).consecutive().notFollowedBy(purchase).within(1h)).  The "
+    "kill window is boundary-exclusive at full event-time precision; no hand-written "
+    "kernel has this shape — it exists only through match_pattern's compilation "
+    "(strict pair chain + deadline-anchored LEFT ANTI).",
+)
+def pattern_unresolved_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cep import PatternStep, match_pattern
+
+    ev = load_table(spark, sf_dir, "events")
+    return match_pattern(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        steps=[
+            PatternStep(F.col("event_type") == "error", contiguity="strict", times=2),
+            PatternStep(F.col("event_type") == "purchase", negated=True),
+        ],
+        within_seconds=3600.0,
+        tiebreak_col="event_id",
+    )
+
+
+@_q(
     "order_fulfillment_status",
     """
 WITH __oe AS (

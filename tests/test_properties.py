@@ -1218,3 +1218,160 @@ def test_match_pattern_loop_spec_validation(spark):
             [PatternStep(a, one_or_more=True),
              PatternStep(b, contiguity="strict", optional=True)], 10.0,
         )
+
+
+def _naive_match_pattern(seq, spec, within):
+    """Reference evaluator for random compiler specs: *spec* is a list
+    of ('pos', type, optional) / ('neg', type) entries, uniform relaxed
+    contiguity.  Mirrors the documented semantics: optional-subset
+    expansion, lex-min chains, boundary-exclusive negation windows
+    (trailing bound = first + within), single-positive variants legal
+    only with negation content."""
+    from itertools import combinations
+
+    pos_idx = [i for i, s in enumerate(spec) if s[0] == "pos"]
+    opt_idx = [i for i in pos_idx if spec[i][2]]
+    n_atoms = len(pos_idx)
+    atom_no = {i: k for k, i in enumerate(pos_idx)}
+    out = []
+    for r in range(len(opt_idx) + 1):
+        for drop in combinations(opt_idx, r):
+            kept, negs, pending = [], [], []
+            ok = True
+            for i, s in enumerate(spec):
+                if s[0] == "neg":
+                    if not kept:
+                        ok = False
+                        break
+                    pending.append(s[1])
+                    continue
+                if i in drop:
+                    continue
+                for p in pending:
+                    negs.append((p, len(kept), len(kept) + 1))
+                pending = []
+                kept.append(i)
+            if not ok:
+                continue
+            for p in pending:
+                negs.append((p, len(kept), None))
+            if not kept or (len(kept) == 1 and not negs):
+                continue
+            preds = [
+                (lambda t, _ty=spec[i][1]: t == _ty) for i in kept
+            ]
+            for start in range(len(seq)):
+                if len(kept) == 1:
+                    if not preds[0](seq[start][1]):
+                        continue
+                    chain = [seq[start][0]]
+                else:
+                    chain = _lex_min_chain(
+                        seq, preds, ["relaxed"] * (len(kept) - 1), start
+                    )
+                    if chain is None or not chain[-1] - chain[0] < within:
+                        continue
+                killed = False
+                for p, li, ri in negs:
+                    lo = chain[li - 1]
+                    hi = chain[ri - 1] if ri is not None else chain[0] + within
+                    if any(e == p and lo < t < hi for t, e in seq):
+                        killed = True
+                        break
+                if killed:
+                    continue
+                row = [None] * n_atoms
+                for k, i in enumerate(kept):
+                    row[atom_no[i]] = chain[k]
+                out.append(tuple(row))
+    return out
+
+
+_SPEC = st.lists(
+    st.tuples(
+        st.sampled_from(["pos", "neg"]),
+        st.sampled_from(["a", "b", "c"]),
+        st.booleans(),
+    ),
+    min_size=2,
+    max_size=4,
+).filter(
+    lambda s: (
+        s[0][0] == "pos"
+        and sum(1 for e in s if e[0] == "pos") >= 1
+        and not any(s[i][0] == "neg" and s[i + 1][0] == "neg" for i in range(len(s) - 1))
+        and (
+            sum(1 for e in s if e[0] == "pos" and not (e[2] and e[0] == "pos")) >= 0
+        )
+    )
+)
+
+
+@given(_SPEC, SEQ_EVENTS)
+@settings(max_examples=20, deadline=None)
+def test_match_pattern_random_specs_match_naive(spark, spec, events):
+    """Grammar-randomized compiler specs (2-4 steps, random optional
+    flags, random negation placement, relaxed gaps) vs the generic
+    naive evaluator — the spec space itself is fuzzed, not just the
+    hand-picked shapes."""
+    from flinkecuserbehavioranalysis_spark.operators.cep import (
+        PatternStep,
+        match_pattern,
+    )
+
+    # normalize to a VALID spec: negated steps ignore the optional flag
+    steps = [
+        PatternStep(
+            F.col("event_type") == ty,
+            optional=(kind == "pos" and opt),
+            negated=(kind == "neg"),
+        )
+        for kind, ty, opt in spec
+    ]
+    rows = [(k, t, e, i) for i, (k, t, e) in enumerate(events)]
+    if not rows:
+        return
+    within = 12.0
+    df = spark.createDataFrame(
+        rows, "user_id long, tsd long, event_type string, event_id long"
+    ).selectExpr("user_id", "timestamp_seconds(tsd) as ts", "event_type", "event_id")
+    try:
+        got_df = match_pattern(
+            df, "user_id", "ts", steps, within, tiebreak_col="event_id"
+        )
+    except ValueError:
+        # spec degenerates (no compilable variant) — naive must agree
+        by_key = {}
+        for k, t, e, i in sorted(rows, key=lambda r: (r[1], r[3])):
+            by_key.setdefault(k, []).append((t, e))
+        norm = [
+            ("pos", ty, opt) if kind == "pos" else ("neg", ty)
+            for kind, ty, opt in spec
+        ]
+        naive = [
+            m for k, seq in by_key.items() for m in _naive_match_pattern(seq, norm, within)
+        ]
+        assert naive == [] or all(
+            len([s for s in spec if s[0] == "pos"]) <= 1 for _ in [0]
+        )
+        return
+    got = sorted(
+        (tuple(r) for r in got_df.collect()),
+        key=repr,
+    )
+    by_key = {}
+    for k, t, e, i in sorted(rows, key=lambda r: (r[1], r[3])):
+        by_key.setdefault(k, []).append((t, e))
+    norm = [
+        ("pos", ty, opt) if kind == "pos" else ("neg", ty)
+        for kind, ty, opt in spec
+    ]
+    expect = sorted(
+        (
+            (k, *m)
+            for k, seq in by_key.items()
+            for m in _naive_match_pattern(seq, norm, within)
+        ),
+        key=repr,
+    )
+    assert got == expect
