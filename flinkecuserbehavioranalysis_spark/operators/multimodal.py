@@ -76,7 +76,9 @@ def decode_meta(with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out.insert(0, "doc_id", pdf[id_col].astype("int64"))
             yield out
 
-    return with_payload.mapInPandas(decode_batches, DECODE_META_SCHEMA)
+    # NULL payloads carry nothing to decode — excluded by contract
+    # (matches the oracles' `text IS NOT NULL` guard).
+    return with_payload.where(F.col("payload").isNotNull()).mapInPandas(decode_batches, DECODE_META_SCHEMA)
 
 
 RESIZE_META_SCHEMA = StructType(
@@ -117,7 +119,9 @@ def resize_meta(with_payload: DataFrame, max_side: int = 256, id_col: str = "doc
             )
             yield out
 
-    return with_payload.mapInPandas(batches, RESIZE_META_SCHEMA)
+    # NULL payloads carry nothing to decode — excluded by contract
+    # (matches the oracles' `text IS NOT NULL` guard).
+    return with_payload.where(F.col("payload").isNotNull()).mapInPandas(batches, RESIZE_META_SCHEMA)
 
 
 FRAME_SAMPLE_SCHEMA = StructType(
@@ -156,7 +160,9 @@ def frame_sample(with_payload: DataFrame, max_frames: int = 4, id_col: str = "do
                 }
             )
 
-    return with_payload.mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+    # NULL payloads carry nothing to decode — excluded by contract
+    # (matches the oracles' `text IS NOT NULL` guard).
+    return with_payload.where(F.col("payload").isNotNull()).mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
 
 
 FEATURE_SCHEMA_DDL = "doc_id long, embedding array<double>"
@@ -193,4 +199,6 @@ def feature_extract(
                 {"doc_id": pdf[id_col].astype("int64"), "embedding": embs}
             )
 
-    return with_payload.mapInPandas(batches, FEATURE_SCHEMA_DDL)
+    # NULL payloads carry nothing to decode — excluded by contract
+    # (matches the oracles' `text IS NOT NULL` guard).
+    return with_payload.where(F.col("payload").isNotNull()).mapInPandas(batches, FEATURE_SCHEMA_DDL)

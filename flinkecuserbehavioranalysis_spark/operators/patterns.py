@@ -583,8 +583,12 @@ def pattern_one_or_more(
         [F.col(tiebreak_col).asc()] if tiebreak_col else []
     )
     w = Window.partitionBy(key_col).orderBy(*order)
-    is_b = b_pred
-    is_a = a_pred & ~is_b
+    # three-valued-logic normalization: a NULL predicate is a NON-match,
+    # and a non-A row must still bump the segment counter — without the
+    # coalesce, `~is_a` is NULL on such rows and SUM skips them, letting
+    # an A-run silently bridge across an unclassifiable event
+    is_b = F.coalesce(b_pred, F.lit(False))
+    is_a = F.coalesce(a_pred, F.lit(False)) & ~is_b
     seg = F.sum((~is_a).cast("long")).over(w)
     rows = df.withColumn("__a", is_a).withColumn("__b", is_b).withColumn("__seg", seg)
     runs = (

@@ -30,6 +30,16 @@ def _as_double(col: str | Column) -> Column:
     return c.cast("array<double>")
 
 
+def _drop_null_vec(df: DataFrame, vec_col: str) -> DataFrame:
+    """Exclude rows whose vector is NULL.
+
+    A NULL embedding cannot participate in any similarity computation
+    (its dot product is undefined), so every vector operator excludes
+    such rows by contract — the same `embedding IS NOT NULL` guard the
+    SQL oracles carry.  A no-op on null-free data."""
+    return df.where(F.col(vec_col).isNotNull())
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product — deterministic summation order."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -52,6 +62,8 @@ def brute_force_topk(
     *queries* should be small (it is broadcast); the corpus scan is
     embarrassingly parallel.  Returns (q_id, neighbor_id, cos) ranked
     desc with neighbor_id tiebreak; self-matches excluded."""
+    vectors = _drop_null_vec(vectors, vec_col)
+    queries = _drop_null_vec(queries, vec_col)
     from pyspark.sql import Window
 
     # norms are precomputed per vector, not per pair — at corpus scale the
@@ -110,6 +122,7 @@ def bucketed_neardup_pairs(
     (exact within-bucket semantics).  Recall is bounded by bucket
     quality either way — pair with a multi-probe assignment for higher
     recall at the same cost shape."""
+    vectors = _drop_null_vec(vectors, vec_col)
     from .sampling import hash_bucket
 
     base = vectors
@@ -210,6 +223,7 @@ def cosine_lsh_pairs(
     (candidate-count-sized) pair list back to the vectors on id.  This
     is ``minhash_candidates`` + ``lsh_verified`` re-expressed for the
     angular metric."""
+    vectors = _drop_null_vec(vectors, vec_col)
     if n_planes % bands:
         raise ValueError(f"bands ({bands}) must divide n_planes ({n_planes})")
     r = n_planes // bands
@@ -389,6 +403,7 @@ def kmeans_fit(
     ``hash_sample``: the 100 TB posture, since a quantizer needs a
     representative sample, not the corpus.  Returns (seed_id, s_vec,
     s_norm)."""
+    vectors = _drop_null_vec(vectors, vec_col)
     if train_fraction < 1.0:
         from .sampling import hash_sample
 
@@ -514,6 +529,7 @@ def kmeans_cluster_stats(
     The only post-assignment shuffles group on the cluster id (and
     (cluster, label) for purity) — k-bounded group counts, never corpus-
     bounded."""
+    vectors = _drop_null_vec(vectors, vec_col)
     seeds = kmeans_fit(
         vectors,
         id_col=id_col,
@@ -620,6 +636,8 @@ def ivf_topk(
     instead of the brute-force O(n·q).  Recall < 1 by construction;
     verified against ``brute_force_topk``.  Output: (q_id, neighbor_id,
     cos, rnk) — same schema as the exact baseline."""
+    vectors = _drop_null_vec(vectors, vec_col)
+    queries = _drop_null_vec(queries, vec_col)
     seeds, assigned = build_ivf_index(
         vectors,
         id_col=id_col,
@@ -650,6 +668,7 @@ def build_ivf_index(
     v_norm, cell), one row per (vector, probed cell).  Persist both
     with :func:`save_ivf_index` and serve queries from the saved index
     — training never reruns per query batch."""
+    vectors = _drop_null_vec(vectors, vec_col)
     if corpus_probes not in (1, 2):
         raise ValueError(f"corpus_probes must be 1 or 2, got {corpus_probes}")
     v = (
@@ -724,6 +743,7 @@ def query_ivf_index(
     """Serve top-k queries from a built (or loaded) IVF index — the
     query-many half of the lifecycle.  Same semantics and output schema
     as ``ivf_topk``."""
+    queries = _drop_null_vec(queries, vec_col)
     from pyspark.sql import Window
 
     q = (
@@ -785,6 +805,7 @@ def label_centroids(
     result is summation-order independent (float sums are not), then the
     mean is rounded at the output boundary.  This is the aggregation an
     IVF coarse-quantizer training step runs per k-means iteration."""
+    vectors = _drop_null_vec(vectors, vec_col)
     e = vectors.select(
         F.col(bucket_col), F.posexplode(_as_double(vec_col)).alias("pos", "v")
     )
@@ -814,6 +835,7 @@ def quantize_embeddings(
     all-zero vector keeps scale 0 and quantizes to zeros (guarded
     division).  Returns (id, scale rounded 9dp for display, q
     array<int>)."""
+    vectors = _drop_null_vec(vectors, vec_col)
     v = _as_double(vec_col)
     maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = (maxabs / F.lit(127.0)).alias("__scale")
@@ -863,6 +885,8 @@ def quantized_topk(
     the corpus-side math running on int8 codes — at 100 TB this is the
     scan you can actually afford to keep hot.  Output schema matches
     the float baseline: (q_id, neighbor_id, cos, rnk)."""
+    vectors = _drop_null_vec(vectors, vec_col)
+    queries = _drop_null_vec(queries, vec_col)
     from pyspark.sql import Window
 
     qz = quantize_embeddings(vectors, id_col, vec_col).select(
@@ -928,6 +952,8 @@ def ivf_quantized_topk(
     the IVF probe loss with int8 rank perturbation — floor-tested vs
     the float brute force.  Output schema matches the other top-k
     variants: (q_id, neighbor_id, cos, rnk)."""
+    vectors = _drop_null_vec(vectors, vec_col)
+    queries = _drop_null_vec(queries, vec_col)
     from pyspark.sql import Window
 
     if corpus_probes not in (1, 2):
@@ -1144,6 +1170,7 @@ def pq_fit(
     codebook is collected to the driver (m×k tiny rows) so each
     iteration's plan is flat and the kernel gets the book as a plain
     closure.  Returns (m_idx, code, c_vec)."""
+    vectors = _drop_null_vec(vectors, vec_col)
     import pandas as pd  # noqa: F401
     from pyspark.sql import Window
 
@@ -1174,8 +1201,9 @@ def pq_fit(
             import numpy as np
             import pandas as pdl
 
+            empty = all(len(codes) == 0 for codes, _, _ in book.values())
             for pdf in batches:
-                if not len(pdf):
+                if not len(pdf) or empty:
                     continue
                 mi_arr = pdf["m_idx"].to_numpy()
                 sv_arr = pdf["sv"].to_numpy()
@@ -1237,15 +1265,20 @@ def pq_encode(
     codes come out as the 1-based dense rank so ADC lookup tables index
     by position.  EAGER to the extent of the codebook collect.
     Returns (id, codes array<int> 1-based, xn2 long)."""
+    vectors = _drop_null_vec(vectors, vec_col)
     book = _pq_collect_book(codebook.collect(), m)
     w_sub = dim // m
+    # an empty codebook (possible when the training sample is empty on a
+    # degenerate corpus) can encode nothing: yield no rows, the same
+    # empty-result shape the SQL oracle's cross join with empty seeds has
+    book_empty = all(len(codes) == 0 for codes, _, _ in book.values())
 
     def encode(batches):
         import numpy as np
         import pandas as pdl
 
         for pdf in batches:
-            if not len(pdf):
+            if not len(pdf) or book_empty:
                 continue
             V = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
             n = len(pdf)
@@ -1359,6 +1392,8 @@ def pq_topk(
     reuse one codebook across indexes — the training params are then
     ignored.  Output matches the other top-k variants: (q_id,
     neighbor_id, cos, rnk)."""
+    vectors = _drop_null_vec(vectors, vec_col)
+    queries = _drop_null_vec(queries, vec_col)
     from pyspark.sql import Window
 
     if book is None:
@@ -1426,6 +1461,8 @@ def ivf_pq_topk(
     error — floor-tested vs the float brute force.  Pass a pre-trained
     *book* to reuse one PQ codebook across indexes.  Output: (q_id,
     neighbor_id, cos, rnk)."""
+    vectors = _drop_null_vec(vectors, vec_col)
+    queries = _drop_null_vec(queries, vec_col)
     from pyspark.sql import Window
 
     if corpus_probes not in (1, 2):
@@ -1524,6 +1561,7 @@ def label_feature_stats(
     outputs round at 6 dp.  Same shuffle shape as the centroid
     aggregation: map-side posexplode, ONE shuffle on (bucket, dim) —
     n_buckets × dim groups regardless of corpus size."""
+    vectors = _drop_null_vec(vectors, vec_col)
     e = vectors.select(
         F.col(bucket_col), F.posexplode(_as_double(vec_col)).alias("pos", "v")
     )
@@ -1558,6 +1596,8 @@ def hard_negatives(
     side for an IVF/LSH candidate set at corpus scale exactly like the
     ANN variants.  Returns (anchor_id, anchor_label, negative_id,
     negative_label, cos, rnk)."""
+    vectors = _drop_null_vec(vectors, vec_col)
+    anchors = _drop_null_vec(anchors, vec_col)
     from pyspark.sql import Window
 
     a = (
@@ -1635,6 +1675,7 @@ def semantic_dedup(
     HOF fold was 16 s at sf0.1 (interpreted re-fold per pair, the
     BENCH_DIFF expression-blowup family); the kernel hoists norms and
     reuses each dim's column across the whole block."""
+    vectors = _drop_null_vec(vectors, vec_col)
     seeds = kmeans_fit(
         vectors,
         id_col=id_col,

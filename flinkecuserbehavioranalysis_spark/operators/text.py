@@ -162,8 +162,12 @@ def lang_id_ngram(
         f"ELSE array() END"
     )
 
+    # unlabeled docs cannot contribute to a labeled profile — and a NULL
+    # cand_lang group would be written into the non-nullable packed-struct
+    # field below (codegen NPE), so the exclusion is also load-bearing
+    labeled = docs.where(F.col(lang_col).isNotNull())
     prof_docs = (
-        hash_sample(docs, id_col, profile_fraction) if profile_fraction < 1.0 else docs
+        hash_sample(labeled, id_col, profile_fraction) if profile_fraction < 1.0 else labeled
     )
     tri = prof_docs.select(
         F.col(id_col), F.col(lang_col), F.explode(F.expr(trigram_expr)).alias("tri")

@@ -137,7 +137,7 @@ def hot_items_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH __c AS ({_sliding_sql(
         "SELECT concat('/page/', CAST(CAST(regexp_extract(props, '[0-9]+') AS INT) % 20 AS VARCHAR)) AS url,"
-        " epoch(ts) AS __tse FROM events",
+        " epoch(ts) AS __tse FROM events WHERE props IS NOT NULL",
         6 * HOUR, HOUR, "url")}),
 __r AS (SELECT *, row_number() OVER (PARTITION BY ws ORDER BY cnt DESC, url) AS rnk FROM __c)
 SELECT ws, we, url, cnt, rnk FROM __r WHERE rnk <= 5
@@ -148,9 +148,10 @@ def top_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.scalar import url_from_props
 
     ev = load_table(spark, sf_dir, "events")
-    counts = sliding_window_count(
-        ev.withColumn("url", url_from_props()), "ts", "6 hours", "1 hour", keys=["url"]
-    )
+    # a NULL props yields no URL — dropped, like the reference drops
+    # unparseable log lines (NetworkFlow.scala:43)
+    with_url = ev.withColumn("url", url_from_props()).where(F.col("url").isNotNull())
+    counts = sliding_window_count(with_url, "ts", "6 hours", "1 hour", keys=["url"])
     return topn_per_window(counts, 5, tiebreak_cols=["url"], rank_alias="rnk")
 
 
@@ -1082,7 +1083,7 @@ _COS_SQL = (
 @_q(
     "ann_brute_force_topk",
     f"""
-WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 __q AS (SELECT vec_id AS q_id, v AS qv FROM __e WHERE vec_id < 5),
 __s AS (SELECT q_id, e.vec_id AS neighbor_id,
                {_COS_SQL.format(a='qv', b='e.v')} AS cos
@@ -1101,7 +1102,7 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "ann_bucketed_neardup",
     f"""
-WITH __e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+WITH __e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 __n AS (SELECT label, CAST(ceil(count(*) / 32.0) AS BIGINT) AS n_sub
         FROM __e GROUP BY label),
 __s AS (SELECT e.vec_id, e.label, e.v,
@@ -1127,7 +1128,7 @@ def ann_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "ann_cosine_lsh_neardup",
     f"""
-WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 __pl AS (
   SELECT p, d,
          CASE WHEN substring(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)
@@ -1246,7 +1247,7 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
        CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height,
        CAST(3 AS INTEGER) AS channels
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """,
     "Extension: multimodal binary-column plumbing — mapInPandas 'decode' producing typed "
     "metadata (decode itself is a deterministic stub; see operators/multimodal.py).",
@@ -1558,7 +1559,7 @@ def _kmeans_train_ctes(
     n_cells: int | str,
     train_iters: int,
     train_buckets: int | None,
-    source: str = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+    source: str = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL",
 ) -> tuple[str, str]:
     """Shared DuckDB CTE prefix replaying ``kmeans_fit`` exactly: seed
     selection, then one (assignment, centroid-mean) CTE pair per Lloyd
@@ -2092,7 +2093,7 @@ WITH __m AS (
   SELECT doc_id, strlen(text) AS n_bytes,
          CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
          CAST((strlen(text) * 7) % 480 + 1 AS INTEGER) AS height
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 __s AS (SELECT *, least(256 * 1000000 // greatest(width, height), 1000000) AS scale
         FROM __m)
 SELECT doc_id, width, height,
@@ -2114,7 +2115,7 @@ def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "multimodal_frame_sample",
     """
-WITH __m AS (SELECT doc_id, strlen(text) AS n FROM documents),
+WITH __m AS (SELECT doc_id, strlen(text) AS n FROM documents WHERE text IS NOT NULL),
 __f AS (SELECT doc_id, n, unnest(generate_series(0, CAST(n % 4 AS INTEGER))) AS frame_idx
         FROM __m)
 SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
@@ -2140,7 +2141,7 @@ WITH __e AS (
          list_transform(range(0, 8), j ->
            ('0x' || substring(md5(text || '|' || CAST(j AS VARCHAR)), 1, 8))
              ::VARCHAR::UBIGINT / 4294967296.0) AS emb
-  FROM documents)
+  FROM documents WHERE text IS NOT NULL)
 SELECT doc_id,
        emb[1] AS e0, emb[2] AS e1, emb[3] AS e2, emb[4] AS e3,
        sqrt(list_reduce(list_transform(emb, x -> x * x), (a, b) -> a + b)) AS norm
@@ -2298,11 +2299,11 @@ from ..operators.text import rolling_fingerprint  # noqa: E402
     "text_rolling_hash",
     """
 SELECT doc_id,
-       list_reduce(
+       CASE WHEN text IS NULL THEN NULL ELSE list_reduce(
          list_prepend(CAST(0 AS BIGINT),
            list_transform(string_split(text, ' '),
              t -> CAST(('0x' || substring(md5(t), 1, 8))::VARCHAR::UBIGINT AS BIGINT))),
-         (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_hash
+         (acc, h) -> (acc * 31 + h) % 1000000007) END AS rolling_hash
 FROM documents
 """,
     "Extension: order-sensitive Rabin-Karp rolling hash over the token stream — one "
@@ -2422,7 +2423,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "embedding_quantize_stats",
     """
-WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 __s AS (
   SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM __e
 ),
@@ -2575,7 +2576,7 @@ WITH __ptri AS (
   SELECT DISTINCT doc_id, lang, unnest(list_transform(
            range(1, len(text) - 1), i -> substring(text, i, 3))) AS tri
   FROM documents
-  WHERE len(text) >= 3 AND {_BUCKET_SQL.format(k='doc_id')} < 5000),
+  WHERE len(text) >= 3 AND lang IS NOT NULL AND {_BUCKET_SQL.format(k='doc_id')} < 5000),
 __df AS (SELECT lang, tri, count(*) AS df FROM __ptri GROUP BY 1, 2),
 __prof AS (
   SELECT lang AS cand_lang, tri
@@ -3054,7 +3055,7 @@ from ..operators.similarity import quantized_topk  # noqa: E402
 @_q(
     "ann_quantized_topk",
     """
-WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 __s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM __e),
 __q AS (SELECT vec_id,
                CASE WHEN sc > 0 THEN list_transform(v, x -> CAST(round(x / sc) AS DOUBLE))
@@ -3080,7 +3081,7 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COSINE_LSH_ORACLE_CORE = """
-__el AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+__el AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 __pl AS (
   SELECT p, d,
          CASE WHEN substring(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)
@@ -3474,7 +3475,7 @@ def _pq_oracle(
     train, _ = _pq_train_ctes(m, w, k_codes, train_iters)
     adc = _pq_adc_ctes(m, w, n_queries)
     return f"""
-WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 __et AS (SELECT vec_id, v FROM __e {train_where}),
 {train}{adc}__ip AS (SELECT l.q_id, e.vec_id AS neighbor_id, CAST(sum(l.l6) AS BIGINT) AS ip6
         FROM __enc e JOIN __lut l ON l.mi = e.mi AND l.code = e.code
@@ -3939,7 +3940,7 @@ from ..operators.similarity import hard_negatives  # noqa: E402
 @_q(
     "embedding_hard_negatives",
     f"""
-WITH __e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+WITH __e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 __a AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS av FROM __e
         WHERE vec_id < 10),
 __s AS (SELECT a.anchor_id, a.anchor_label, e.vec_id AS negative_id,
@@ -3967,7 +3968,7 @@ SELECT doc_id AS vec_id,
 FROM (SELECT doc_id,
              list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
                w -> CAST(('0x' || substring(md5(w), 1, 8))::VARCHAR::UBIGINT % 16 AS BIGINT)) AS bks
-      FROM documents)"""
+      FROM documents WHERE text IS NOT NULL)"""
 
 
 def _text_topic_oracle(n_cells: int, train_iters: int) -> str:
@@ -4023,7 +4024,7 @@ def text_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "embedding_triplet_candidates",
     f"""
-WITH __e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+WITH __e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
 __a AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS av FROM __e
         WHERE vec_id < 10),
 __s AS (SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,
@@ -4051,9 +4052,9 @@ FROM __pos p JOIN __neg n USING (anchor_id)
 def embedding_triplet_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..operators.similarity import _as_double, dot
+    from ..operators.similarity import _as_double, _drop_null_vec, dot
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _drop_null_vec(load_table(spark, sf_dir, "embeddings"), "embedding")
     a = (
         emb.filter(F.col("vec_id") < 10)
         .select(
@@ -4105,7 +4106,7 @@ WITH __ptri AS (
   SELECT DISTINCT doc_id, lang, unnest(list_transform(
            range(1, len(text) - 1), i -> substring(text, i, 3))) AS tri
   FROM documents
-  WHERE len(text) >= 3 AND {_BUCKET_SQL.format(k='doc_id')} < 5000),
+  WHERE len(text) >= 3 AND lang IS NOT NULL AND {_BUCKET_SQL.format(k='doc_id')} < 5000),
 __df AS (SELECT lang, tri, count(*) AS df FROM __ptri GROUP BY 1, 2),
 __prof AS (
   SELECT lang AS cand_lang, tri
@@ -5383,9 +5384,9 @@ FROM __oasg WHERE r = 1
     "Lloyd loop; map-only assignment, per-vector flag.",
 )
 def embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import _best_cell_scored, _pack, dot, kmeans_fit
+    from ..operators.similarity import _best_cell_scored, _drop_null_vec, _pack, dot, kmeans_fit
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _drop_null_vec(load_table(spark, sf_dir, "embeddings"), "embedding")
     seeds = kmeans_fit(emb, n_cells=8, train_iters=2)
     v = emb.select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v_vec")
@@ -5539,7 +5540,7 @@ __tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM __c),
 __s AS (SELECT token, n_a, n_b,
                round(((n_a / ta - n_b / tb) * (n_a / ta - n_b / tb))
                      / (n_a / ta + n_b / tb), 9) AS drift
-        FROM __c CROSS JOIN __tot)
+        FROM __c CROSS JOIN __tot WHERE ta > 0 AND tb > 0)
 SELECT token, n_a, n_b, drift FROM __s
 ORDER BY drift DESC, token LIMIT 20
 """,
@@ -5564,7 +5565,12 @@ def token_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_a"),
         F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("n_b"),
     )
-    tot = cnt.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    # drift between two halves is undefined unless BOTH halves have
+    # tokens — the guard turns the degenerate corpus into an empty
+    # result instead of an ANSI division-by-zero (oracle mirrors it)
+    tot = cnt.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")).where(
+        (F.col("ta") > 0) & (F.col("tb") > 0)
+    )
     pa = F.col("n_a") / F.col("ta")
     pb = F.col("n_b") / F.col("tb")
     drift = F.round((pa - pb) * (pa - pb) / (pa + pb), 9).alias("drift")
@@ -6004,12 +6010,18 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first3 = with_sid.withColumn("rn", rn).filter(F.col("rn") <= 3)
     paths = first3.groupBy("user_id", "sid").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
-                lambda x: x.event_type,
+        # NULL event types are skipped by array_join AND string_agg alike;
+        # nullif keeps the all-NULL session at a NULL path (array_join
+        # alone would collapse it to '', which string_agg never emits)
+        F.nullif(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda x: x.event_type,
+                ),
+                ">",
             ),
-            ">",
+            F.lit(""),
         ).alias("path")
     )
     return (
@@ -6234,7 +6246,7 @@ def doc_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH __n AS (
   SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
-  FROM events)
+  FROM events WHERE value IS NOT NULL)
 SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
        round(min(value), 6) AS lo, round(max(value), 6) AS hi
 FROM __n GROUP BY bucket
@@ -6250,7 +6262,14 @@ FROM __n GROUP BY bucket
 def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranking import global_ntile
 
-    ev = load_table(spark, sf_dir, "events").select("value", "event_id")
+    # NULL values cannot be placed in a numeric equi-depth histogram —
+    # excluded on both sides (also dodges the Spark-NULLS-FIRST vs
+    # SQL-NULLS-LAST ordering divergence inside the rank)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("value", "event_id")
+        .where(F.col("value").isNotNull())
+    )
     b = global_ntile(
         ev,
         [F.col("value").asc(), F.col("event_id").asc()],
@@ -6505,7 +6524,7 @@ def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame
     "embedding_drift_by_dim",
     f"""
 WITH __e AS (SELECT {_BUCKET_SQL.format(k="vec_id")} < 5000 AS in_a,
-                    embedding AS v FROM embeddings),
+                    embedding AS v FROM embeddings WHERE embedding IS NOT NULL),
 __x AS (SELECT in_a, d.d AS dim, (v[d.d + 1])::DOUBLE AS x
         FROM __e, range(0, 64) d(d)),
 __s AS (SELECT dim,

@@ -1,0 +1,161 @@
+"""Degenerate-input hardening (round 5): empty tables, k > n regimes, and
+NULL-injected value columns.
+
+The driver's testdata is entirely null-free, so the oracle gate can never
+see the bug class where Spark and SQL disagree on NULL handling — or
+where a Python/Arrow kernel simply crashes on a NULL payload.  Round 5
+swept the full registry against three degenerate tiers
+(scripts/make_degenerate_data.py) and fixed every divergence; these
+tests pin the specific semantics those fixes encode, each against the
+live DuckDB oracle on a freshly built degenerate dataset:
+
+- NULL embeddings are excluded from every vector operator (the
+  ``_drop_null_vec`` contract = the oracles' ``embedding IS NOT NULL``);
+- NULL predicates in CEP kernels are NON-matches that still break
+  strict contiguity (``pattern_one_or_more``'s segment counter must not
+  skip them — the SUM-over-NULL bridge bug);
+- NULL lang never reaches the packed lang-ID profile (codegen NPE);
+- NULL payloads are excluded from the multimodal decode stages;
+- an empty PQ training sample encodes nothing instead of crashing;
+- the whole registry returns (not raises) on fully EMPTY tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from flinkecuserbehavioranalysis_spark.io import load_table
+from flinkecuserbehavioranalysis_spark.plans.queries import QUERIES
+from flinkecuserbehavioranalysis_spark.schemas import TESTDATA_TABLES
+
+from conftest import SF_DIR, normalized_rows
+
+# the riskiest query per fixed failure class — each ran red in the
+# round-5 null sweep before the fix it now regression-pins
+NULL_SWEEP_QUERIES = [
+    "ann_brute_force_topk",  # oracle list_inner_product NULL
+    "ann_pq_topk",  # NoneType in the PQ encode kernel
+    "embedding_kmeans_stats",  # extra NULL-cluster group (8 vs 7 rows)
+    "embedding_drift_by_dim",  # unguarded oracle counted NULL-vec rows
+    "text_lang_id_ngram",  # NULL-lang profile group -> codegen NPE
+    "multimodal_frame_sample",  # len(None) in the Arrow kernel
+    "text_rolling_hash",  # list_prepend(0, NULL) = [0] vs NULL fold
+    "top_urls",  # concat-vs-NULL divergence on props
+    "pattern_view_burst_purchase",  # segment-counter NULL bridge
+    "top_session_paths",  # array_join([NULL]) = '' vs string_agg NULL
+    "value_equidepth_histogram",  # NULLS FIRST/LAST rank divergence
+    "token_drift_chisq",  # (guard shared with the tiny tier)
+]
+
+
+@pytest.fixture(scope="module")
+def degen_dirs(tmp_path_factory):
+    """Build the empty/tiny/nulls tiers once from the test SF."""
+    from scripts.make_degenerate_data import build
+
+    out = str(tmp_path_factory.mktemp("degen"))
+    build(SF_DIR, out)
+    return out
+
+
+def _oracle_con(sf_dir: str):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+@pytest.mark.parametrize("name", NULL_SWEEP_QUERIES)
+def test_null_injected_matches_oracle(spark, degen_dirs, name):
+    sf = os.path.join(degen_dirs, "nulls")
+    qd = QUERIES[name]
+    sdf = qd.fn(spark, sf)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = _oracle_con(sf)
+    try:
+        res = con.execute(qd.oracle)
+        d_cols = [d[0].lower() for d in res.description]
+        d_rows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(s_cols) == sorted(d_cols)
+    assert normalized_rows(s_cols, s_rows) == normalized_rows(d_cols, d_rows)
+
+
+def test_null_vectors_excluded_by_contract(spark, degen_dirs):
+    """kmeans assignment covers exactly the non-null vectors."""
+    sf = os.path.join(degen_dirs, "nulls")
+    emb = load_table(spark, sf, "embeddings")
+    n_nonnull = emb.where(F.col("embedding").isNotNull()).count()
+    assert n_nonnull < emb.count()  # the tier really has null vectors
+    out = QUERIES["embedding_outlier_flags"].fn(spark, sf)
+    assert out.count() == n_nonnull
+
+
+def test_one_or_more_null_breaks_contiguity(spark):
+    """A NULL-type event between two views must break the consecutive
+    run (the segment counter bridge bug): view, NULL, view, purchase
+    yields a 1-view run, not a 2-view run."""
+    from flinkecuserbehavioranalysis_spark.operators.patterns import pattern_one_or_more
+
+    rows = [
+        (1, 10.0, "view"),
+        (1, 11.0, None),
+        (1, 12.0, "view"),
+        (1, 13.0, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts double, event_type string")
+    out = pattern_one_or_more(
+        df,
+        key_col="user_id",
+        ts_col="ts",
+        a_pred=F.col("event_type") == "view",
+        b_pred=F.col("event_type") == "purchase",
+        within_seconds=3600.0,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_a"] == 1  # only the view at t=12 is contiguous
+    assert out[0]["first_a_ts"] == 12
+
+
+def test_empty_pq_training_sample_yields_empty_index(spark):
+    """pq_topk over a corpus whose training sample is empty returns an
+    empty result (SQL cross-join-with-empty-seeds shape), not an
+    IndexError inside the encode kernel."""
+    from flinkecuserbehavioranalysis_spark.operators.similarity import pq_fit, pq_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(3)], "vec_id long, embedding array<double>"
+    )
+    empty_train = df.where(F.lit(False))
+    book = pq_fit(empty_train, dim=8, m=2, k=4, train_iters=1)
+    out = pq_topk(df, df, dim=8, m=2, k_codes=4, k=5, book=book)
+    assert out.count() == 0
+
+
+EMPTY_SPOT_CHECKS = [
+    # (query, rows expected on all-empty tables) — the shapes most
+    # likely to assume non-empty input
+    ("daily_purchase_spine", 0),  # collected bounds interpolated into SQL
+    ("text_topic_clusters", 0),  # kmeans training on zero rows
+    ("customer_rfm_segments", 0),  # three chained global-ntile passes
+    ("ann_ivf_pq_topk", 0),  # both trained indexes empty
+    ("dedup_minhash_lsh", 0),  # banded join over nothing
+    ("corpus_mix_rebalance", 0),  # ratio math over zero languages
+    ("token_drift_chisq", 0),  # zero-token halves guard
+    ("revenue_forecast_backtest", 1),  # one all-NULL summary row
+]
+
+
+@pytest.mark.parametrize("name,n_rows", EMPTY_SPOT_CHECKS)
+def test_empty_tables_return_cleanly(spark, degen_dirs, name, n_rows):
+    sf = os.path.join(degen_dirs, "empty")
+    out = QUERIES[name].fn(spark, sf)
+    assert out.count() == n_rows
