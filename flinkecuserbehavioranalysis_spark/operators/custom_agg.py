@@ -53,7 +53,10 @@ def windowed_quantiles(
             row[c] = round(float(vals.quantile(q, interpolation="linear")), 6)
         return pd.DataFrame([row])
 
-    base = df.select(
+    # unstamped rows belong to no window (mirrors F.window, which emits
+    # zero windows for a NULL event time); NULL values stay — quantiles
+    # skip NaN/NULL identically on both paths
+    base = df.where(F.col(ts_col).isNotNull()).select(
         ((F.col(ts_col).cast("long") / size_seconds).cast("long") * size_seconds).alias("ws"),
         F.col(value_col),
     )
@@ -95,7 +98,10 @@ def windowed_quantiles_approx(
     UV query vs exact distinct).  Same output schema (ws, we, q<NN>…,
     n)."""
     qcols = [f"q{int(q * 100)}" for q in quantiles]
-    base = df.select(
+    # unstamped rows belong to no window (mirrors F.window, which emits
+    # zero windows for a NULL event time); NULL values stay — quantiles
+    # skip NaN/NULL identically on both paths
+    base = df.where(F.col(ts_col).isNotNull()).select(
         ((F.col(ts_col).cast("long") / size_seconds).cast("long") * size_seconds).alias("ws"),
         F.col(value_col),
     )

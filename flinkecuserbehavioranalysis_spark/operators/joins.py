@@ -107,7 +107,14 @@ def as_of_join(
     columns, and the right side must be unique per (key, right_ts)
     (pre-aggregate otherwise) so ties are deterministic.  Left rows with
     no prior right row keep NULL payloads (left-outer semantics).
+
+    NULL timestamps: a right row with NULL *right_ts* can never satisfy
+    ``right_ts <= left_ts`` (three-valued logic) and is excluded; a left
+    row with NULL *left_ts* has no "as of" point and keeps NULL payloads
+    — without the exclusion both NULLs sort together at the head of the
+    union and would spuriously match each other.
     """
+    right = right.where(F.col(right_ts).isNotNull())
     lcols = left.columns
     l2 = left.withColumn("__t", F.col(left_ts)).withColumn("__tag", F.lit(1))
     for c in right_payload:

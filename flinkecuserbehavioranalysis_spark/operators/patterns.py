@@ -68,6 +68,9 @@ def pattern_pairs(
     because per-key history is bounded."""
     if contiguity not in ("strict", "relaxed"):
         raise ValueError(f"contiguity must be 'strict' or 'relaxed', got {contiguity!r}")
+    # unstamped events cannot be ordered into the stream — excluded, so
+    # strict adjacency and engine NULL-ordering can never interact
+    df = df.where(F.col(ts_col).isNotNull())
     tse = F.col(ts_col).cast("double")
     tb = [tiebreak_col] if tiebreak_col else []
     base = df.withColumn("__tse", tse).withColumn("__a", first_pred).withColumn("__b", second_pred)
@@ -180,6 +183,9 @@ def pattern_sequence(
     for c in contigs:
         if c not in ("strict", "relaxed"):
             raise ValueError(f"contiguity must be 'strict' or 'relaxed', got {c!r}")
+    # same NULL-ts exclusion as pattern_pairs: adjacency must not
+    # depend on where an unorderable event sorts
+    df = df.where(F.col(ts_col).isNotNull())
     rev = [F.col(ts_col).desc()] + ([F.col(tiebreak_col).desc()] if tiebreak_col else [])
     w_lag = Window.partitionBy(key_col).orderBy(*rev)
     w_min = w_lag.rowsBetween(Window.unboundedPreceding, -1)
@@ -435,6 +441,11 @@ def fail_burst_alerts(
     first fail and only fails inside [anchor, anchor + window] count —
     exactly the set buffered when the reference's timer fires.  Two
     window passes + one aggregation, all shuffled once on user_id."""
+    # unstamped events cannot be ordered into a run, and a keyless event
+    # belongs to no per-user buffer (the reference's keyBy would reject
+    # it) — both excluded, so the run-id counter depends on neither
+    # engine NULL-ordering nor NULL-join semantics
+    df = df.where(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
     order = [F.col(ts_col).asc()] + ([F.col(tiebreak_col).asc()] if tiebreak_col else [])
     w = Window.partitionBy(user_col).orderBy(*order)
     is_succ = F.when(F.col(type_col) != fail_value, 1).otherwise(0)
@@ -579,6 +590,12 @@ def pattern_one_or_more(
     state per key is a counter, never a buffered prefix list.  A and B
     predicates must be disjoint (a row matching both counts as B).
     """
+    # a NULL timestamp cannot be ordered into the event stream at all —
+    # excluded (unlike a NULL *predicate* row below, which is orderable
+    # and acts as a run-breaking separator); keeps the segment counter
+    # independent of engine NULL-ordering (Spark NULLS FIRST vs SQL
+    # NULLS LAST)
+    df = df.where(F.col(ts_col).isNotNull())
     order = [F.col(ts_col).asc()] + (
         [F.col(tiebreak_col).asc()] if tiebreak_col else []
     )

@@ -24,7 +24,16 @@ def sessionize(
     tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Return one row per (key, session): start/end epoch-seconds and
-    event count."""
+    event count.
+
+    Rows with a NULL timestamp are excluded by contract — an unstamped
+    event cannot be placed in a session, and leaving it in would make
+    the gap computation depend on engine NULL-ordering (Spark sorts
+    NULLS FIRST, SQL engines default NULLS LAST).  Matches Spark's own
+    ``session_window``, which generates no window for a NULL event
+    time.  A NULL *key* is kept as its own group (both engines agree on
+    NULL grouping)."""
+    df = df.where(F.col(ts_col).isNotNull())
     order = [F.col(ts_col).asc()] + ([F.col(tiebreak_col).asc()] if tiebreak_col else [])
     w = Window.partitionBy(key_col).orderBy(*order)
     ts = F.col(ts_col).cast("double")

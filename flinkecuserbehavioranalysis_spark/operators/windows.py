@@ -121,6 +121,10 @@ def rolling_anomaly_zscore(
     combined, so the windowed stage ranks over day-granularity rows
     (|keys| × |days|, corpus-size independent); the per-key ordered
     frame is O(lookback) state, partition-parallel across keys."""
+    # unstamped events have no day — excluded, so a NULL group cannot
+    # park at the head of the trailing frame (Spark sorts NULLS FIRST
+    # where SQL engines sort them last)
+    df = df.where(F.col(ts_col).isNotNull())
     day = F.col(ts_col).cast("date")
     counts = df.groupBy(
         F.col(key_col), day.alias("day")

@@ -89,13 +89,16 @@ FROM __w GROUP BY ALL
 
 
 def _tumbling_sql(src: str, size: int, keys: str, agg: str = "count(*) AS cnt") -> str:
+    # __tse IS NOT NULL: an unstamped event generates no window — Spark's
+    # window() emits zero rows for a NULL event time, where the floor()
+    # bucketing alone would keep a NULL window group
     key_list = f", {keys}" if keys else ""
     return f"""
 WITH __e AS ({src})
 SELECT CAST(floor(__tse/{size})*{size} AS BIGINT) AS ws,
        CAST(floor(__tse/{size})*{size} AS BIGINT) + {size} AS we{key_list},
        {agg}
-FROM __e GROUP BY ALL
+FROM __e WHERE __tse IS NOT NULL GROUP BY ALL
 """
 
 
@@ -630,7 +633,8 @@ WITH __l AS (
          epoch(ts) AS tse,
          lag(event_type) OVER w AS prev_type,
          lag(epoch(ts)) OVER w AS prev_tse
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 __pairs AS (
   SELECT user_id, prev_tse, tse FROM __l
   WHERE event_type = 'error' AND prev_type = 'error'
@@ -715,11 +719,15 @@ def order_fulfillment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH __p AS (
   SELECT concat(user_id, '-', CAST(floor(floor(epoch(ts))/86400) AS BIGINT)) AS tx_id,
          min(ts) AS mts
-  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+  FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1),
 __r AS (
   SELECT concat(user_id, '-', CAST(floor(floor(epoch(ts))/86400) AS BIGINT)) AS tx_id,
          min(ts) AS mts
-  FROM events WHERE event_type = 'click' GROUP BY 1)
+  FROM events
+  WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1)
 SELECT coalesce(__p.tx_id, __r.tx_id) AS tx_id,
        CAST(floor(epoch(__p.mts)) AS BIGINT) AS pay_ts,
        CAST(floor(epoch(__r.mts)) AS BIGINT) AS receipt_ts,
@@ -732,7 +740,12 @@ FROM __p FULL OUTER JOIN __r ON __p.tx_id = __r.tx_id
     "purchase per user, receipts=first daily click.",
 )
 def tx_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # a transaction id needs BOTH fields — events missing either are
+    # unreconcilable (the reference's POJO parse would drop them); the
+    # guard also dodges concat_ws-vs-concat NULL divergence
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     day = (F.col("ts").cast("long") / DAY).cast("long")
     tx = F.concat_ws("-", F.col("user_id"), day)
 
@@ -789,7 +802,8 @@ WITH __f AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS is_start
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 __g AS (
   SELECT user_id, ts,
          sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
@@ -1270,7 +1284,7 @@ from ..operators.patterns import fail_burst_alerts  # noqa: E402
 WITH __o AS (
   SELECT user_id, ts, event_id,
          CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END AS is_succ
-  FROM events),
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
 __r AS (SELECT *, sum(is_succ) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                      ROWS UNBOUNDED PRECEDING) AS run_id
         FROM __o),
@@ -1491,7 +1505,7 @@ SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS ws,
        round(quantile_cont(value, 0.5), 6) AS q50,
        round(quantile_cont(value, 0.9), 6) AS q90,
        count(*) AS n
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """,
     "Extension (§2.10 holistic window UDF surface): exact per-window value quantiles via "
     "applyInPandas (Arrow group-at-a-time — the ProcessWindowFunction analog).",
@@ -1529,7 +1543,15 @@ WITH __r AS (
   FROM orders GROUP BY 1, 2),
 __l AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS event_ts FROM events)
 SELECT event_id, user_id, event_ts, last_order_id, order_ts AS last_order_ts
-FROM __l ASOF LEFT JOIN __r ON user_id = o_custkey AND event_ts >= order_ts
+FROM (SELECT * FROM __l WHERE event_ts IS NOT NULL)
+  ASOF LEFT JOIN __r ON user_id = o_custkey AND event_ts >= order_ts
+UNION ALL
+-- an unstamped probe has no "as of" point: NULL annotation, matching the
+-- three-valued `event_ts >= order_ts` (DuckDB's ASOF would quirkily
+-- match a NULL probe against the whole build side)
+SELECT event_id, user_id, event_ts,
+       CAST(NULL AS BIGINT) AS last_order_id, CAST(NULL AS BIGINT) AS last_order_ts
+FROM __l WHERE event_ts IS NULL
 """,
     "Extension (as-of join): each event annotated with the user's most recent order at or "
     "before it — union-tagged last-value propagation, one shuffle, no row explosion.",
@@ -1702,7 +1724,7 @@ WITH __d AS (
   SELECT CAST(floor(floor(epoch(o_orderdate))/86400) AS BIGINT) AS day,
          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
          count(*) AS n_orders
-  FROM orders GROUP BY 1)
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1)
 SELECT day,
        CAST(rev AS DOUBLE) AS revenue,
        n_orders,
@@ -1720,7 +1742,12 @@ WINDOW w7 AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 def daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    orders = load_table(spark, sf_dir, "orders")
+    # a NULL order date has no place on a calendar spine — and keeping
+    # it would park a NULL group at opposite ends of the cumulative
+    # window on the two engines (Spark NULLS FIRST vs SQL NULLS LAST)
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull()
+    )
     daily = orders.groupBy(
         (F.col("o_orderdate").cast("long") / DAY).cast("long").alias("day")
     ).agg(
@@ -2040,8 +2067,10 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
     )
+    # asc_nulls_last: SQL ranks NULLs last by default, Spark first — a
+    # NULL unit price must never win the argmin
     w = Window.partitionBy("l_partkey").orderBy(
-        F.col("unit_price").asc(), F.col("l_suppkey").asc()
+        F.col("unit_price").asc_nulls_last(), F.col("l_suppkey").asc()
     )
     return (
         u.withColumn("rn", F.row_number().over(w))
@@ -2876,7 +2905,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_daily_anomaly",
     """
 WITH __c AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
-             FROM events GROUP BY 1, 2),
+             FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
 __w AS (SELECT event_type, day, cnt,
                count(*) OVER w AS n_prior,
                sum(cnt) OVER w AS s1,
@@ -3681,7 +3710,8 @@ def text_top_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "session_funnel_conversion",
     """
-WITH __e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+WITH __e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+             FROM events WHERE ts IS NOT NULL),
 __s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
                          OR us - lag(us) OVER w > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
         FROM __e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
@@ -3711,8 +3741,10 @@ SELECT (SELECT count(*) FROM __s1) AS n_step1,
 def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", "event_id", "event_type", F.unix_micros(F.col("ts")).alias("us"))
     )
     w = Window.partitionBy("user_id").orderBy(F.col("us").asc(), F.col("event_id").asc())
     prev = F.lag("us").over(w)
@@ -4152,6 +4184,7 @@ WITH __wk AS (
   SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
          CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate IS NOT NULL
   GROUP BY 1)
 SELECT week_start, revenue,
        round(CASE WHEN lag(revenue) OVER (ORDER BY week_start) > 0
@@ -4168,6 +4201,9 @@ def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     l, o = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    # NULL order dates have no week (and would sit at opposite ends of
+    # the lag window on the two engines)
+    o = o.where(F.col("o_orderdate").isNotNull())
     wk = (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"))
@@ -4652,7 +4688,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH __l AS (
   SELECT user_id, event_type,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 __t AS (SELECT prev_type, event_type AS next_type, count(*) AS n
         FROM __l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
 __s AS (SELECT prev_type, sum(n) AS tot FROM __t GROUP BY 1)
@@ -4668,7 +4704,7 @@ FROM __t t JOIN __s s USING (prev_type)
 def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lagged = ev.select(
         F.lag("event_type").over(w).alias("prev_type"), F.col("event_type").alias("next_type")
@@ -4742,8 +4778,12 @@ def weekly_uv_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     day = (F.col("ts").cast("long") / F.lit(86400)).cast("long")
     week = (day / F.lit(7)).cast("long")
+    # user_id IS NOT NULL: the pre-distinct + count(*) restatement of
+    # count(DISTINCT user_id) must skip NULL users exactly as the ANSI
+    # aggregate does — a NULL user is not a visitor
     return (
-        ev.select(week.alias("week"), "user_id")
+        ev.where(F.col("user_id").isNotNull())
+        .select(week.alias("week"), "user_id")
         .distinct()
         .groupBy("week")
         .agg(F.count(F.lit(1)).cast("long").alias("uv"))
@@ -4805,7 +4845,7 @@ WITH __r AS (
          sum(CASE WHEN event_type = 'view' THEN 0 ELSE 1 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS seg
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 __runs AS (SELECT user_id, seg + 1 AS seg, count(*) AS n_views, min(ts) AS first_a
            FROM __r WHERE event_type = 'view' GROUP BY user_id, seg),
 __b AS (SELECT user_id, seg, ts AS b_ts FROM __r WHERE event_type = 'purchase')
@@ -5492,7 +5532,8 @@ WITH __f AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS is_start
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 __g AS (
   SELECT user_id, ts,
          sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -5970,7 +6011,8 @@ WITH __f AS (
   SELECT user_id, ts, event_id, event_type,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS is_start
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 __s AS (
   SELECT user_id, ts, event_id, event_type,
          sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -5996,7 +6038,7 @@ FROM __p GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20
 def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
     is_start = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
@@ -6287,15 +6329,16 @@ def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "cohort_ltv_curves",
     """
-WITH __f AS (
+WITH __o AS (SELECT * FROM orders WHERE o_orderdate IS NOT NULL),
+__f AS (
   SELECT o_custkey,
          min(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 2592000) AS cohort
-  FROM orders GROUP BY 1),
+  FROM __o GROUP BY 1),
 __r AS (
   SELECT f.cohort,
          CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 2592000 - f.cohort AS offset_m,
          SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
-  FROM orders o JOIN __f f ON o.o_custkey = f.o_custkey
+  FROM __o o JOIN __f f ON o.o_custkey = f.o_custkey
   GROUP BY 1, 2)
 SELECT cohort, offset_m, CAST(rev AS DOUBLE) AS revenue,
        CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY offset_m
@@ -6313,7 +6356,8 @@ FROM __r
 def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = load_table(spark, sf_dir, "orders")
+    # undated orders can be placed in no cohort month
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate").isNotNull())
     month = (F.col("o_orderdate").cast("long") / F.lit(2592000)).cast("long")
     f = o.groupBy("o_custkey").agg(F.min(month).alias("cohort"))
     r = (
@@ -6920,7 +6964,7 @@ def user_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH __l AS (
   SELECT user_id, event_type,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 __t AS (SELECT prev_type, event_type AS next_type, count(*) AS n
         FROM __l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
 __pred AS (SELECT prev_type, next_type AS predicted FROM (
@@ -6947,7 +6991,7 @@ GROUP BY t.prev_type, p.predicted
 def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.select(
@@ -7025,7 +7069,7 @@ def embedding_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH __d AS (
   SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
-  FROM orders GROUP BY 1),
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
 __f AS (
   SELECT day, cents,
          lag(cents, 7)  OVER w AS l7,  lag(cents, 14) OVER w AS l14,
@@ -7051,7 +7095,7 @@ FROM __s
 def revenue_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate").isNotNull())
     d = o.groupBy(
         (F.col("o_orderdate").cast("long") / F.lit(86400)).cast("long").alias("day")
     ).agg((F.sum(_dec("o_totalprice")) * 100).cast("long").alias("cents"))
@@ -7282,6 +7326,7 @@ WITH __r AS (
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey
   JOIN region ON n_regionkey = r_regionkey
+  WHERE o_orderdate IS NOT NULL
   GROUP BY 1, 2)
 SELECT r_name, quarter, CAST(rev AS DOUBLE) AS revenue,
        round(CAST(rev AS DOUBLE)
@@ -7298,7 +7343,9 @@ FROM __r
 def region_quarterly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = load_table(spark, sf_dir, "orders")
+    # undated orders have no quarter (a NULL quarter would also take
+    # the lag chain apart differently per engine)
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate").isNotNull())
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")

@@ -11,11 +11,16 @@ the driver's directories:
 - ``nulls``  — the source SF with NULLs injected into the value columns
   our Python/Arrow kernels and oracles both touch (events.event_type /
   value / props, documents.text / lang / source, embeddings.embedding /
-  label) on a deterministic hash mask (~5-8%); keys stay intact.
+  label) on a deterministic hash mask (~5-8%); keys stay intact;
+- ``nulls2`` — NULLs in the TEMPORAL and KEY columns (events.ts /
+  user_id, orders.o_orderdate / o_totalprice / o_orderpriority,
+  lineitem measures + l_shipdate, customer.c_mktsegment) — the tier
+  that exposes engine NULL-ordering divergence in windows/ranks,
+  session/run-counter membership, and NULL-key join drops.
 
 Run the full twin protocol against a tier with
 ``python scripts/verify.py --sf-dir <out>/nulls`` — round 5 closed at
-184/184 on all three tiers (BENCH_DIFF.md "degenerate-input sweep").
+184/184 on all four tiers (BENCH_DIFF.md "degenerate-input sweep").
 
 Usage:
   python scripts/make_degenerate_data.py [--src /root/testdata/sf0.01]
@@ -58,17 +63,52 @@ NULL_PLANS = {
     ),
 }
 
+NULL2_PLANS = {
+    "lineitem": (
+        "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
+        "CASE WHEN hash(l_orderkey*7+l_linenumber)%23=0 THEN NULL ELSE l_quantity END AS l_quantity, "
+        "CASE WHEN hash(l_orderkey*7+l_linenumber)%19=1 THEN NULL ELSE l_extendedprice END AS l_extendedprice, "
+        "CASE WHEN hash(l_orderkey*7+l_linenumber)%17=2 THEN NULL ELSE l_discount END AS l_discount, "
+        "l_tax, l_returnflag, l_linestatus, "
+        "CASE WHEN hash(l_orderkey*7+l_linenumber)%29=3 THEN NULL ELSE l_shipdate END AS l_shipdate "
+        "FROM read_parquet('{src}/lineitem.parquet')"
+    ),
+    "orders": (
+        "SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "CASE WHEN hash(o_orderkey)%21=0 THEN NULL ELSE o_totalprice END AS o_totalprice, "
+        "CASE WHEN hash(o_orderkey)%31=1 THEN NULL ELSE o_orderdate END AS o_orderdate, "
+        "CASE WHEN hash(o_orderkey)%27=2 THEN NULL ELSE o_orderpriority END AS o_orderpriority "
+        "FROM read_parquet('{src}/orders.parquet')"
+    ),
+    "events": (
+        "SELECT event_id, "
+        "CASE WHEN hash(event_id)%37=0 THEN NULL ELSE ts END AS ts, "
+        "CASE WHEN hash(event_id)%41=1 THEN NULL ELSE user_id END AS user_id, "
+        "event_type, value, props FROM read_parquet('{src}/events.parquet')"
+    ),
+    "customer": (
+        "SELECT * REPLACE (CASE WHEN hash(c_custkey)%25=0 THEN NULL "
+        "ELSE c_mktsegment END AS c_mktsegment) "
+        "FROM read_parquet('{src}/customer.parquet')"
+    ),
+}
+
 
 def build(src: str, out: str) -> None:
     con = duckdb.connect()
-    for tier in ("empty", "tiny", "nulls"):
+    tiers = {
+        "empty": (None, " LIMIT 0"),
+        "tiny": (None, " LIMIT 3"),
+        "nulls": (NULL_PLANS, ""),
+        "nulls2": (NULL2_PLANS, ""),
+    }
+    for tier, (plans, lim) in tiers.items():
         d = os.path.join(out, tier)
         os.makedirs(d, exist_ok=True)
         for t in TABLES:
-            if tier == "nulls" and t in NULL_PLANS:
-                q = NULL_PLANS[t].format(src=src)
+            if plans and t in plans:
+                q = plans[t].format(src=src)
             else:
-                lim = {"empty": " LIMIT 0", "tiny": " LIMIT 3"}.get(tier, "")
                 q = f"SELECT * FROM read_parquet('{src}/{t}.parquet'){lim}"
             con.execute(f"COPY ({q}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
         print(f"{tier}: {d}")

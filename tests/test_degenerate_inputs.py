@@ -140,6 +140,40 @@ def test_empty_pq_training_sample_yields_empty_index(spark):
     assert out.count() == 0
 
 
+# the riskiest query per fixed nulls2-tier (NULL ts / key / measure /
+# date) failure class — each ran red before the fix it now pins
+NULL2_SWEEP_QUERIES = [
+    "page_view_count",  # oracle kept a NULL tumbling-window group
+    "sessionize_users",  # NULL-ts ordering inflated session counts
+    "login_fail_burst",  # NULL-user alerts survive window-min but not JOIN USING
+    "event_last_order_asof",  # NULL probe/build rows spuriously matched
+    "daily_revenue_trend",  # NULL-date group offset the cumulative sum
+    "cheapest_supplier_per_part",  # NULLS FIRST rank picked a NULL price
+    "tx_match",  # concat_ws-vs-concat NULL tx ids
+    "windowed_value_quantiles",  # int(None) in the applyInPandas kernel
+    "event_type_transitions",  # NULL-ts rows shifted lag adjacency
+    "region_quarterly_growth",  # NULL quarter broke the lag chain
+]
+
+
+@pytest.mark.parametrize("name", NULL2_SWEEP_QUERIES)
+def test_null2_injected_matches_oracle(spark, degen_dirs, name):
+    sf = os.path.join(degen_dirs, "nulls2")
+    qd = QUERIES[name]
+    sdf = qd.fn(spark, sf)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = _oracle_con(sf)
+    try:
+        res = con.execute(qd.oracle)
+        d_cols = [d[0].lower() for d in res.description]
+        d_rows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(s_cols) == sorted(d_cols)
+    assert normalized_rows(s_cols, s_rows) == normalized_rows(d_cols, d_rows)
+
+
 EMPTY_SPOT_CHECKS = [
     # (query, rows expected on all-empty tables) — the shapes most
     # likely to assume non-empty input
