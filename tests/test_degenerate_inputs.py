@@ -193,3 +193,54 @@ def test_empty_tables_return_cleanly(spark, degen_dirs, name, n_rows):
     sf = os.path.join(degen_dirs, "empty")
     out = QUERIES[name].fn(spark, sf)
     assert out.count() == n_rows
+
+
+def test_streaming_twins_drop_null_event_times(spark, degen_dirs):
+    """Structured Streaming generates no window for a NULL event time
+    (the watermark node passes the row, the window generator emits
+    nothing) — the batch twins now pin the SAME exclusion, so a bounded
+    replay over NULL-bearing events must still match batch exactly."""
+    from flinkecuserbehavioranalysis_spark.operators.sessions import sessionize
+    from flinkecuserbehavioranalysis_spark.operators.windows import windowed_count
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import (
+        read_events_stream,
+        run_bounded,
+        streaming_session_window,
+        streaming_windowed_count,
+    )
+
+    sf = os.path.join(degen_dirs, "nulls2")
+    ev = load_table(spark, sf, "events")
+    assert ev.where(F.col("ts").isNull()).count() > 0  # the tier has them
+    wm = ev.agg(F.max(F.col("ts").cast("double"))).collect()[0][0]
+
+    # tumbling count twin
+    stream = read_events_stream(spark, sf)
+    got = run_bounded(streaming_windowed_count(stream, size="1 hour"), "append")
+    batch = (
+        windowed_count(ev, "ts", "1 hour").filter(F.col("we") <= wm).collect()
+    )
+    key = lambda r: (r["ws"], r["we"], r["cnt"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, batch))
+    assert len(got) > 0
+
+    # session twin (NULL user_id rows keep flowing — only NULL ts drops)
+    got_s = run_bounded(
+        streaming_session_window(read_events_stream(spark, sf), gap="30 minutes")
+    )
+    b = (
+        sessionize(ev, gap_seconds=1800, tiebreak_col="event_id")
+        .groupBy("user_id", "session_start", "session_end")
+        .agg(F.sum("n_events").alias("n_events"))
+        .filter(F.col("session_end") + 1800 <= wm)
+        .collect()
+    )
+    closed = [r for r in got_s if r["session_end"] + 1800 <= wm]
+    ks = lambda r: (  # noqa: E731
+        r["user_id"],
+        r["session_start"],
+        r["session_end"],
+        r["n_events"],
+    )
+    assert sorted(map(ks, closed), key=repr) == sorted(map(ks, b), key=repr)
+    assert len(closed) > 0
