@@ -2,7 +2,7 @@
 
 Real 100 TB corpora are never as clean as the driver's testdata: columns
 carry NULLs, partitions come up empty, and a filter can hand any operator
-a 3-row (or 0-row) input.  This script materializes three tiers OUTSIDE
+a 3-row (or 0-row) input.  This script materializes five tiers OUTSIDE
 the driver's directories:
 
 - ``empty``  — every table with its exact schema and zero rows;
@@ -20,7 +20,7 @@ the driver's directories:
 
 Run the full twin protocol against a tier with
 ``python scripts/verify.py --sf-dir <out>/nulls`` — round 5 closed at
-184/184 on all four tiers (BENCH_DIFF.md "degenerate-input sweep").
+184/184 on all five tiers (BENCH_DIFF.md "degenerate-input sweep").
 
 Usage:
   python scripts/make_degenerate_data.py [--src /root/testdata/sf0.01]
@@ -63,6 +63,24 @@ NULL_PLANS = {
     ),
 }
 
+# ~40% of docs get multibyte splices: CJK, astral-plane emoji (UTF-16
+# surrogate pairs), combining accents, RTL — probes code-point vs
+# byte/code-unit semantics in substring/length/trigram paths.  Round 5
+# swept this tier clean on the first run (both engines are
+# code-point-based; hashes run over UTF-8 bytes on both).
+UNICODE_PLANS = {
+    "documents": """
+SELECT doc_id,
+  CASE hash(doc_id)%10
+    WHEN 0 THEN '\u6570\u636e \u5904\u7406 \u5f15\u64ce ' || text
+    WHEN 1 THEN text || ' caf\u00e9 na\u00efve r\u00e9sum\u00e9'
+    WHEN 2 THEN '\U0001F680\U0001F525 ' || text || ' \U0001F4CA'
+    WHEN 3 THEN '\u0645\u0631\u062d\u0628\u0627 \u0628\u0627\u0644\u0639\u0627\u0644\u0645 ' || text
+    ELSE text END AS text,
+  lang, source, n_chars
+FROM read_parquet('{src}/documents.parquet')""",
+}
+
 NULL2_PLANS = {
     "lineitem": (
         "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
@@ -101,6 +119,7 @@ def build(src: str, out: str) -> None:
         "tiny": (None, " LIMIT 3"),
         "nulls": (NULL_PLANS, ""),
         "nulls2": (NULL2_PLANS, ""),
+        "unicode": (UNICODE_PLANS, ""),
     }
     for tier, (plans, lim) in tiers.items():
         d = os.path.join(out, tier)

