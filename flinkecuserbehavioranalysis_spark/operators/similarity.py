@@ -31,13 +31,26 @@ def _as_double(col: str | Column) -> Column:
 
 
 def _drop_null_vec(df: DataFrame, vec_col: str) -> DataFrame:
-    """Exclude rows whose vector is NULL.
+    """Exclude rows whose vector is NULL or contains a non-finite component.
 
     A NULL embedding cannot participate in any similarity computation
-    (its dot product is undefined), so every vector operator excludes
-    such rows by contract — the same `embedding IS NOT NULL` guard the
-    SQL oracles carry.  A no-op on null-free data."""
-    return df.where(F.col(vec_col).isNotNull())
+    (its dot product is undefined), and a NaN/±Inf component poisons
+    every distance it touches (NaN propagates through the fold; 1e308²
+    overflows to Inf) — at corpus scale a single corrupt feature row
+    would crash quantization casts or silently reorder every top-k it
+    reaches.  Components must also be *sane*: |x| ≤ 1e6 (orders of
+    magnitude beyond any normalized-embedding scale) so squares and
+    decimal-stable moment sums stay inside DECIMAL(28,12)'s domain —
+    a finite-but-astronomic 1e308 component is corrupt data, not a
+    feature.  Every vector operator therefore excludes such rows by
+    contract — the same ``embedding IS NOT NULL AND <all components
+    finite and sane>`` guard the SQL oracles carry.  A no-op on clean
+    data."""
+    c = F.col(vec_col).cast("array<double>")
+    all_finite = F.forall(
+        c, lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) <= F.lit(1e6))
+    )
+    return df.where(F.col(vec_col).isNotNull() & all_finite)
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -71,6 +71,29 @@ def _q(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+def _finite(col) -> F.Column:
+    """Three-valued 'is a finite double' predicate (NULL stays NULL).
+
+    Corrupt numeric features (NaN / ±Inf) are a fact of life at corpus
+    scale; every measure-statistics kernel excludes them by contract —
+    NaN poisons sums/quantiles differently per engine, ±Inf crashes
+    bucket casts (floor(Inf) -> BIGINT overflows under ANSI on Spark and
+    outright errors on DuckDB).  The matching oracle guard is
+    ``isfinite(value)``.  A no-op on clean data."""
+    c = F.col(col) if isinstance(col, str) else col
+    return ~F.isnan(c) & (F.abs(c) < F.lit(float("inf")))
+
+
+#: Row filter keeping NULL measures (their semantics are pinned by the
+#: NULL tier) while dropping non-finite ones — Spark / DuckDB twin pair.
+_FINITE_OR_NULL_SQL = "(value IS NULL OR isfinite(value))"
+
+
+def _finite_or_null(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNull() | _finite(c)
+
+
 def _sliding_sql(src: str, size: int, slide: int, keys: str, extra_cols: str = "") -> str:
     """DuckDB twin of Spark's epoch-aligned sliding ``window()``: each row
     expands to the ``size/slide`` window starts covering its timestamp."""
@@ -1097,7 +1120,7 @@ _COS_SQL = (
 @_q(
     "ann_brute_force_topk",
     f"""
-WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x) OR abs(x) > 1000000.0)) = 0),
 __q AS (SELECT vec_id AS q_id, v AS qv FROM __e WHERE vec_id < 5),
 __s AS (SELECT q_id, e.vec_id AS neighbor_id,
                {_COS_SQL.format(a='qv', b='e.v')} AS cos
@@ -1116,7 +1139,7 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "ann_bucketed_neardup",
     f"""
-WITH __e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+WITH __e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x) OR abs(x) > 1000000.0)) = 0),
 __n AS (SELECT label, CAST(ceil(count(*) / 32.0) AS BIGINT) AS n_sub
         FROM __e GROUP BY label),
 __s AS (SELECT e.vec_id, e.label, e.v,
@@ -1142,7 +1165,7 @@ def ann_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "ann_cosine_lsh_neardup",
     f"""
-WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x) OR abs(x) > 1000000.0)) = 0),
 __pl AS (
   SELECT p, d,
          CASE WHEN substring(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)
@@ -1316,8 +1339,8 @@ def login_fail_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(regexp_extract(props, '"k"\\s*:\\s*(-?[0-9]+)', 1) AS BIGINT) % 10 AS bucket,
        count(*) AS cnt,
        CAST(sum(CAST(regexp_extract(props, '"k"\\s*:\\s*(-?[0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
-       min(value) AS min_value,
-       max(value) AS max_value
+       min(CASE WHEN isfinite(value) THEN value END) AS min_value,
+       max(CASE WHEN isfinite(value) THEN value END) AS max_value
 FROM events GROUP BY 1
 """,
     "Extension (§2.9): typed JSON field extraction from events.props (get_json_object, "
@@ -1334,8 +1357,10 @@ def props_numeric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum("k").alias("sum_k"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
+            # min/max over FINITE values only (non-finite excluded by
+            # contract — see _finite); cnt still counts every row
+            F.min(F.when(_finite("value"), F.col("value"))).alias("min_value"),
+            F.max(F.when(_finite("value"), F.col("value"))).alias("max_value"),
         )
     )
 
@@ -1505,13 +1530,14 @@ SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS ws,
        round(quantile_cont(value, 0.5), 6) AS q50,
        round(quantile_cont(value, 0.9), 6) AS q90,
        count(*) AS n
-FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL AND (value IS NULL OR isfinite(value))
+GROUP BY 1, 2
 """,
     "Extension (§2.10 holistic window UDF surface): exact per-window value quantiles via "
     "applyInPandas (Arrow group-at-a-time — the ProcessWindowFunction analog).",
 )
 def windowed_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(_finite_or_null("value"))
     return windowed_quantiles(ev, "ts", DAY, "value", quantiles=(0.5, 0.9))
 
 
@@ -1522,7 +1548,7 @@ def windowed_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "windowed_value_quantiles — JVM-side, map-side-combinable, no Python stage.",
 )
 def windowed_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(_finite_or_null("value"))
     return windowed_quantiles_approx(ev, "ts", DAY, "value", quantiles=(0.5, 0.9))
 
 
@@ -1581,7 +1607,7 @@ def _kmeans_train_ctes(
     n_cells: int | str,
     train_iters: int,
     train_buckets: int | None,
-    source: str = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL",
+    source: str = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x) OR abs(x) > 1000000.0)) = 0",
 ) -> tuple[str, str]:
     """Shared DuckDB CTE prefix replaying ``kmeans_fit`` exactly: seed
     selection, then one (assignment, centroid-mean) CTE pair per Lloyd
@@ -1692,8 +1718,12 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
+HAVING count(*) > 0
 """,
     "Extension: revenue ROLLUP over (region, nation), two-phase — the fact join "
+    "(grouping sets are emitted only when populated: Spark's Expand produces no "
+    "grand-total row over EMPTY input, where ANSI SQL emits one — the oracle's "
+    "HAVING pins the engine's semantics, a no-op on any non-empty input) "
     "pre-aggregates to the 31 (region, nation) groups BEFORE the rollup, so Spark's "
     "Expand (3 output rows per input) runs over 31 rows instead of tripling every "
     "joined lineitem (3.5x at sf0.1; the difference between one extra map step and "
@@ -1952,7 +1982,8 @@ from ..operators.similarity import label_centroids  # noqa: E402
     """
 WITH __e AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
                     unnest(embedding::DOUBLE[]) AS v
-             FROM embeddings)
+             FROM embeddings
+             WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x) OR abs(x) > 1000000.0)) = 0)
 SELECT label, pos - 1 AS pos,
        round(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS centroid_val,
        count(*) AS n_vecs
@@ -2302,6 +2333,7 @@ SELECT {CHANNEL_CASE} AS channel, event_type, count(*) AS cnt,
        count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY CUBE ({CHANNEL_CASE}, event_type)
+HAVING count(*) > 0
 """,
     "Extension: CUBE over (channel, event_type) with a distinct count per cell, "
     "two-phase: events pre-aggregate to distinct (channel, event_type, user) triples "
@@ -2452,7 +2484,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "embedding_quantize_stats",
     """
-WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x) OR abs(x) > 1000000.0)) = 0),
 __s AS (
   SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM __e
 ),
@@ -3084,7 +3116,7 @@ from ..operators.similarity import quantized_topk  # noqa: E402
 @_q(
     "ann_quantized_topk",
     """
-WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x) OR abs(x) > 1000000.0)) = 0),
 __s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM __e),
 __q AS (SELECT vec_id,
                CASE WHEN sc > 0 THEN list_transform(v, x -> CAST(round(x / sc) AS DOUBLE))
@@ -3110,7 +3142,7 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COSINE_LSH_ORACLE_CORE = """
-__el AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+__el AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x) OR abs(x) > 1000000.0)) = 0),
 __pl AS (
   SELECT p, d,
          CASE WHEN substring(md5(CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)
@@ -3504,7 +3536,7 @@ def _pq_oracle(
     train, _ = _pq_train_ctes(m, w, k_codes, train_iters)
     adc = _pq_adc_ctes(m, w, n_queries)
     return f"""
-WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+WITH __e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x) OR abs(x) > 1000000.0)) = 0),
 __et AS (SELECT vec_id, v FROM __e {train_where}),
 {train}{adc}__ip AS (SELECT l.q_id, e.vec_id AS neighbor_id, CAST(sum(l.l6) AS BIGINT) AS ip6
         FROM __enc e JOIN __lut l ON l.mi = e.mi AND l.code = e.code
@@ -3781,8 +3813,15 @@ def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_step1",
             "n_step2",
             "n_step3",
-            F.round(F.col("n_step2") / F.col("n_step1"), 6).alias("conv_2"),
-            F.round(F.col("n_step3") / F.col("n_step1"), 6).alias("conv_3"),
+            # zero step-1 sessions -> conversion undefined (NULL), the
+            # SQL 0/0 NULL both engines produce in legacy mode; under
+            # ANSI Spark would otherwise raise DIVIDE_BY_ZERO
+            F.when(
+                F.col("n_step1") > 0, F.round(F.col("n_step2") / F.col("n_step1"), 6)
+            ).alias("conv_2"),
+            F.when(
+                F.col("n_step1") > 0, F.round(F.col("n_step3") / F.col("n_step1"), 6)
+            ).alias("conv_3"),
         )
     )
 
@@ -3931,7 +3970,8 @@ SELECT label, pos - 1 AS pos,
        count(*) AS n_vecs
 FROM (SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
              unnest(embedding::DOUBLE[]) AS x
-      FROM embeddings)
+      FROM embeddings
+      WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x) OR abs(x) > 1000000.0)) = 0)
 GROUP BY 1, 2
 """,
     "Extension (feature normalization): per-label per-dimension mean and std — the "
@@ -3972,7 +4012,7 @@ from ..operators.similarity import hard_negatives  # noqa: E402
 @_q(
     "embedding_hard_negatives",
     f"""
-WITH __e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+WITH __e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x) OR abs(x) > 1000000.0)) = 0),
 __a AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS av FROM __e
         WHERE vec_id < 10),
 __s AS (SELECT a.anchor_id, a.anchor_label, e.vec_id AS negative_id,
@@ -4056,7 +4096,7 @@ def text_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "embedding_triplet_candidates",
     f"""
-WITH __e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+WITH __e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x) OR abs(x) > 1000000.0)) = 0),
 __a AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS av FROM __e
         WHERE vec_id < 10),
 __s AS (SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,
@@ -4595,6 +4635,7 @@ WITH __pre AS (
 SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS n_events,
        CAST(GROUPING(event_type, dow) AS BIGINT) AS gid
 FROM __pre GROUP BY CUBE (event_type, dow)
+HAVING count(*) > 0
 """,
     "Extension: CUBE over (event_type, day-of-week) with GROUPING id — all four "
     "aggregation levels in one pass; pre-aggregated to the 35 base groups before the "
@@ -4722,14 +4763,18 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type, CAST(least(floor(value / 50), 9) AS BIGINT) AS bucket,
        count(*) AS n,
        CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi
-FROM events GROUP BY 1, 2
+FROM events WHERE value IS NULL OR isfinite(value)
+GROUP BY 1, 2
 """,
     "Extension (profiling): fixed-width value histogram per event type — width 50 "
     "capped at bucket 9; one partial-aggregated shuffle over (type, bucket), the "
     "distribution sketch a pipeline stores per ingest batch.",
 )
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # non-finite measures excluded by contract (floor(±Inf) cannot be a
+    # bucket; a NaN would silently land in bucket 9 via least()'s
+    # NaN-is-largest ordering)
+    ev = load_table(spark, sf_dir, "events").where(_finite_or_null("value"))
     bucket = F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("long")
     return ev.groupBy("event_type", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -4797,7 +4842,8 @@ WITH __l AS (
   SELECT user_id, event_id, value, ts,
          lag(value) OVER w AS prev_value,
          lag(ts) OVER w AS prev_ts
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+  FROM events WHERE value IS NULL OR isfinite(value)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
 SELECT user_id, CAST(floor(epoch(prev_ts)) AS BIGINT) AS prev_ts,
        CAST(floor(epoch(ts)) AS BIGINT) AS spike_ts,
        CAST(prev_value AS DOUBLE) AS prev_value, CAST(value AS DOUBLE) AS spike_value
@@ -4813,7 +4859,10 @@ WHERE prev_value IS NOT NULL AND value >= 2 * prev_value
 def pattern_value_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # a NaN/Inf measure can neither be a spike base nor a spike value —
+    # excluded by contract BEFORE the lag pairing so run adjacency
+    # matches the oracle
+    ev = load_table(spark, sf_dir, "events").where(_finite_or_null("value"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lagged = ev.select(
         "user_id",
@@ -5021,7 +5070,8 @@ SELECT event_type, count(*) AS n,
        round(quantile_cont(value, 0.5), 6) AS p50,
        round(quantile_cont(value, 0.9), 6) AS p90,
        round(quantile_cont(value, 0.99), 6) AS p99
-FROM events GROUP BY event_type
+FROM events WHERE value IS NULL OR isfinite(value)
+GROUP BY event_type
 """,
     "Extension (holistic aggregate, JVM-side): exact linear-interpolated value "
     "percentiles per event type via the built-in percentile() — the whole-stage-codegen "
@@ -5029,7 +5079,7 @@ FROM events GROUP BY event_type
     "both engines share the (n-1)p interpolation definition.",
 )
 def event_value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(_finite_or_null("value"))
     pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -5501,6 +5551,7 @@ SELECT l_returnflag, l_linestatus, CAST(sum(r) AS DOUBLE) AS revenue,
        CAST(sum(n) AS BIGINT) AS n_lines,
        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
 FROM __pre GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+HAVING count(*) > 0
 """,
     "Extension (§2.8 multi-level aggregation #3): explicit GROUPING SETS — detail, "
     "per-returnflag subtotal and grand total ONLY (no per-linestatus level, which is what "
@@ -5728,7 +5779,7 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH RECURSIVE
 __b AS (SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS lo,
                max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS hi FROM events),
-__d(day) AS (SELECT lo FROM __b
+__d(day) AS (SELECT lo FROM __b WHERE lo IS NOT NULL
              UNION ALL SELECT day + 1 FROM __d JOIN __b ON day < hi),
 __p AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, count(*) AS n
         FROM events WHERE event_type = 'purchase' AND value > 300 GROUP BY 1)
@@ -6288,7 +6339,7 @@ def doc_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH __n AS (
   SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
-  FROM events WHERE value IS NOT NULL)
+  FROM events WHERE value IS NOT NULL AND isfinite(value))
 SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
        round(min(value), 6) AS lo, round(max(value), 6) AS hi
 FROM __n GROUP BY bucket
@@ -6310,7 +6361,7 @@ def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load_table(spark, sf_dir, "events")
         .select("value", "event_id")
-        .where(F.col("value").isNotNull())
+        .where(F.col("value").isNotNull() & _finite("value"))
     )
     b = global_ntile(
         ev,
@@ -6378,7 +6429,9 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Shared DuckDB CTE body for the embedding covariance upper triangle —
 #: consumed by embedding_covariance_matrix and the power-iteration query.
-_EMB_COV_CTES = """__e AS (SELECT vec_id, embedding AS v FROM embeddings),
+_EMB_COV_CTES = """__e AS (SELECT vec_id, embedding AS v FROM embeddings
+        WHERE embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x) OR abs(x) > 1000000.0)) = 0),
 __p AS (SELECT i.i AS i, j.j AS j,
                (v[i.i + 1])::DOUBLE AS xi, (v[j.j + 1])::DOUBLE AS xj
         FROM __e, range(0, 64) i(i), range(0, 64) j(j)
@@ -6404,7 +6457,9 @@ def _emb_cov_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_cov_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import _drop_null_vec
+
+    emb = _drop_null_vec(load_table(spark, sf_dir, "embeddings"), "embedding")
     v = emb.select(F.col("embedding").cast("array<double>").alias("v"))
     # ONE Generate per vector: the 2,080 (i, j, xi, xj) upper-triangle
     # structs are built as a single flattened array expression, then
@@ -6568,7 +6623,7 @@ def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame
     "embedding_drift_by_dim",
     f"""
 WITH __e AS (SELECT {_BUCKET_SQL.format(k="vec_id")} < 5000 AS in_a,
-                    embedding AS v FROM embeddings WHERE embedding IS NOT NULL),
+                    embedding AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x) OR abs(x) > 1000000.0)) = 0),
 __x AS (SELECT in_a, d.d AS dim, (v[d.d + 1])::DOUBLE AS x
         FROM __e, range(0, 64) d(d)),
 __s AS (SELECT dim,
@@ -6589,7 +6644,7 @@ __z AS (SELECT dim, na, nb,
 SELECT CAST(dim AS BIGINT) AS dim, na, nb,
        round(ma - mb, 6) + 0.0 AS mean_diff,
        round((ma - mb) / sqrt(va / na + vb / nb), 6) + 0.0 AS z_score
-FROM __z
+FROM __z WHERE na > 0 AND nb > 0
 """,
     "Extension (embedding-space drift detection — the vector complement of "
     "token_drift_chisq): per-dimension Welch z-scores of the mean gap between two "
@@ -6601,8 +6656,9 @@ FROM __z
 )
 def embedding_drift_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import hash_bucket
+    from ..operators.similarity import _drop_null_vec
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _drop_null_vec(load_table(spark, sf_dir, "embeddings"), "embedding")
     e = emb.select(
         (hash_bucket("vec_id") < 5000).alias("in_a"),
         F.col("embedding").cast("array<double>").alias("v"),
@@ -6632,7 +6688,9 @@ def embedding_drift_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qb").cast("double")
         - F.col("sb").cast("double") * F.col("sb").cast("double") / F.col("nb")
     ) / F.col("nb")
-    return srel.select(
+    # a drift z-score against an EMPTY half is undefined — drop such
+    # dims on both engines (degenerate hash-half regime, tiny tier)
+    return srel.where((F.col("na") > 0) & (F.col("nb") > 0)).select(
         F.col("dim").cast("long").alias("dim"),
         "na",
         "nb",
@@ -6778,7 +6836,7 @@ def events_dow_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH __b AS (
   SELECT event_type, {_BUCKET_SQL.format(k="event_id")} < 5000 AS in_a,
          least(999, CAST(floor(value / 0.5) AS BIGINT)) AS bin
-  FROM events),
+  FROM events WHERE value IS NULL OR isfinite(value)),
 __c AS (SELECT event_type, bin,
                CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
                CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
@@ -6788,6 +6846,7 @@ __cdf AS (SELECT c.event_type,
                  sum(c.ca) OVER w * 1.0 / t.ta AS fa,
                  sum(c.cb) OVER w * 1.0 / t.tb AS fb
           FROM __c c JOIN __t t ON c.event_type = t.event_type
+          WHERE t.ta > 0 AND t.tb > 0
           WINDOW w AS (PARTITION BY c.event_type ORDER BY c.bin
                        ROWS UNBOUNDED PRECEDING))
 SELECT event_type, round(max(abs(fa - fb)), 6) AS ks_stat
@@ -6805,7 +6864,7 @@ def value_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.sampling import hash_bucket
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(_finite_or_null("value"))
     b = ev.select(
         "event_type",
         (hash_bucket("event_id") < 5000).alias("in_a"),
@@ -6823,10 +6882,16 @@ def value_ks_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cdf = c.join(F.broadcast(t), "event_type").select(
-        "event_type",
-        (F.sum("ca").over(w) / F.col("ta")).alias("fa"),
-        (F.sum("cb").over(w) / F.col("tb")).alias("fb"),
+    # a KS statistic against an EMPTY half is undefined — drop such
+    # types on both engines (degenerate hash-half regime, tiny tier)
+    cdf = (
+        c.join(F.broadcast(t), "event_type")
+        .where((F.col("ta") > 0) & (F.col("tb") > 0))
+        .select(
+            "event_type",
+            (F.sum("ca").over(w) / F.col("ta")).alias("fa"),
+            (F.sum("cb").over(w) / F.col("tb")).alias("fb"),
+        )
     )
     return cdf.groupBy("event_type").agg(
         F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_stat")

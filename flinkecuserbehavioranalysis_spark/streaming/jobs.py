@@ -53,7 +53,15 @@ def read_events_stream(
     )
     os.makedirs(view_dir, exist_ok=True)
     link = os.path.join(view_dir, f"{table}.parquet")
-    if not os.path.exists(link):
+    # lexists, not exists: a link left by an earlier (deleted) dataset
+    # with the same basename is a *dangling* symlink — exists() follows
+    # it and reports False, but symlink() would still collide.  Re-point
+    # whenever the target differs.
+    if os.path.lexists(link):
+        if os.path.realpath(link) != os.path.realpath(path):
+            os.remove(link)
+            os.symlink(path, link)
+    else:
         os.symlink(path, link)
     reader = spark.readStream.schema(static.schema)
     if max_files_per_trigger:

@@ -2,7 +2,7 @@
 
 Real 100 TB corpora are never as clean as the driver's testdata: columns
 carry NULLs, partitions come up empty, and a filter can hand any operator
-a 3-row (or 0-row) input.  This script materializes five tiers OUTSIDE
+a 3-row (or 0-row) input.  This script materializes six tiers OUTSIDE
 the driver's directories:
 
 - ``empty``  — every table with its exact schema and zero rows;
@@ -16,11 +16,14 @@ the driver's directories:
   user_id, orders.o_orderdate / o_totalprice / o_orderpriority,
   lineitem measures + l_shipdate, customer.c_mktsegment) — the tier
   that exposes engine NULL-ordering divergence in windows/ranks,
-  session/run-counter membership, and NULL-key join drops.
+  session/run-counter membership, and NULL-key join drops;
+- ``specials`` — NaN / ±Inf / -0.0 in event measures and NaN / 1e308
+  components inside embedding vectors — the corrupt-feature tier that
+  exposes cast-overflow crashes and per-engine NaN ordering.
 
 Run the full twin protocol against a tier with
 ``python scripts/verify.py --sf-dir <out>/nulls`` — round 5 closed at
-184/184 on all five tiers (BENCH_DIFF.md "degenerate-input sweep").
+184/184 on all six tiers (BENCH_DIFF.md "degenerate-input sweep").
 
 Usage:
   python scripts/make_degenerate_data.py [--src /root/testdata/sf0.01]
@@ -81,6 +84,37 @@ SELECT doc_id,
 FROM read_parquet('{src}/documents.parquet')""",
 }
 
+# NaN / ±Inf / -0.0 in ~5% of event measures and a NaN or 1e308
+# component inside ~4% of embedding vectors — the corrupt-feature case
+# every 100 TB ingest eventually sees.  Exposed 28 failures in round 5:
+# quantization casts crashed (NaN -> INT overflows under ANSI),
+# DECIMAL(28,12) moment sums overflowed on 1e308, and NaN reordered
+# min/max/quantile outputs differently per engine.  Fixed by contract:
+# vector operators exclude non-finite / insane (|x| > 1e6) components
+# (_drop_null_vec, similarity.py) and measure-statistics kernels exclude
+# non-finite measures (_finite, queries.py), both mirrored in the
+# oracles.
+SPECIAL_PLANS = {
+    "events": """
+SELECT event_id, ts, user_id, event_type,
+  CASE hash(event_id)%83
+    WHEN 0 THEN 'NaN'::DOUBLE
+    WHEN 1 THEN 'Infinity'::DOUBLE
+    WHEN 2 THEN '-Infinity'::DOUBLE
+    WHEN 3 THEN -0.0
+    ELSE value END AS value,
+  props
+FROM read_parquet('{src}/events.parquet')""",
+    "embeddings": """
+SELECT vec_id,
+  CASE hash(vec_id)%53
+    WHEN 0 THEN list_transform(embedding, (x, i) -> CASE WHEN i = 1 THEN 'NaN'::DOUBLE ELSE x END)
+    WHEN 1 THEN list_transform(embedding, (x, i) -> CASE WHEN i = 2 THEN 1e308 ELSE x END)
+    ELSE embedding END AS embedding,
+  label
+FROM read_parquet('{src}/embeddings.parquet')""",
+}
+
 NULL2_PLANS = {
     "lineitem": (
         "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
@@ -115,11 +149,16 @@ NULL2_PLANS = {
 def build(src: str, out: str) -> None:
     con = duckdb.connect()
     tiers = {
+        # ORDER BY ALL pins WHICH three rows the tiny tier draws —
+        # DuckDB's bare LIMIT is not order-stable across scans, and an
+        # unlucky draw (all rows in one md5 half) changes which
+        # degenerate regimes the tier exercises between builds
         "empty": (None, " LIMIT 0"),
-        "tiny": (None, " LIMIT 3"),
+        "tiny": (None, " ORDER BY ALL LIMIT 3"),
         "nulls": (NULL_PLANS, ""),
         "nulls2": (NULL2_PLANS, ""),
         "unicode": (UNICODE_PLANS, ""),
+        "specials": (SPECIAL_PLANS, ""),
     }
     for tier, (plans, lim) in tiers.items():
         d = os.path.join(out, tier)

@@ -278,3 +278,115 @@ def test_unicode_text_matches_oracle(spark, degen_dirs, name):
         con.close()
     assert sorted(s_cols) == sorted(d_cols)
     assert normalized_rows(s_cols, s_rows) == normalized_rows(d_cols, d_rows)
+
+
+SPECIALS_SWEEP_QUERIES = [
+    # the riskiest query per fixed failure class from the specials tier
+    # (NaN / ±Inf / -0.0 measures; NaN / 1e308 vector components) — each
+    # ran red (crash or divergence) before the fix it now pins
+    "ann_quantized_topk",  # NaN -> INT cast overflow in int8 quantize
+    "ann_pq_topk",  # Python 'cannot convert float infinity to integer'
+    "embedding_label_centroids",  # DECIMAL(28,12) overflow on 1e308 sums
+    "embedding_covariance_matrix",  # driver-side collect crash on Inf cells
+    "props_numeric_stats",  # NaN min/max ordering divergence
+    "value_histogram",  # ±Inf bucket cast: oracle crash, Spark bucket-9 mask
+    "pattern_value_spike",  # NaN >= 2*prev comparison divergence
+    "value_equidepth_histogram",  # NaN rank-ordering divergence
+    "value_ks_drift_by_type",  # oracle CAST(floor(NaN) AS BIGINT) crash
+]
+
+
+@pytest.mark.parametrize("name", SPECIALS_SWEEP_QUERIES)
+def test_special_floats_match_oracle(spark, degen_dirs, name):
+    """Corrupt numeric features (NaN / ±Inf / -0.0 measures, NaN / 1e308
+    vector components) must neither crash an engine nor diverge: vector
+    operators exclude non-finite / insane components by contract
+    (_drop_null_vec) and measure-statistics kernels exclude non-finite
+    measures (_finite), with identical guards in the oracles."""
+    sf = os.path.join(degen_dirs, "specials")
+    qd = QUERIES[name]
+    sdf = qd.fn(spark, sf)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = _oracle_con(sf)
+    try:
+        res = con.execute(qd.oracle)
+        d_cols = [d[0].lower() for d in res.description]
+        d_rows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(s_cols) == sorted(d_cols)
+    assert normalized_rows(s_cols, s_rows) == normalized_rows(d_cols, d_rows)
+
+
+def test_invalid_vectors_excluded_by_contract(spark, degen_dirs):
+    """A vector with a NaN or astronomic (1e308) component is dropped at
+    every operator entry — corrupt features never reach a distance."""
+    from flinkecuserbehavioranalysis_spark.operators.similarity import _drop_null_vec
+
+    sf = os.path.join(degen_dirs, "specials")
+    emb = load_table(spark, sf, "embeddings")
+    kept = _drop_null_vec(emb, "embedding")
+    bad = emb.count() - kept.count()
+    assert bad > 0  # the tier really injected corrupt vectors
+    # and every kept vector is fully finite and sane
+    n_bad_kept = kept.where(
+        F.exists(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x.isNull() | F.isnan(x) | (F.abs(x) > F.lit(1e6)),
+        )
+    ).count()
+    assert n_bad_kept == 0
+
+
+def test_drift_statistics_empty_half_returns_empty(spark, degen_dirs, tmp_path):
+    """A drift statistic against an EMPTY comparison half is undefined —
+    both engines must return zero rows, not divide by zero (ANSI crash).
+    Regime: every event/vector lands in md5 half A (a filtered subset or
+    tail partition does this in production)."""
+    one = tmp_path / "onehalf"
+    one.mkdir()
+    src = os.path.join(degen_dirs, "nulls")
+    con = duckdb.connect()
+    half = "('0x' || substring(md5(CAST({k} AS VARCHAR)), 1, 8))::VARCHAR::UBIGINT % 10000 < 5000"
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{src}/events.parquet') "
+        f"WHERE {half.format(k='event_id')}) TO '{one}/events.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{src}/embeddings.parquet') "
+        f"WHERE {half.format(k='vec_id')}) TO '{one}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    for name in ("value_ks_drift_by_type", "embedding_drift_by_dim"):
+        qd = QUERIES[name]
+        assert qd.fn(spark, str(one)).count() == 0, name
+        ocon = _oracle_con(str(one))
+        try:
+            assert len(ocon.execute(qd.oracle).fetchall()) == 0, name
+        finally:
+            ocon.close()
+
+
+GROUPING_SET_QUERIES = [
+    "region_nation_revenue_rollup",
+    "marketing_channel_cube",
+    "event_type_dow_cube",
+    "revenue_grouping_sets",
+]
+
+
+@pytest.mark.parametrize("name", GROUPING_SET_QUERIES)
+def test_grouping_sets_emit_nothing_over_empty_input(spark, degen_dirs, name):
+    """ANSI SQL emits a grand-total grouping-set row even over EMPTY
+    input; Spark's Expand-based rollup/cube does not.  The engine pins
+    Spark's populated-sets-only semantics and the oracles carry a
+    matching ``HAVING count(*) > 0`` (a no-op on any non-empty input)."""
+    sf = os.path.join(degen_dirs, "empty")
+    qd = QUERIES[name]
+    assert qd.fn(spark, sf).count() == 0
+    con = _oracle_con(sf)
+    try:
+        assert len(con.execute(qd.oracle).fetchall()) == 0
+    finally:
+        con.close()
