@@ -55,6 +55,7 @@ from itertools import combinations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalar import floor_long
 from .patterns import pattern_sequence
 
 
@@ -319,7 +320,7 @@ def _compile_variant(
     return chain.select(
         F.col(key_col),
         *[
-            F.col(f"step{by_gi[i]}_ts").cast("long").alias(f"step{i + 1}_ts")
+            floor_long(F.col(f"step{by_gi[i]}_ts")).alias(f"step{i + 1}_ts")
             if i in by_gi
             else F.lit(None).cast("long").alias(f"step{i + 1}_ts")
             for i in range(n_atoms)

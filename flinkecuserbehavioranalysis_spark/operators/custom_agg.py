@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalar import floor_div
+
 
 def windowed_quantiles(
     df: DataFrame,
@@ -57,7 +59,7 @@ def windowed_quantiles(
     # zero windows for a NULL event time); NULL values stay — quantiles
     # skip NaN/NULL identically on both paths
     base = df.where(F.col(ts_col).isNotNull()).select(
-        ((F.col(ts_col).cast("long") / size_seconds).cast("long") * size_seconds).alias("ws"),
+        (floor_div(F.col(ts_col).cast("long"), size_seconds) * size_seconds).alias("ws"),
         F.col(value_col),
     )
     if max_group_rows is not None:
@@ -102,7 +104,7 @@ def windowed_quantiles_approx(
     # zero windows for a NULL event time); NULL values stay — quantiles
     # skip NaN/NULL identically on both paths
     base = df.where(F.col(ts_col).isNotNull()).select(
-        ((F.col(ts_col).cast("long") / size_seconds).cast("long") * size_seconds).alias("ws"),
+        (floor_div(F.col(ts_col).cast("long"), size_seconds) * size_seconds).alias("ws"),
         F.col(value_col),
     )
     pct = F.percentile_approx(

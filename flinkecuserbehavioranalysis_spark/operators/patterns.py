@@ -26,6 +26,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalar import floor_div, floor_long
+
 _DAY = 86400
 
 
@@ -87,8 +89,8 @@ def pattern_pairs(
             )
             .select(
                 F.col(key_col),
-                F.col("__prev_tse").cast("long").alias("first_ts"),
-                F.col("__tse").cast("long").alias("second_ts"),
+                floor_long(F.col("__prev_tse")).alias("first_ts"),
+                floor_long(F.col("__tse")).alias("second_ts"),
             )
         )
     else:
@@ -111,8 +113,8 @@ def pattern_pairs(
             )
             .select(
                 F.col(key_col),
-                F.col("__tse").cast("long").alias("first_ts"),
-                F.col("__next_b").cast("long").alias("second_ts"),
+                floor_long(F.col("__tse")).alias("first_ts"),
+                floor_long(F.col("__next_b")).alias("second_ts"),
             )
         )
     return matched
@@ -214,13 +216,13 @@ def pattern_sequence(
             .drop("__cand", f"__g{i + 1}")
         )
     chain = F.col("__g0.chain")
-    out_ty = "double" if emit_double else "long"
+    emit = (lambda c: c) if emit_double else floor_long
     return cur.filter(
         F.col("__g0").isNotNull()
         & (F.element_at(chain, n) - F.element_at(chain, 1) < F.lit(float(within_seconds)))
     ).select(
         F.col(key_col),
-        *[F.element_at(chain, i + 1).cast(out_ty).alias(f"step{i + 1}_ts") for i in range(n)],
+        *[emit(F.element_at(chain, i + 1)).alias(f"step{i + 1}_ts") for i in range(n)],
     )
 
 
@@ -265,7 +267,7 @@ def pattern_not_followed_by(
         "left_anti",
     )
     return survived.select(
-        F.col(key_col), F.col("__ft").cast("long").alias("first_ts")
+        F.col(key_col), floor_long(F.col("__ft")).alias("first_ts")
     )
 
 
@@ -465,8 +467,8 @@ def fail_burst_alerts(
         .filter(F.col("n_fails") >= min_fails)
         .select(
             F.col(user_col),
-            F.col("anchor").cast("long").alias("first_fail_ts"),
-            F.col("last_tse").cast("long").alias("last_fail_ts"),
+            floor_long(F.col("anchor")).alias("first_fail_ts"),
+            floor_long(F.col("last_tse")).alias("last_fail_ts"),
             F.col("n_fails"),
             F.lit(f"login fail {min_fails} times in {window_seconds}s").alias("warning_msg"),
         )
@@ -490,7 +492,7 @@ def blacklist_filter(
     (AdAnalysisByProvinceBlack.scala:86-95 emits once, guarded by
     ``isSentState``).
     """
-    day = (F.col(ts_col).cast("long") / _DAY).cast("long").alias("day")
+    day = floor_div(F.col(ts_col).cast("long"), _DAY).alias("day")
     order = [F.col(ts_col).asc()] + ([F.col(tiebreak_col).asc()] if tiebreak_col else [])
     base = df.withColumn("day", day)
     w = Window.partitionBy(user_col, item_col, "day").orderBy(*order)

@@ -27,6 +27,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalar import floor_div
 from ..io import load_table
 from ..operators.distinct import windowed_distinct_count
 from ..operators.joins import interval_join, tx_match_full_outer
@@ -769,7 +770,7 @@ def tx_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
-    day = (F.col("ts").cast("long") / DAY).cast("long")
+    day = floor_div(F.col("ts").cast("long"), DAY)
     tx = F.concat_ws("-", F.col("user_id"), day)
 
     def first_daily(etype: str) -> DataFrame:
@@ -1779,7 +1780,7 @@ def daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").isNotNull()
     )
     daily = orders.groupBy(
-        (F.col("o_orderdate").cast("long") / DAY).cast("long").alias("day")
+        floor_div(F.col("o_orderdate").cast("long"), DAY).alias("day")
     ).agg(
         F.sum(_dec("o_totalprice")).alias("rev"),
         F.count(F.lit(1)).alias("n_orders"),
@@ -2135,7 +2136,7 @@ def high_k_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("p.k") > 50)
     return (
         parsed.groupBy(
-            ((F.col("ts").cast("long") / HOUR).cast("long") * HOUR).alias("ws"),
+            (floor_div(F.col("ts").cast("long"), HOUR) * HOUR).alias("ws"),
             "event_type",
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -4629,7 +4630,7 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_type_dow_cube",
     """
 WITH __pre AS (
-  SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow,
+  SELECT event_type, (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS dow,
          count(*) AS n
   FROM events GROUP BY 1, 2)
 SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS n_events,
@@ -4644,7 +4645,7 @@ HAVING count(*) > 0
 )
 def event_type_dow_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    dow = ((F.col("ts").cast("long") / F.lit(86400)).cast("long") + 4) % 7
+    dow = (floor_div(F.col("ts").cast("long"), F.lit(86400)) + 4) % 7
     pre = ev.groupBy(F.col("event_type"), dow.alias("dow")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -4794,8 +4795,8 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def weekly_uv_from_daily_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    day = (F.col("ts").cast("long") / F.lit(86400)).cast("long")
-    week = (day / F.lit(7)).cast("long")
+    day = floor_div(F.col("ts").cast("long"), F.lit(86400))
+    week = floor_div(day, 7)
     daily = ev.groupBy(week.alias("week"), day.alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
@@ -4808,7 +4809,7 @@ def weekly_uv_from_daily_sketches(spark: SparkSession, sf_dir: str) -> DataFrame
 @_q(
     "weekly_uv_exact",
     """
-SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 7 AS week,
+SELECT CAST(floor(floor(epoch(ts) / 86400) / 7) AS BIGINT) AS week,
        CAST(count(DISTINCT user_id) AS BIGINT) AS uv
 FROM events GROUP BY 1
 """,
@@ -4821,8 +4822,8 @@ FROM events GROUP BY 1
 )
 def weekly_uv_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    day = (F.col("ts").cast("long") / F.lit(86400)).cast("long")
-    week = (day / F.lit(7)).cast("long")
+    day = floor_div(F.col("ts").cast("long"), F.lit(86400))
+    week = floor_div(day, 7)
     # user_id IS NOT NULL: the pre-distinct + count(*) restatement of
     # count(DISTINCT user_id) must skip NULL users exactly as the ANSI
     # aggregate does — a NULL user is not a visitor
@@ -5141,7 +5142,7 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_trade_flows",
     f"""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-       CAST(floor(epoch(l_shipdate)) AS BIGINT) // 31536000 + 1970 AS ship_year,
+       CAST(floor(epoch(l_shipdate) / 31536000) AS BIGINT) + 1970 AS ship_year,
        CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS volume
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -5164,7 +5165,7 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
-    year = (F.col("l_shipdate").cast("long") / F.lit(31536000)).cast("long") + 1970
+    year = floor_div(F.col("l_shipdate").cast("long"), F.lit(31536000)) + 1970
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
@@ -5352,7 +5353,7 @@ def text_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "shipping_delay_histogram",
     """
-SELECT CAST((floor(epoch(l_shipdate)) - floor(epoch(o_orderdate))) // 86400 AS BIGINT)
+SELECT CAST(floor((floor(epoch(l_shipdate)) - floor(epoch(o_orderdate))) / 86400) AS BIGINT)
          AS delay_days,
        count(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -5776,23 +5777,25 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "daily_purchase_spine",
     """
-WITH RECURSIVE
-__b AS (SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS lo,
-               max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS hi FROM events),
-__d(day) AS (SELECT lo FROM __b WHERE lo IS NOT NULL
-             UNION ALL SELECT day + 1 FROM __d JOIN __b ON day < hi),
-__p AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, count(*) AS n
+WITH
+__b AS (SELECT min(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS lo,
+               max(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS hi FROM events),
+__d AS (SELECT unnest(generate_series(lo, hi)) AS day FROM __b WHERE lo IS NOT NULL),
+__p AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, count(*) AS n
         FROM events WHERE event_type = 'purchase' AND value > 300 GROUP BY 1)
 SELECT d.day AS day, CAST(coalesce(p.n, 0) AS BIGINT) AS n_big_purchases,
        CAST(CASE WHEN p.n IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
 FROM __d d LEFT JOIN __p p ON p.day = d.day
 """,
-    "Extension (recursive CTE surface, Spark 4): a calendar SPINE generated by WITH "
-    "RECURSIVE from the observed [min, max] day bounds (UNION ALL recursion, depth = "
-    "span in days, bounded 30 here), left-joined to big-purchase day counts so silent "
+    "Extension (recursive CTE surface, Spark 4): a calendar SPINE over the observed "
+    "[min, max] day bounds, left-joined to big-purchase day counts so silent "
     "zero-activity days surface as explicit is_gap rows — the monitoring query a "
-    "dense-groupBy can never produce because absent days produce no groups.  Same "
-    "recursive SQL runs on both engines.",
+    "dense-groupBy can never produce because absent days produce no groups.  The "
+    "spine comes from WITH RECURSIVE (UNION ALL, one level per day) while the span "
+    "fits Spark's recursion budget, and falls back to the distributed spark.range "
+    "for degenerate multi-century spans (extreme-timestamp corrupt rows would "
+    "otherwise exceed the recursion-level limit — and a 213k-level UnionLoop is "
+    "the wrong plan anyway).  Both paths emit identical rows.",
 )
 def daily_purchase_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -5803,25 +5806,33 @@ def daily_purchase_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events aggregate on every one of the ~30 iterations — measured
     # 13 s -> ~2 s at sf0.01).
     lo, hi = ev.agg(
-        F.min(F.col("ts").cast("long") / 86400).cast("long"),
-        F.max(F.col("ts").cast("long") / 86400).cast("long"),
+        F.min(floor_div(F.col("ts").cast("long"), 86400)),
+        F.max(floor_div(F.col("ts").cast("long"), 86400)),
     ).first()
     if lo is None or hi is None:  # empty / all-null-ts events: no spine
         return spark.createDataFrame(
             [], "day long, n_big_purchases long, is_gap int"
         )
-    return spark.sql(
-        f"""
-WITH RECURSIVE
-__d(day) AS (SELECT CAST({lo} AS LONG) AS day
-             UNION ALL SELECT day + 1 FROM __d WHERE day < {hi}),
-__p AS (SELECT CAST(ts AS LONG) DIV 86400 AS day, count(*) AS n
-        FROM __ev_spine_src WHERE event_type = 'purchase' AND value > 300 GROUP BY 1)
+    # FLOOR (not DIV, which truncates toward zero) so pre-1970 corrupt
+    # timestamps bucket to the same day index as the oracle's `//`
+    purchases = """
+__p AS (SELECT CAST(FLOOR(CAST(ts AS LONG) / 86400) AS LONG) AS day, count(*) AS n
+        FROM __ev_spine_src WHERE event_type = 'purchase' AND value > 300 GROUP BY 1)"""
+    tail = """
 SELECT d.day AS day, CAST(coalesce(p.n, 0) AS BIGINT) AS n_big_purchases,
        CAST(CASE WHEN p.n IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
-FROM __d d LEFT JOIN __p p ON p.day = d.day
-"""
+FROM __d d LEFT JOIN __p p ON p.day = d.day"""
+    if hi - lo < 90:  # the recursive-CTE surface (one level per day)
+        return spark.sql(
+            f"""
+WITH RECURSIVE
+__d(day) AS (SELECT CAST({lo} AS LONG) AS day
+             UNION ALL SELECT day + 1 FROM __d WHERE day < {hi}),{purchases}{tail}"""
+        )
+    spark.range(lo, hi + 1).selectExpr("id AS day").createOrReplaceTempView(
+        "__spine_days"
     )
+    return spark.sql(f"WITH __d AS (SELECT day FROM __spine_days),{purchases}{tail}")
 
 
 @_q(
@@ -5900,7 +5911,7 @@ LATERAL (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
     "daily_revenue_ewma",
     """
 WITH __d AS (
-  SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+  SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
   FROM orders GROUP BY 1),
 __p AS (
@@ -5926,7 +5937,7 @@ FROM __p
 def daily_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     d = o.groupBy(
-        (F.col("o_orderdate").cast("long") / F.lit(86400)).cast("long").alias("day")
+        floor_div(F.col("o_orderdate").cast("long"), F.lit(86400)).alias("day")
     ).agg(
         (F.sum(_dec("o_totalprice")) * 100).cast("long").alias("cents")
     )
@@ -6004,7 +6015,7 @@ def conversion_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
     """
 WITH __c AS (
   SELECT o_custkey,
-         max(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) AS recency_day,
+         max(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)) AS recency_day,
          count(*) AS frequency,
          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
   FROM orders GROUP BY 1),
@@ -6031,7 +6042,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     c = o.groupBy("o_custkey").agg(
-        F.max((F.col("o_orderdate").cast("long") / F.lit(86400)).cast("long")).alias(
+        F.max(floor_div(F.col("o_orderdate").cast("long"), F.lit(86400))).alias(
             "recency_day"
         ),
         F.count(F.lit(1)).alias("frequency"),
@@ -6179,8 +6190,9 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hourly_activity_bitmask",
     """
 WITH __m AS (
-  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
-         bit_or(CAST(1 AS BIGINT) << CAST((CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS INT))
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         bit_or(CAST(1 AS BIGINT) <<
+                CAST(((CAST(floor(epoch(ts)) AS BIGINT) % 86400 + 86400) % 86400) // 3600 AS INT))
            AS mask
   FROM events GROUP BY 1, 2)
 SELECT day, count(*) AS n_user_days,
@@ -6201,8 +6213,8 @@ def hourly_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     sec = F.col("ts").cast("long")
     m = ev.groupBy(
-        "user_id", (sec / F.lit(86400)).cast("long").alias("day")
-    ).agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST((CAST(ts AS LONG) % 86400) DIV 3600 AS INT))")).alias("mask"))
+        "user_id", floor_div(sec, 86400).alias("day")
+    ).agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(CAST(ts AS LONG), 86400) DIV 3600 AS INT))")).alias("mask"))
     return m.groupBy("day").agg(
         F.count(F.lit(1)).alias("n_user_days"),
         F.sum(F.when(F.bit_count("mask") >= 12, 1).otherwise(0))
@@ -6383,11 +6395,11 @@ def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH __o AS (SELECT * FROM orders WHERE o_orderdate IS NOT NULL),
 __f AS (
   SELECT o_custkey,
-         min(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 2592000) AS cohort
+         min(CAST(floor(epoch(o_orderdate) / 2592000) AS BIGINT)) AS cohort
   FROM __o GROUP BY 1),
 __r AS (
   SELECT f.cohort,
-         CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 2592000 - f.cohort AS offset_m,
+         CAST(floor(epoch(o.o_orderdate) / 2592000) AS BIGINT) - f.cohort AS offset_m,
          SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
   FROM __o o JOIN __f f ON o.o_custkey = f.o_custkey
   GROUP BY 1, 2)
@@ -6409,7 +6421,7 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # undated orders can be placed in no cohort month
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate").isNotNull())
-    month = (F.col("o_orderdate").cast("long") / F.lit(2592000)).cast("long")
+    month = floor_div(F.col("o_orderdate").cast("long"), F.lit(2592000))
     f = o.groupBy("o_custkey").agg(F.min(month).alias("cohort"))
     r = (
         o.join(f, "o_custkey")
@@ -6776,8 +6788,8 @@ def fluency_quality_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_dow_adjusted_anomaly",
     """
 WITH __d AS (
-  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
-         (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow,
+  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS dow,
          count(*) AS n
   FROM events GROUP BY 1, 2, 3),
 __m AS (
@@ -6801,7 +6813,7 @@ WHERE (CAST(m.q AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.k) / m.k > 0
 )
 def events_dow_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    day = (F.col("ts").cast("long") / F.lit(86400)).cast("long")
+    day = floor_div(F.col("ts").cast("long"), F.lit(86400))
     d = ev.groupBy(
         "event_type", day.alias("day"), ((day + 4) % 7).alias("dow")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -7132,7 +7144,7 @@ def embedding_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_forecast_backtest",
     """
 WITH __d AS (
-  SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+  SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
   FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
 __f AS (
@@ -7162,7 +7174,7 @@ def revenue_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate").isNotNull())
     d = o.groupBy(
-        (F.col("o_orderdate").cast("long") / F.lit(86400)).cast("long").alias("day")
+        floor_div(F.col("o_orderdate").cast("long"), F.lit(86400)).alias("day")
     ).agg((F.sum(_dec("o_totalprice")) * 100).cast("long").alias("cents"))
     w = Window.orderBy("day")
     f = d.select(
@@ -7385,7 +7397,7 @@ def order_lines_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH __r AS (
   SELECT r_name,
-         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 7776000 AS quarter,
+         CAST(floor(epoch(o_orderdate) / 7776000) AS BIGINT) AS quarter,
          SUM({{rev}}) AS rev
   FROM orders
   JOIN customer ON o_custkey = c_custkey
@@ -7420,9 +7432,7 @@ def region_quarterly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(
             "r_name",
-            (F.col("o_orderdate").cast("long") / F.lit(7776000))
-            .cast("long")
-            .alias("quarter"),
+            floor_div(F.col("o_orderdate").cast("long"), 7776000).alias("quarter"),
         )
         .agg(F.sum(_dec("o_totalprice")).alias("rev"))
     )

@@ -484,13 +484,13 @@ def streaming_activity_bitmask(
             F.bit_or(
                 F.expr(
                     f"shiftleft(CAST(1 AS BIGINT), "
-                    f"CAST((CAST({ts_col} AS LONG) % 86400) DIV 3600 AS INT))"
+                    f"CAST(pmod(CAST({ts_col} AS LONG), 86400) DIV 3600 AS INT))"
                 )
             ).alias("mask")
         )
         .select(
             key_col,
-            (F.unix_timestamp(F.col("__w.start")) / F.lit(86400))
+            F.floor(F.unix_timestamp(F.col("__w.start")) / F.lit(86400))
             .cast("long")
             .alias("day"),
             "mask",

@@ -19,11 +19,18 @@ the driver's directories:
   session/run-counter membership, and NULL-key join drops;
 - ``specials`` — NaN / ±Inf / -0.0 in event measures and NaN / 1e308
   components inside embedding vectors — the corrupt-feature tier that
-  exposes cast-overflow crashes and per-engine NaN ordering.
+  exposes cast-overflow crashes and per-engine NaN ordering;
+- ``times``  — extreme-but-valid timestamps (epoch 0, pre-1970 negative
+  epochs with sub-second parts, the datetime64[ns] range edges
+  1677/2262) and 1900/9999 date sentinels — the corrupt-clock tier that
+  exposes floor-vs-truncate division divergence (see BENCH_DIFF.md);
+- ``skew``   — pathological hot keys and byte-identical duplicate
+  floods — the tier that exposes nondeterministic tie handling and
+  quadratic near-dup blowups.
 
 Run the full twin protocol against a tier with
 ``python scripts/verify.py --sf-dir <out>/nulls`` — round 5 closed at
-184/184 on all six tiers (BENCH_DIFF.md "degenerate-input sweep").
+184/184 on all eight tiers (BENCH_DIFF.md "degenerate-input sweep").
 
 Usage:
   python scripts/make_degenerate_data.py [--src /root/testdata/sf0.01]
@@ -115,6 +122,97 @@ SELECT vec_id,
 FROM read_parquet('{src}/embeddings.parquet')""",
 }
 
+# Extreme-but-valid timestamps in ~5% of events and classic dirty-data
+# date sentinels in orders/lineitem: epoch 0, pre-1970 (NEGATIVE epoch —
+# the floor-vs-truncate division trap: DuckDB's // floors, a naive Spark
+# (cast/86400).cast(long) truncates toward zero), the TIMESTAMP(NANOS)
+# int64 range edges (1677-09-21 / 2262-04-11, also pandas datetime64[ns]
+# limits — the Arrow-kernel overflow probe), and 1900-01-01 / 9999-12-31
+# order-date sentinels.
+TIME_PLANS = {
+    "events": """
+SELECT event_id,
+  CASE hash(event_id)%97
+    WHEN 0 THEN TIMESTAMP '1970-01-01 00:00:00'
+    WHEN 1 THEN TIMESTAMP '1950-06-15 11:22:33.5'
+    WHEN 2 THEN TIMESTAMP '1969-12-31 23:59:59.25'
+    WHEN 3 THEN TIMESTAMP '1677-09-21 00:12:44'
+    WHEN 4 THEN TIMESTAMP '2262-04-11 23:47:16'
+    ELSE ts END AS ts,
+  user_id, event_type, value, props
+FROM read_parquet('{src}/events.parquet')""",
+    "orders": """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+  CASE hash(o_orderkey)%67
+    WHEN 0 THEN TIMESTAMP '1900-01-01 00:00:00'
+    WHEN 1 THEN TIMESTAMP '9999-12-31 00:00:00'
+    ELSE o_orderdate END AS o_orderdate,
+  o_orderpriority
+FROM read_parquet('{src}/orders.parquet')""",
+    "lineitem": """
+SELECT * REPLACE (
+  CASE hash(l_orderkey*7+l_linenumber)%71
+    WHEN 0 THEN TIMESTAMP '1900-01-01 00:00:00'
+    WHEN 1 THEN TIMESTAMP '9999-12-31 00:00:00'
+    ELSE l_shipdate END AS l_shipdate)
+FROM read_parquet('{src}/lineitem.parquet')""",
+}
+
+# Pathological key skew + full-duplicate floods: one user owns ~40% of
+# events (plus a 2,000-row flood of ONE byte-identical event row), one
+# customer ~20% of orders, one supplier ~10% of lineitem, and ~10% of
+# documents/embeddings are byte-identical copies of one row.  This is
+# the hot-key / duplicate-heavy shape of real clickstreams, and it
+# stresses exactly what uniform testdata never does: per-key window
+# partitions holding half the table, LSH/near-dup buckets with
+# quadratic pair blowup, k-NN TIES (identical vectors force
+# deterministic tiebreak or hash mismatch), and AQE skew splits.
+SKEW_PLANS = {
+    "events": """
+SELECT event_id, ts,
+  CASE WHEN hash(event_id)%5<2
+       THEN (SELECT min(user_id) FROM read_parquet('{src}/events.parquet'))
+       ELSE user_id END AS user_id,
+  event_type, value, props
+FROM read_parquet('{src}/events.parquet')
+UNION ALL
+SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props
+FROM (SELECT * FROM read_parquet('{src}/events.parquet')
+      ORDER BY event_id LIMIT 1) e, range(2000)""",
+    "orders": """
+SELECT o_orderkey,
+  CASE WHEN hash(o_orderkey)%5=0
+       THEN (SELECT min(o_custkey) FROM read_parquet('{src}/orders.parquet'))
+       ELSE o_custkey END AS o_custkey,
+  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM read_parquet('{src}/orders.parquet')""",
+    "lineitem": """
+SELECT * REPLACE (
+  CASE WHEN hash(l_orderkey*7+l_linenumber)%10=0
+       THEN (SELECT min(l_suppkey) FROM read_parquet('{src}/lineitem.parquet'))
+       ELSE l_suppkey END AS l_suppkey,
+  CASE WHEN hash(l_orderkey*7+l_linenumber)%20=1
+       THEN (SELECT min(l_partkey) FROM read_parquet('{src}/lineitem.parquet'))
+       ELSE l_partkey END AS l_partkey)
+FROM read_parquet('{src}/lineitem.parquet')""",
+    "documents": """
+SELECT doc_id,
+  CASE WHEN hash(doc_id)%10=0
+       THEN (SELECT text FROM read_parquet('{src}/documents.parquet')
+             WHERE text IS NOT NULL ORDER BY doc_id LIMIT 1)
+       ELSE text END AS text,
+  lang, source, n_chars
+FROM read_parquet('{src}/documents.parquet')""",
+    "embeddings": """
+SELECT vec_id,
+  CASE WHEN hash(vec_id)%10=0
+       THEN (SELECT embedding FROM read_parquet('{src}/embeddings.parquet')
+             WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 1)
+       ELSE embedding END AS embedding,
+  label
+FROM read_parquet('{src}/embeddings.parquet')""",
+}
+
 NULL2_PLANS = {
     "lineitem": (
         "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
@@ -159,6 +257,8 @@ def build(src: str, out: str) -> None:
         "nulls2": (NULL2_PLANS, ""),
         "unicode": (UNICODE_PLANS, ""),
         "specials": (SPECIAL_PLANS, ""),
+        "times": (TIME_PLANS, ""),
+        "skew": (SKEW_PLANS, ""),
     }
     for tier, (plans, lim) in tiers.items():
         d = os.path.join(out, tier)

@@ -390,3 +390,125 @@ def test_grouping_sets_emit_nothing_over_empty_input(spark, degen_dirs, name):
         assert len(con.execute(qd.oracle).fetchall()) == 0
     finally:
         con.close()
+
+TIMES_SWEEP_QUERIES = [
+    # the riskiest query per fixed failure class from the times tier
+    # (epoch-0 / pre-1970 / nanos-range-edge timestamps in events.ts,
+    # 1900/9999 date sentinels in orders/lineitem) — each ran red
+    # before the fix it now pins
+    "login_fail_detect",  # CEP double->long cast truncated -0.75 to 0
+    "pattern_optional_funnel",  # same truncation in the variant union
+    "ad_blacklist_warnings",  # epoch_day truncated pre-1970 days
+    "tx_match",  # day-keyed tx id shifted a day pre-1970
+    "windowed_value_quantiles",  # window start truncated, not floored
+    "high_k_hourly_by_type",  # hour-bucket start truncated
+    "hourly_activity_bitmask",  # negative hour -> DuckDB shift crash
+    "daily_purchase_spine",  # 213k-day span blew the recursion limit
+    "event_type_dow_cube",  # DuckDB integer // TRUNCATES (dow shifted)
+    "weekly_uv_exact",  # nested day//7 truncation (extra week group)
+    "cohort_ltv_curves",  # month-cohort // truncation
+    "region_quarterly_growth",  # quarter // truncation
+]
+
+
+@pytest.mark.parametrize("name", TIMES_SWEEP_QUERIES)
+def test_extreme_timestamps_match_oracle(spark, degen_dirs, name):
+    """Extreme-but-valid timestamps (epoch 0, pre-1970 NEGATIVE epochs
+    with sub-second parts, the datetime64[ns] range edges 1677/2262,
+    1900/9999 date sentinels): every epoch-bucket derivation must FLOOR.
+    Two engine traps pinned here: Spark's double->long cast truncates
+    toward zero (timestamp->long floors), and DuckDB's ``//`` truncates
+    on INTEGER operands (it floors only on DOUBLE) — so the Spark side
+    routes through floor_long/floor_div and the oracles spell
+    ``floor(epoch(ts) / N)`` rather than integer ``// N``."""
+    sf = os.path.join(degen_dirs, "times")
+    qd = QUERIES[name]
+    sdf = qd.fn(spark, sf)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = _oracle_con(sf)
+    try:
+        res = con.execute(qd.oracle)
+        d_cols = [d[0].lower() for d in res.description]
+        d_rows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(s_cols) == sorted(d_cols)
+    assert normalized_rows(s_cols, s_rows) == normalized_rows(d_cols, d_rows)
+
+
+def test_floor_division_contract_on_negatives(spark):
+    """floor_long / floor_div floor (match math.floor and DuckDB double
+    //); a plain double->long cast would truncate toward zero."""
+    import math
+
+    from flinkecuserbehavioranalysis_spark.functions.scalar import floor_div, floor_long
+
+    vals = [-0.75, -1.0, -86399.5, -616855046.5, 0.0, 0.75, 86400.25]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r["x"]: (r["fl"], r["fd"])
+        for r in df.select(
+            "x",
+            floor_long(F.col("x")).alias("fl"),
+            floor_div(F.col("x"), 86400).alias("fd"),
+        ).collect()
+    }
+    for v in vals:
+        assert got[v] == (math.floor(v), math.floor(v / 86400)), v
+
+
+def test_spine_recursion_fallback_paths(spark, degen_dirs):
+    """daily_purchase_spine keeps the WITH RECURSIVE surface for sane
+    spans (UnionLoop in the plan) and falls back to the distributed
+    spark.range for multi-century degenerate spans — same rows either
+    way (the oracle pin above), never a recursion-limit error."""
+    qd = QUERIES["daily_purchase_spine"]
+    sane = qd.fn(spark, SF_DIR)
+    assert "UnionLoop" in sane._jdf.queryExecution().optimizedPlan().toString()
+    wide = qd.fn(spark, os.path.join(degen_dirs, "times"))
+    assert "UnionLoop" not in wide._jdf.queryExecution().optimizedPlan().toString()
+    # the wide spine really is the multi-century calendar, one row per day
+    days = wide.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi"), F.count(F.lit(1)).alias("n")
+    ).first()
+    assert days["n"] == days["hi"] - days["lo"] + 1 > 100_000
+
+SKEW_SWEEP_QUERIES = [
+    # hot-key / duplicate-flood tier: one user owns ~40% of events plus
+    # a 2,000-row byte-identical flood, one customer ~20% of orders,
+    # ~10% of documents/embeddings are identical copies.  The tier
+    # swept 184/184 clean on first run — these pins keep the paths that
+    # COULD diverge under ties and duplicate floods that way
+    "dedup_exact",  # the 2,000-row flood collapses to one keeper
+    "dedup_minhash_lsh",  # giant LSH bucket (every dup in one band key)
+    "ann_brute_force_topk",  # k-NN ties among identical vectors
+    "semantic_dedup_flags",  # within-cluster quadratic on a dup cluster
+    "hot_items_topn",  # per-window top-N with one dominating key
+    "skewed_event_type_counts",  # the salted-aggregation surface itself
+    "sessionize_users",  # one user's sessions = 40% of the table
+    "user_concentration_report",  # global rank with a hot head
+]
+
+
+@pytest.mark.parametrize("name", SKEW_SWEEP_QUERIES)
+def test_hot_keys_and_duplicate_floods_match_oracle(spark, degen_dirs, name):
+    """Pathological skew must not change ANSWERS: identical-vector k-NN
+    ties resolve by deterministic tiebreak on both engines, duplicate
+    floods collapse in dedup, and hot-key aggregations/windows agree
+    with the oracle exactly (scale posture for the same shapes is
+    AQE skew splits + salting, SCALE.md)."""
+    sf = os.path.join(degen_dirs, "skew")
+    qd = QUERIES[name]
+    sdf = qd.fn(spark, sf)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = _oracle_con(sf)
+    try:
+        res = con.execute(qd.oracle)
+        d_cols = [d[0].lower() for d in res.description]
+        d_rows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(s_cols) == sorted(d_cols)
+    assert normalized_rows(s_cols, s_rows) == normalized_rows(d_cols, d_rows)

@@ -139,7 +139,7 @@ def test_windowed_quantiles_operator(spark):
     vals = [
         r["value"]
         for r in ev.filter(
-            (F.col("ts").cast("long") / 86400).cast("long") * 86400 == first_ws
+            F.floor(F.col("ts").cast("long") / 86400).cast("long") * 86400 == first_ws
         ).collect()
     ]
     expect = round(float(pd.Series(vals).quantile(0.5)), 6)
@@ -1324,8 +1324,8 @@ def test_weekly_sketch_uv_within_tolerance(spark):
         for r in QUERIES["weekly_uv_from_daily_sketches"].fn(spark, SF_DIR).collect()
     }
     ev = load_table(spark, SF_DIR, "events")
-    day = (F.col("ts").cast("long") / F.lit(86400)).cast("long")
-    week = (day / F.lit(7)).cast("long")
+    day = F.floor(F.col("ts").cast("long") / F.lit(86400)).cast("long")
+    week = F.floor(day / F.lit(7)).cast("long")
     exact = {
         r.week: r.uv
         for r in ev.groupBy(week.alias("week"))

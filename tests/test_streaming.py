@@ -1157,7 +1157,7 @@ def test_partitioned_sink_survives_restart(spark, tmp_path):
 
     def agg(df):
         return df.groupBy(
-            (F.col("ts").cast("long") / F.lit(86400)).cast("long").alias("day"),
+            F.floor(F.col("ts").cast("long") / F.lit(86400)).cast("long").alias("day"),
             "event_type",
         ).agg(F.count(F.lit(1)).alias("n"))
 
@@ -1315,12 +1315,12 @@ def test_streaming_activity_bitmask_matches_batch(spark):
     ev = load_table(spark, SF_DIR, "events")
     sec = F.col("ts").cast("long")
     batch = ev.groupBy(
-        "user_id", (sec / F.lit(86400)).cast("long").alias("day")
+        "user_id", F.floor(sec / F.lit(86400)).cast("long").alias("day")
     ).agg(
         F.bit_or(
             F.expr(
                 "shiftleft(CAST(1 AS BIGINT), "
-                "CAST((CAST(ts AS LONG) % 86400) DIV 3600 AS INT))"
+                "CAST(pmod(CAST(ts AS LONG), 86400) DIV 3600 AS INT))"
             )
         ).alias("mask")
     )
