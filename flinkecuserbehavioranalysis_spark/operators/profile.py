@@ -73,3 +73,76 @@ def profile_table(
         "column_name", "n_rows", "n_nulls", "n_distinct",
         "min_num", "max_num", "min_str", "max_str",
     )
+
+
+#: TIMESTAMP(NANOS) / datetime64[ns] representable bounds in floored
+#: epoch seconds (1677-09-21 00:12:43.145224 / 2262-04-11 23:47:16.854775)
+#: — timestamps within a day of these are almost always corrupt-clock
+#: artifacts of a nanos-epoch overflow, not real events.
+NANOS_MIN_S = -9223372037
+NANOS_MAX_S = 9223372036
+
+#: default sane-window bounds: [2000-01-01, 2035-01-01) epoch seconds
+SANE_LO_S = 946684800
+SANE_HI_S = 2051222400
+
+
+def clock_audit(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str | None = None,
+    sane_lo_s: int = SANE_LO_S,
+    sane_hi_s: int = SANE_HI_S,
+) -> DataFrame:
+    """Timestamp-sanity report — the audit a 100 TB ingest runs before
+    trusting a new drop's clocks (the times degenerate tier made these
+    corruption classes concrete): one row per classification with
+    counts, distinct keys, and floored epoch-second bounds.
+
+    Classes (first match wins): ``unstamped`` (NULL), ``epoch_zero``
+    (the classic 1970-01-01 00:00:00 default), ``nanos_edge`` (within a
+    day of the datetime64[ns] limits — nanos-epoch overflow artifacts),
+    ``pre_epoch`` (negative epoch), ``before_sane`` / ``after_sane``
+    (outside [*sane_lo_s*, *sane_hi_s*)), ``ok``.
+
+    Scale shape: map-only classification into a ≤7-group aggregate —
+    one shuffle of at most 7 rows per partition (partial aggregation
+    collapses everything map-side)."""
+    s = F.col(ts_col).cast("long")
+    kind = (
+        F.when(F.col(ts_col).isNull(), "unstamped")
+        .when(s == 0, "epoch_zero")
+        .when((s <= NANOS_MIN_S + 86400) | (s >= NANOS_MAX_S - 86400), "nanos_edge")
+        .when(s < 0, "pre_epoch")
+        .when(s < sane_lo_s, "before_sane")
+        .when(s >= sane_hi_s, "after_sane")
+        .otherwise("ok")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.min(s).alias("min_s"),
+        F.max(s).alias("max_s"),
+    ]
+    if key_col is not None:
+        aggs.append(F.count_distinct(F.col(key_col)).alias("n_keys"))
+    return df.groupBy(kind.alias("kind")).agg(*aggs)
+
+
+def quarantine_by_ts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    sane_lo_s: int = SANE_LO_S,
+    sane_hi_s: int = SANE_HI_S,
+) -> DataFrame:
+    """Adds a ``__ts_status`` column — ``kept`` / ``quarantined`` /
+    ``unstamped`` — the repair policy that routes corrupt-clock rows to
+    a quarantine sink instead of silently polluting every downstream
+    day bucket.  Map-only; pair with a partitioned write on the status
+    column for the split."""
+    s = F.col(ts_col).cast("long")
+    status = (
+        F.when(F.col(ts_col).isNull(), "unstamped")
+        .when((s < sane_lo_s) | (s >= sane_hi_s), "quarantined")
+        .otherwise("kept")
+    )
+    return df.withColumn("__ts_status", status)

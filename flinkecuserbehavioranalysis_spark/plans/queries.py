@@ -7530,3 +7530,122 @@ def tax_effect_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cr").cast("double") / F.col("nr").cast("double") - 1.0, 6
         ).alias("effective_tax_rate"),
     )
+
+
+# =====================================================================
+# Temporal hygiene — clock audits + quarantine (round 5, times tier)
+# =====================================================================
+
+#: shared floored-epoch classifier — the oracle twin of
+#: operators/profile.clock_audit (same first-match-wins order)
+_CLOCK_KIND_SQL = """CASE
+  WHEN ts IS NULL THEN 'unstamped'
+  WHEN __s = 0 THEN 'epoch_zero'
+  WHEN __s <= -9223285637 OR __s >= 9223285636 THEN 'nanos_edge'
+  WHEN __s < 0 THEN 'pre_epoch'
+  WHEN __s < 946684800 THEN 'before_sane'
+  WHEN __s >= 2051222400 THEN 'after_sane'
+  ELSE 'ok' END"""
+
+
+@_q(
+    "events_clock_audit",
+    f"""
+WITH __e AS (SELECT ts, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS __s FROM events)
+SELECT {_CLOCK_KIND_SQL} AS kind,
+       count(*) AS n,
+       min(__s) AS min_s, max(__s) AS max_s,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+FROM __e GROUP BY 1
+""",
+    "Extension (temporal hygiene): timestamp-sanity report over events — one row per "
+    "corruption class (unstamped / epoch_zero / nanos_edge / pre_epoch / before_sane / "
+    "after_sane / ok) with counts, distinct users, and floored epoch bounds; the audit "
+    "a 100 TB ingest runs before trusting a new drop's clocks.  Map-only "
+    "classification, <=7-row aggregate (partial agg collapses map-side).",
+)
+def events_clock_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import clock_audit
+
+    ev = load_table(spark, sf_dir, "events")
+    return clock_audit(ev, "ts", key_col="user_id")
+
+
+@_q(
+    "orders_date_sentinel_audit",
+    """
+WITH __o AS (SELECT o_orderdate, o_totalprice,
+                    CAST(floor(epoch(o_orderdate)) AS BIGINT) AS __s FROM orders)
+SELECT CASE
+  WHEN o_orderdate IS NULL THEN 'missing'
+  WHEN __s = -2208988800 THEN 'y1900'
+  WHEN __s = 253402214400 THEN 'y9999'
+  WHEN __s = 0 THEN 'epoch_zero'
+  WHEN __s < 0 THEN 'pre_epoch'
+  WHEN __s >= 2051222400 THEN 'future'
+  ELSE 'ok' END AS kind,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       min(__s) AS min_s, max(__s) AS max_s
+FROM __o GROUP BY 1
+""",
+    "Extension (temporal hygiene): dirty-date sentinel census over orders — the "
+    "1900-01-01 / 9999-12-31 / epoch-zero placeholder dates legacy feeds emit, with "
+    "order counts and revenue at stake per class.  Map-only, <=7-row aggregate.",
+)
+def orders_date_sentinel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    s = F.col("o_orderdate").cast("long")
+    kind = (
+        F.when(F.col("o_orderdate").isNull(), "missing")
+        .when(s == -2208988800, "y1900")
+        .when(s == 253402214400, "y9999")
+        .when(s == 0, "epoch_zero")
+        .when(s < 0, "pre_epoch")
+        .when(s >= 2051222400, "future")
+        .otherwise("ok")
+    )
+    return o.groupBy(kind.alias("kind")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        F.min(s).alias("min_s"),
+        F.max(s).alias("max_s"),
+    )
+
+
+@_q(
+    "events_ts_quarantine_split",
+    """
+WITH __e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS __s FROM events)
+SELECT CASE
+  WHEN ts IS NULL THEN 'unstamped'
+  WHEN __s < 946684800 OR __s >= 2051222400 THEN 'quarantined'
+  ELSE 'kept' END AS status,
+       count(*) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       min(__s) AS min_s, max(__s) AS max_s
+FROM __e GROUP BY 1
+""",
+    "Extension (temporal hygiene): the quarantine REPAIR policy (operators/profile."
+    "quarantine_by_ts) as a census — corrupt-clock rows route to a quarantine sink "
+    "instead of silently polluting every downstream day bucket; this query shows what "
+    "each branch of the split carries.  Map-only classify, 3-row aggregate; pair with "
+    "a status-partitioned write for the actual split.",
+)
+def events_ts_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import quarantine_by_ts
+
+    ev = load_table(spark, sf_dir, "events")
+    s = F.col("ts").cast("long")
+    return (
+        quarantine_by_ts(ev, "ts")
+        .groupBy(F.col("__ts_status").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.count_distinct(F.col("event_type")).alias("n_types"),
+            F.min(s).alias("min_s"),
+            F.max(s).alias("max_s"),
+        )
+    )

@@ -408,6 +408,11 @@ TIMES_SWEEP_QUERIES = [
     "weekly_uv_exact",  # nested day//7 truncation (extra week group)
     "cohort_ltv_curves",  # month-cohort // truncation
     "region_quarterly_growth",  # quarter // truncation
+    # temporal-hygiene family (added AFTER the tier closed green —
+    # these exist because of it, and the tier is where they bite)
+    "events_clock_audit",
+    "orders_date_sentinel_audit",
+    "events_ts_quarantine_split",
 ]
 
 
@@ -512,3 +517,37 @@ def test_hot_keys_and_duplicate_floods_match_oracle(spark, degen_dirs, name):
         con.close()
     assert sorted(s_cols) == sorted(d_cols)
     assert normalized_rows(s_cols, s_rows) == normalized_rows(d_cols, d_rows)
+
+
+def test_clock_audit_classification(spark):
+    """clock_audit's first-match-wins classes on hand-built rows: NULL,
+    epoch zero, the nanos edges, a pre-epoch second, a 1990s row
+    (before_sane), a far-future row (after_sane), and a sane row."""
+    from flinkecuserbehavioranalysis_spark.operators.profile import clock_audit
+
+    rows = [
+        (None, 1),
+        ("1970-01-01 00:00:00", 2),
+        ("1677-09-21 00:12:44", 3),
+        ("2262-04-11 23:47:16", 4),
+        ("1969-12-31 23:59:59.25", 5),
+        ("1995-06-01 12:00:00", 6),
+        ("2040-01-01 00:00:00", 7),
+        ("2024-03-01 08:30:00", 8),
+    ]
+    df = spark.createDataFrame(rows, "ts string, user_id int").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {r["kind"]: (r["n"], r["n_keys"]) for r in clock_audit(df, "ts", "user_id").collect()}
+    assert got == {
+        "unstamped": (1, 1),
+        "epoch_zero": (1, 1),
+        "nanos_edge": (2, 2),
+        "pre_epoch": (1, 1),
+        "before_sane": (1, 1),
+        "after_sane": (1, 1),
+        "ok": (1, 1),
+    }
+    # and the pre-epoch sub-second row FLOORS into min_s
+    pre = {r["kind"]: r["min_s"] for r in clock_audit(df, "ts").collect()}
+    assert pre["pre_epoch"] == -1
