@@ -7649,3 +7649,185 @@ def events_ts_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(s).alias("max_s"),
         )
     )
+
+
+# =====================================================================
+# Coverage / attribution / SCD2 analytics (round 5)
+# =====================================================================
+
+
+@_q(
+    "user_activity_coverage",
+    """
+WITH __f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS is_start
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+__g AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM __f),
+__s AS (
+  SELECT user_id,
+         CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS span_s,
+         count(*) AS n_events
+  FROM __g GROUP BY user_id, session_id)
+SELECT user_id,
+       count(*) AS n_islands,
+       CAST(sum(span_s) AS BIGINT) AS covered_s,
+       max(span_s) AS max_island_s,
+       CAST(sum(n_events) AS BIGINT) AS n_events
+FROM __s GROUP BY user_id
+""",
+    "Extension (gaps-and-islands coverage): per user, merge events within a 30-min gap "
+    "into activity islands and report island count, total covered seconds, and the "
+    "longest island — the engagement-coverage rollup on top of sessionize (one reused "
+    "windowed pass + a user-sized aggregate; scale = sessionize's, see SCALE.md).",
+)
+def user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, gap_seconds=1800, tiebreak_col="event_id")
+    span = F.col("session_end") - F.col("session_start")
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(span).alias("covered_s"),
+        F.max(span).alias("max_island_s"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+@_q(
+    "last_touch_attribution",
+    """
+WITH __e AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         epoch(ts) AS tse
+  FROM events WHERE ts IS NOT NULL),
+__t AS (
+  SELECT *,
+         max(CASE WHEN event_type <> 'purchase' OR event_type IS NULL
+                  THEN struct_pack(tse := tse, event_id := event_id, event_type := event_type) END) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM __e)
+SELECT CASE WHEN touch IS NOT NULL AND tse - touch.tse <= 604800.0
+            THEN touch.event_type END AS touch_type,
+       count(*) AS n_purchases,
+       CAST(sum(CASE WHEN isfinite(value) THEN value END) AS DOUBLE) AS attributed_value
+FROM __t
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+    "Extension (marketing attribution, AppMarketing* family follow-on): every purchase "
+    "is attributed to the user's most recent non-purchase touchpoint within 7 days "
+    "strictly before it (last-touch); purchases with no fresh touch fall in the NULL "
+    "bucket.  One windowed pass per user (running max of a (ts, tiebreak, type) "
+    "struct — an O(n) sliding frame, no self-join), then a handful-of-rows aggregate.  "
+    "Non-finite purchase values are excluded from the attributed sum by the _finite "
+    "contract.",
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    tse = F.col("ts").cast("double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nonpurchase = F.col("event_type").isNull() | (F.col("event_type") != "purchase")
+    touch = F.max(
+        F.when(
+            nonpurchase,
+            F.struct(
+                tse.alias("tse"),
+                F.col("event_id").alias("event_id"),
+                F.col("event_type").alias("event_type"),
+            ),
+        )
+    ).over(w)
+    t = ev.withColumn("__tse", tse).withColumn("__touch", touch).where(
+        F.col("event_type") == "purchase"
+    )
+    touch_type = F.when(
+        F.col("__touch").isNotNull()
+        & (F.col("__tse") - F.col("__touch.tse") <= F.lit(604800.0)),
+        F.col("__touch.event_type"),
+    )
+    return t.groupBy(touch_type.alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.when(_finite("value"), F.col("value")))
+        .cast("double")
+        .alias("attributed_value"),
+    )
+
+
+@_q(
+    "user_state_scd2",
+    """
+WITH __e AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE ts IS NOT NULL),
+__f AS (
+  SELECT *,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR event_type IS DISTINCT FROM lag(event_type) OVER w THEN 1 ELSE 0 END AS chg
+  FROM __e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+__g AS (
+  SELECT *,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM __f),
+__r AS (
+  SELECT user_id, CAST(run_id AS BIGINT) AS run_id, any_value(event_type) AS state,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS valid_from_s,
+         count(*) AS n_events
+  FROM __g GROUP BY user_id, run_id)
+SELECT user_id, run_id, state, valid_from_s,
+       lead(valid_from_s) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to_s,
+       n_events
+FROM __r
+""",
+    "Extension (SCD2 interval construction): per user, consecutive equal event_type "
+    "runs compress into validity intervals [valid_from_s, valid_to_s) with the open "
+    "interval's valid_to NULL — the slowly-changing-dimension build every warehouse "
+    "derives from a change stream.  NULL-safe state comparison (IS DISTINCT FROM / "
+    "eqNullSafe) so a NULL state is its own run, not a run-bridger; unstamped rows "
+    "are excluded by the NULL-ts contract.  Two windowed passes per user (run "
+    "numbering, then lead over run-sized rows) — no self-join.",
+)
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ts = F.lag("ts").over(w)
+    prev_type = F.lag("event_type").over(w)
+    chg = F.when(
+        prev_ts.isNull() | ~F.col("event_type").eqNullSafe(prev_type), 1
+    ).otherwise(0)
+    runs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("__chg", chg)
+        .withColumn(
+            "run_id",
+            F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "run_id")
+        .agg(
+            F.any_value("event_type").alias("state"),
+            F.min("ts").cast("long").alias("valid_from_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    return runs.select(
+        "user_id",
+        "run_id",
+        "state",
+        "valid_from_s",
+        F.lead("valid_from_s").over(w2).alias("valid_to_s"),
+        "n_events",
+    )

@@ -421,3 +421,78 @@ def test_kmeans_convergence_mode_matches_long_unroll(spark):
     assert u10 == u12, "fixture did not reach its fixed point"
     conv = book(kmeans_fit(emb, n_cells=k, train_iters=12, tol=0.0))
     assert conv == u10
+
+
+def test_scd2_intervals_partition_the_timeline(spark):
+    """user_state_scd2's validity intervals must tile each user's
+    timeline: runs are numbered 1..k with valid_to(run i) ==
+    valid_from(run i+1), only the LAST run open (valid_to NULL), and no
+    two consecutive runs share a state (else they'd be one run)."""
+    from flinkecuserbehavioranalysis_spark.plans.queries import QUERIES
+
+    from conftest import SF_DIR
+
+    rows = QUERIES["user_state_scd2"].fn(spark, SF_DIR).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for runs in by_user.values():
+        runs.sort(key=lambda r: r["run_id"])
+        assert [r["run_id"] for r in runs] == list(range(1, len(runs) + 1))
+        for a, b in zip(runs, runs[1:]):
+            assert a["valid_to_s"] == b["valid_from_s"]
+            # Python None != None is False, so this also rejects two
+            # adjacent NULL-state runs (eqNullSafe merges those)
+            assert a["state"] != b["state"], "adjacent runs with equal state"
+        assert runs[-1]["valid_to_s"] is None
+        assert all(r["valid_to_s"] is not None for r in runs[:-1])
+
+
+def test_last_touch_attribution_conserves_purchases(spark):
+    """Attribution is a partition of purchases: bucket counts sum to the
+    number of stamped purchase events, and no bucket is 'purchase'
+    itself (a purchase can never be its own touchpoint)."""
+    from flinkecuserbehavioranalysis_spark.io import load_table
+    from flinkecuserbehavioranalysis_spark.plans.queries import QUERIES
+
+    from conftest import SF_DIR
+
+    out = QUERIES["last_touch_attribution"].fn(spark, SF_DIR).collect()
+    assert sum(r["n_purchases"] for r in out) == (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("ts").isNotNull() & (F.col("event_type") == "purchase"))
+        .count()
+    )
+    assert all(r["touch_type"] != "purchase" for r in out)
+
+
+def test_activity_coverage_bounds(spark):
+    """Coverage is bounded by the user's total span and islands are
+    consistent with sessionize: n_islands == the user's session count,
+    covered_s <= (user max ts - user min ts)."""
+    from flinkecuserbehavioranalysis_spark.io import load_table
+    from flinkecuserbehavioranalysis_spark.plans.queries import QUERIES
+
+    from conftest import SF_DIR
+
+    cov = {r["user_id"]: r for r in QUERIES["user_activity_coverage"].fn(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events").where(F.col("ts").isNotNull())
+    spans = {
+        r["user_id"]: (r["lo"], r["hi"], r["n"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("long")).alias("lo"),
+            F.max(F.col("ts").cast("long")).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(cov) == set(spans)
+    sess = sessionize(ev, gap_seconds=1800, tiebreak_col="event_id")
+    n_sess = {r["user_id"]: r["n"] for r in sess.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for u, r in cov.items():
+        lo, hi, n = spans[u]
+        assert r["covered_s"] <= hi - lo
+        assert r["n_events"] == n
+        assert r["n_islands"] == n_sess[u]
