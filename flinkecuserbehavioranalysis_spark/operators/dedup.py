@@ -467,7 +467,28 @@ def simhash(
     return agg.select(F.col(id_col), F.concat(*bit_cols).alias("simhash"))
 
 
-def lsh_verified_pairs(
+def collapse_exact_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Exact-duplicate collapse for the text near-dup pipeline: every
+    SHINGLABLE doc (≥ *n* words — shorter docs produce no shingles, no
+    signature, and can never pair) mapped to its byte-identical group's
+    representative (min id), grouped via md5(text).  Returns (id_col,
+    __rep).  The mandatory pre-step before pairwise machinery at corpus
+    scale: a duplicate flood is a CLIQUE, so candidate pairs and the
+    shingle-intersection verify grow |group|² if run on members — at
+    100 TB a million-copy boilerplate group is ~5·10¹¹ pairs.  One
+    shuffle on the md5 fingerprint."""
+    from pyspark.sql import Window
+
+    eligible = docs.where(F.expr(f"size(split({text_col}, ' ')) >= {n}"))
+    return eligible.select(
+        F.col(id_col),
+        F.min(id_col).over(Window.partitionBy(F.md5(F.col(text_col)))).alias("__rep"),
+    )
+
+
+def _lsh_verified_rep_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -476,15 +497,13 @@ def lsh_verified_pairs(
     bands: int = 4,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """The composed corpus-scale dedup pipeline: MinHash+LSH candidate
-    generation followed by exact Jaccard verification on candidates
-    ONLY.  Returns (doc_a, doc_b, jaccard) with jaccard ≥ *threshold*.
-
-    This is the shape the module docstrings prescribe for 100 TB: the
-    quadratic exact comparison runs on |candidates| pairs (∝ true
-    near-dups), never on n².  The intersection count joins candidates
-    to the shingle relation on (doc, shingle) — linear in candidate
-    pairs × shingles per doc."""
+    """MinHash+LSH candidates + exact-Jaccard verification over an
+    already-exact-collapsed doc set — the engine under
+    ``lsh_verified_pairs``.  Returns (doc_a, doc_b, jaccard) ≥
+    *threshold*.  The quadratic exact comparison runs on |candidates|
+    pairs (∝ true near-dups), never on n²; the intersection count joins
+    candidates to the shingle relation on (doc, shingle) — linear in
+    candidate pairs × shingles per doc."""
     cand = minhash_candidates(docs, id_col, text_col, n, k, bands)
     sh = shingles(docs, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
@@ -505,6 +524,81 @@ def lsh_verified_pairs(
         )
     )
     return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def lsh_verified_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The composed corpus-scale dedup pipeline: exact-duplicate
+    collapse, then MinHash+LSH candidates + exact-Jaccard verification
+    on distinct texts only, then expansion back to the member-level
+    pair list.  Returns (doc_a, doc_b, jaccard) with jaccard ≥
+    *threshold* — identical to running the pipeline on every doc
+    (byte-identical texts share every band, so intra-group candidates
+    were always found, and their exact Jaccard is exactly 1.0).
+
+    Post-collapse, a duplicate flood costs the expansion join
+    (output-sized — unavoidable for a pair-list interface) instead of
+    |group|² signature/verify work; callers that only need CONNECTIVITY
+    should use ``lsh_dedup_edges`` and never materialize the clique."""
+    members = collapse_exact_docs(docs, id_col, text_col, n)
+    reps = docs.join(
+        members.where(F.col(id_col) == F.col("__rep")).select(id_col), id_col
+    )
+    rep_pairs = _lsh_verified_rep_pairs(reps, id_col, text_col, n, k, bands, threshold)
+    ma = members.select(F.col("__rep").alias("__ra"), F.col(id_col).alias("__ida"))
+    mb = members.select(F.col("__rep").alias("__rb"), F.col(id_col).alias("__idb"))
+    inter = (
+        rep_pairs.join(ma, rep_pairs["doc_a"] == F.col("__ra"))
+        .join(mb, rep_pairs["doc_b"] == F.col("__rb"))
+        .select(
+            F.least("__ida", "__idb").alias("doc_a"),
+            F.greatest("__ida", "__idb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    intra = ma.join(
+        mb, (F.col("__ra") == F.col("__rb")) & (F.col("__ida") < F.col("__idb"))
+    ).select(
+        F.col("__ida").alias("doc_a"),
+        F.col("__idb").alias("doc_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    return inter.unionByName(intra)
+
+
+def lsh_dedup_edges(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Connectivity edges (doc_a, doc_b) for near-dup COMPONENTS without
+    materializing duplicate cliques: verified representative pairs plus
+    one member→representative edge per exact duplicate — linear in
+    members, identical connected components (the representative IS the
+    group min, so component min-labels are unchanged).  The 100 TB-safe
+    input for ``canonicalize_duplicates``."""
+    members = collapse_exact_docs(docs, id_col, text_col, n)
+    reps = docs.join(
+        members.where(F.col(id_col) == F.col("__rep")).select(id_col), id_col
+    )
+    rep_pairs = _lsh_verified_rep_pairs(
+        reps, id_col, text_col, n, k, bands, threshold
+    ).select("doc_a", "doc_b")
+    member_edges = members.where(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("doc_a"), F.col(id_col).alias("doc_b")
+    )
+    return rep_pairs.unionByName(member_edges)
 
 
 def ngram_contamination(

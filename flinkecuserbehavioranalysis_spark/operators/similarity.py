@@ -198,7 +198,33 @@ def rademacher_planes(n_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
-def cosine_lsh_pairs(
+def collapse_exact_vectors(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact-duplicate collapse — the mandatory step BEFORE any pairwise
+    near-dup machinery at corpus scale: group byte-identical vectors and
+    map every member to its group representative (the min id).  Returns
+    (id_col, __rep) covering every valid vector; distinct reps are the
+    collapsed working set.
+
+    Why this exists (measured, skew tier at sf0.1): a duplicate flood —
+    10% of vectors byte-identical — is a CLIQUE in the near-dup graph,
+    so signatures, banded candidates, exact-cosine verification, and
+    component iterations all scale with |group|² if run on members.  At
+    100 TB a million-copy boilerplate group is ~5·10¹¹ pairs — fatal.
+    Collapsed, the group costs ONE signature and zero verifies; members
+    reconnect through their representative (linear edges, identical
+    components).  One shuffle on the vector value."""
+    from pyspark.sql import Window
+
+    v = _drop_null_vec(vectors, vec_col)
+    return v.select(
+        F.col(id_col),
+        F.min(id_col).over(Window.partitionBy(F.col(vec_col))).alias("__rep"),
+    )
+
+
+def _srp_rep_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -207,11 +233,9 @@ def cosine_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.6,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via signed-random-projection
-    LSH — the data-independent scale path (``bucketed_neardup_pairs``
-    needs a precomputed coarse bucket; this needs nothing but the
-    vectors).  Returns (vec_a, vec_b, cos), vec_a < vec_b, cos ≥
-    *threshold* exact.
+    """SRP-LSH verified pairs over an already-exact-collapsed vector set
+    (every vector distinct) — the engine under ``cosine_lsh_pairs``.
+    Returns (vec_a, vec_b, cos), vec_a < vec_b, cos ≥ *threshold* exact.
 
     Construction (SRP-LSH, Charikar's sim-hash for angles): *n_planes*
     deterministic ±1 hyperplanes (``rademacher_planes``); bit_p(v) =
@@ -228,14 +252,10 @@ def cosine_lsh_pairs(
     folds over it.  Components are quantized ONCE per vector to
     round(x·10⁶) longs, so every projection is pure 64-bit integer
     arithmetic: exact, summation-order independent, engine-identical
-    sign bits (the round-2 DECIMAL(20,12) fold bought the same
-    determinism at ~5× the interpreter cost — a quantizer step of 10⁻⁶
-    is noise against any usable banding resolution).  The banded
-    self-join shuffles only (id, band_idx, band_key) rows — never the
-    vectors, never all-pairs — and the exact-cosine verify joins the
-    (candidate-count-sized) pair list back to the vectors on id.  This
-    is ``minhash_candidates`` + ``lsh_verified`` re-expressed for the
-    angular metric."""
+    sign bits.  The banded self-join shuffles only (id, band_idx,
+    band_key) rows — never the vectors, never all-pairs — and the
+    exact-cosine verify joins the (candidate-count-sized) pair list back
+    to the vectors on id."""
     vectors = _drop_null_vec(vectors, vec_col)
     if n_planes % bands:
         raise ValueError(f"bands ({bands}) must divide n_planes ({n_planes})")
@@ -304,6 +324,89 @@ def cosine_lsh_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def cosine_lsh_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via exact-collapse + SRP-LSH
+    — the data-independent scale path.  Returns (vec_a, vec_b, cos),
+    vec_a < vec_b, cos ≥ *threshold* exact — the full member-level pair
+    list, identical to running SRP directly on every vector (identical
+    vectors share every band, so intra-group candidates were always
+    found; their cosine is exactly 1.0 at the 6 dp contract).
+
+    Exact duplicates are collapsed FIRST (``collapse_exact_vectors``):
+    signatures, banded candidates, and exact-cosine verification run
+    only on DISTINCT vectors, then the pair list expands back through
+    the membership map — inter-group pairs inherit their
+    representatives' verified cosine, intra-group pairs are emitted at
+    cos 1.0 with zero vector math.  A duplicate flood therefore costs
+    the expansion join (output-sized, unavoidable for a pair-list
+    interface) instead of |group|² signature+verify work; callers that
+    only need CONNECTIVITY should use ``cosine_lsh_dedup_edges`` and
+    never materialize the clique at all."""
+    members = collapse_exact_vectors(vectors, id_col, vec_col)
+    reps = vectors.join(
+        members.where(F.col(id_col) == F.col("__rep")).select(id_col), id_col
+    )
+    rep_pairs = _srp_rep_pairs(reps, id_col, vec_col, dim, n_planes, bands, threshold)
+    ma = members.select(F.col("__rep").alias("__ra"), F.col(id_col).alias("__ida"))
+    mb = members.select(F.col("__rep").alias("__rb"), F.col(id_col).alias("__idb"))
+    inter = (
+        rep_pairs.join(ma, rep_pairs["vec_a"] == F.col("__ra"))
+        .join(mb, rep_pairs["vec_b"] == F.col("__rb"))
+        .select(
+            F.least("__ida", "__idb").alias("vec_a"),
+            F.greatest("__ida", "__idb").alias("vec_b"),
+            "cos",
+        )
+    )
+    intra = (
+        ma.join(mb, (F.col("__ra") == F.col("__rb")) & (F.col("__ida") < F.col("__idb")))
+        .select(
+            F.col("__ida").alias("vec_a"),
+            F.col("__idb").alias("vec_b"),
+            F.lit(1.0).alias("cos"),
+        )
+    )
+    return inter.unionByName(intra)
+
+
+def cosine_lsh_dedup_edges(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Connectivity edges (vec_a, vec_b) for near-dup COMPONENTS without
+    ever materializing duplicate cliques: verified representative pairs
+    plus one member→representative edge per exact duplicate — linear in
+    members where the pair list is quadratic in duplicate-group size,
+    with identical connected components (every group member connects
+    through its representative, and the representative IS the group min,
+    so component min-labels are unchanged).  This is the 100 TB-safe
+    input for ``canonicalize_duplicates``."""
+    members = collapse_exact_vectors(vectors, id_col, vec_col)
+    reps = vectors.join(
+        members.where(F.col(id_col) == F.col("__rep")).select(id_col), id_col
+    )
+    rep_pairs = _srp_rep_pairs(
+        reps, id_col, vec_col, dim, n_planes, bands, threshold
+    ).select("vec_a", "vec_b")
+    member_edges = members.where(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("vec_a"), F.col(id_col).alias("vec_b")
+    )
+    return rep_pairs.unionByName(member_edges)
 
 
 def _scos(vec: str, norm: str, s) -> Column:

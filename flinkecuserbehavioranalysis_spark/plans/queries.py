@@ -1900,8 +1900,13 @@ def _doc_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_components and dedup_cluster_size_histogram."""
 
     def build() -> DataFrame:
+        from ..operators.dedup import lsh_dedup_edges
+
         docs = load_table(spark, sf_dir, "documents")
-        return canonicalize_duplicates(docs, _doc_lsh_pairs(spark, sf_dir))
+        # connectivity edges, not the pair list — a duplicate flood's
+        # clique never materializes (members connect through their
+        # representative; identical components, linear edge count)
+        return canonicalize_duplicates(docs, lsh_dedup_edges(docs, threshold=0.5))
 
     return _cached_canon(spark, sf_dir, "docs_lsh_05", build)
 
@@ -3194,13 +3199,19 @@ FROM embeddings e LEFT JOIN __lbl l USING (vec_id)
 )
 def embedding_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import canonicalize_duplicates
+    from ..operators.similarity import cosine_lsh_dedup_edges
 
     emb = load_table(spark, sf_dir, "embeddings")
 
     def build() -> DataFrame:
-        pairs = _emb_lsh_pairs(spark, sf_dir)
+        # connectivity edges, NOT the pair list: a duplicate flood's
+        # clique never materializes (members connect through their
+        # representative; identical components, linear edge count —
+        # the skew tier at sf0.1 measured the pair-list route at ~2.5×
+        # the clean runtime from the clique alone)
+        edges = cosine_lsh_dedup_edges(emb, threshold=0.4)
         return canonicalize_duplicates(
-            emb, pairs, id_col="vec_id", a_col="vec_a", b_col="vec_b"
+            emb, edges, id_col="vec_id", a_col="vec_a", b_col="vec_b"
         )
 
     return _cached_canon(spark, sf_dir, "emb_srp_04", build)

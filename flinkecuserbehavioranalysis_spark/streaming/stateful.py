@@ -59,6 +59,15 @@ def _epoch_s(col: pd.Series) -> np.ndarray:
     return col.astype("int64").to_numpy() / 1e9
 
 
+def _floor_s(x) -> int:
+    """Float epoch seconds → floored whole-second long.  Python ``int()``
+    truncates toward zero, which diverges from the batch floor contract
+    (functions/scalar.floor_long) on pre-1970 sub-second rows — every
+    kernel's epoch EMISSION routes through here (gap comparisons stay at
+    full double precision, matching the batch kernels)."""
+    return int(np.floor(x))
+
+
 LOGIN_WARNING_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
@@ -111,7 +120,7 @@ def streaming_login_fail(
             )
             hit = is_fail & prev_fail & (tss - prev_ts < max_gap_seconds)
             out.extend(
-                (int(user_id), int(prev_ts[i]), int(tss[i]), "login fail 2 times in a short time")
+                (int(user_id), _floor_s(prev_ts[i]), _floor_s(tss[i]), "login fail 2 times in a short time")
                 for i in np.flatnonzero(hit)
             )
             if len(tss):
@@ -220,8 +229,8 @@ def streaming_order_timeout(
                 [
                     (
                         int(order_id),
-                        None if create_ts is None else int(create_ts),
-                        None if pay_ts is None else int(pay_ts),
+                        None if create_ts is None else _floor_s(create_ts),
+                        None if pay_ts is None else _floor_s(pay_ts),
                         status,
                     )
                 ],
@@ -242,7 +251,7 @@ def streaming_order_timeout(
             status = PAY_OK if pay_ts - create_ts < timeout_seconds else PAID_AFTER_TIMEOUT
             state.remove()
             yield pd.DataFrame(
-                [(int(order_id), int(create_ts), int(pay_ts), status)],
+                [(int(order_id), _floor_s(create_ts), _floor_s(pay_ts), status)],
                 columns=["order_id", "create_ts", "pay_ts", "status"],
             )
         else:
@@ -298,7 +307,7 @@ def streaming_login_fail_tws(
                 )
                 hit = is_fail & prev_fail & (tss - prev_ts < max_gap_seconds)
                 out.extend(
-                    (int(user_id), int(prev_ts[i]), int(tss[i]),
+                    (int(user_id), _floor_s(prev_ts[i]), _floor_s(tss[i]),
                      "login fail 2 times in a short time")
                     for i in np.flatnonzero(hit)
                 )
@@ -390,7 +399,7 @@ def streaming_as_of_enrich(
                 j = last_right[pos]
                 cur = [int(pay_arr[c][j]) for c in payload_cols] if j >= 0 else pays
                 out.append(
-                    (k0, int(tss[pos]))
+                    (k0, _floor_s(tss[pos]))
                     + tuple(int(left_arr[c][pos]) for c in left_cols)
                     + tuple(cur)
                 )
@@ -480,7 +489,7 @@ def streaming_fail_burst(
             fails = [float(x) for x in fails_s.split(",") if x] if fails_s else []
             if not done and len(fails) >= min_fails:
                 yield pd.DataFrame(
-                    [(int(user_id), int(anchor), int(max(fails)), len(fails), msg)],
+                    [(int(user_id), _floor_s(anchor), _floor_s(max(fails)), len(fails), msg)],
                     columns=["user_id", "first_fail_ts", "last_fail_ts", "n_fails", "warning_msg"],
                 )
             # run stays closed (done=1) until a success resets it; no
@@ -500,7 +509,7 @@ def streaming_fail_burst(
                 if not is_fail[i]:
                     if anchor is not None and not done and len(fails) >= min_fails:
                         out.append(
-                            (int(user_id), int(anchor), int(max(fails)), len(fails), msg)
+                            (int(user_id), _floor_s(anchor), _floor_s(max(fails)), len(fails), msg)
                         )
                     anchor, fails, done = None, [], 0
                 elif done:
@@ -605,7 +614,7 @@ def streaming_pattern_pairs(
                 )
                 hit = b_arr & prev_a & (tss - prev_ts < within_seconds)
                 out.extend(
-                    (int(k), int(prev_ts[i]), int(tss[i])) for i in np.flatnonzero(hit)
+                    (int(k), _floor_s(prev_ts[i]), _floor_s(tss[i])) for i in np.flatnonzero(hit)
                 )
                 if len(tss):
                     last_a, last_ts = (1 if a_arr[-1] else 0), float(tss[-1])
@@ -617,7 +626,7 @@ def streaming_pattern_pairs(
                         # B is >= ts, so expiry is decidable NOW
                         pending = [ta for ta in pending if ts - ta < within_seconds]
                     if b_arr[i]:
-                        out.extend((int(k), int(ta), int(ts)) for ta in pending)
+                        out.extend((int(k), _floor_s(ta), _floor_s(ts)) for ta in pending)
                         pending = []
                     if a_arr[i]:
                         pending.append(ts)
@@ -714,7 +723,7 @@ def streaming_pattern_sequence(
                     if m[len(c)][i]:
                         c2 = c + [ts]
                         if len(c2) == n:
-                            out.append((int(k), *(int(t) for t in c2)))
+                            out.append((int(k), *(_floor_s(t) for t in c2)))
                         else:
                             nxt.append(c2)
                     elif not strict:
@@ -826,7 +835,7 @@ def streaming_pattern_sequence_optional(
                             if len(c2) == len(keep):
                                 row: list = [int(k)] + [None] * n
                                 for pos, oi in enumerate(keep):
-                                    row[oi + 1] = int(c2[pos])
+                                    row[oi + 1] = _floor_s(c2[pos])
                                 out.append(tuple(row))
                             else:
                                 nxt.append(c2)
@@ -1028,7 +1037,7 @@ def streaming_funnel(
                     continue
                 if i == 0 or (t[i - 1] is not None and float(ts) > t[i - 1]):
                     t[i] = float(ts)
-                    out.append((int(u), str(d), i + 1, int(ts)))
+                    out.append((int(u), str(d), i + 1, _floor_s(ts)))
         state.update(tuple(t))
         if out:
             yield pd.DataFrame(out, columns=["user_id", "day", "step", "step_ts"])
@@ -1101,7 +1110,7 @@ def streaming_one_or_more(
                     run_len += 1
                     continue
                 if is_b[i] and run_len >= 1 and ts <= first_a + within_seconds:
-                    out.append((int(k), int(first_a), int(ts), int(run_len)))
+                    out.append((int(k), _floor_s(first_a), _floor_s(ts), int(run_len)))
                 run_len, first_a = 0, 0.0
         state.update((run_len, first_a))
         if out:
@@ -1163,7 +1172,7 @@ def streaming_value_spike(
                     and v >= factor * last_value
                     and ts - last_ts <= max_gap_seconds
                 ):
-                    out.append((int(k), int(last_ts), int(ts), last_value, v))
+                    out.append((int(k), _floor_s(last_ts), _floor_s(ts), last_value, v))
                 last_ts, last_value = ts, v
         state.update((last_ts, last_value))
         if out:
@@ -1232,5 +1241,81 @@ def streaming_type_transitions(
         .groupBy(key_col)
         .applyInPandasWithState(
             fn, TRANSITION_SCHEMA, _TRANSITION_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+LAST_TOUCH_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("purchase_ts", LongType()),
+        StructField("touch_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+_LAST_TOUCH_STATE = StructType(
+    [StructField("touch_ts", DoubleType()), StructField("touch_type", StringType())]
+)
+
+
+def streaming_last_touch(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    purchase_type: str = "purchase",
+    within_seconds: float = 604800.0,
+    tiebreak_col: str | None = "event_id",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of ``last_touch_attribution``'s per-purchase front
+    half: each purchase event emits (user, purchase_ts, touch_type,
+    value) where touch_type is the most recent preceding non-purchase
+    event's type if it is fresh (within *within_seconds*), else NULL —
+    realtime attribution with exactly ONE (ts, type) pair of state per
+    key.  Downstream a plain streaming aggregation sums per touch_type,
+    exactly like the batch query's final groupBy."""
+    sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        touch_ts, touch_type = state.get if state.exists else (None, None)
+        out: list[tuple[int, int, str | None, float | None]] = []
+        for pdf in pdfs:
+            cols = [c for c in sort_cols if c in pdf.columns]
+            pdf = pdf.sort_values(cols)
+            tss = _epoch_s(pdf[ts_col])
+            types = pdf[type_col].tolist()
+            vals = pdf[value_col].to_numpy()
+            for i in range(len(tss)):
+                ts = float(tss[i])
+                et = types[i]
+                if et == purchase_type:
+                    fresh = touch_ts is not None and ts - touch_ts <= within_seconds
+                    v = vals[i]
+                    out.append(
+                        (
+                            int(k),
+                            _floor_s(ts),
+                            touch_type if fresh else None,
+                            None if pd.isna(v) else float(v),
+                        )
+                    )
+                else:
+                    touch_ts, touch_type = ts, et
+        state.update((touch_ts, touch_type))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "purchase_ts", "touch_type", "value"]
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, LAST_TOUCH_SCHEMA, _LAST_TOUCH_STATE, "append", GroupStateTimeout.NoTimeout
         )
     )

@@ -140,28 +140,35 @@ def main() -> int:
         try:
             sdf = fn(spark, args.sf_dir)
             scols = sorted(c.lower() for c in sdf.columns)
-            srows = norm_rows(tuple(r) for r in sdf.collect())
+            # ONE collect per query — a heavy Spark plan must not run
+            # twice just to reorder columns
+            raw_srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             failed.append((name, f"spark error: {exc}"))
             print(f"FAIL {name}: spark error: {exc}", flush=True)
             continue
         if name not in oracles:
-            rows_only.append((name, len(srows)))
-            print(f"  ok(rows-only) {name}: {len(srows)} rows {time.time()-t0:.1f}s", flush=True)
+            rows_only.append((name, len(raw_srows)))
+            print(f"  ok(rows-only) {name}: {len(raw_srows)} rows {time.time()-t0:.1f}s", flush=True)
             continue
         try:
+            # ONE oracle execution for values — a 20 s recursive-CTE
+            # closure must not run three times (values, sorted values,
+            # Arrow schema); the Arrow kind audit below re-executes only
+            # after everything else matches
             cur = con.execute(oracles[name])
-            ocols = sorted(c.lower() for c, *_ in cur.description)
-            orows = norm_rows(cur.fetchall())
+            odesc = [c for c, *_ in cur.description]
+            ocols = sorted(c.lower() for c in odesc)
+            raw_orows = cur.fetchall()
         except Exception as exc:  # noqa: BLE001
             failed.append((name, f"oracle error: {exc}"))
             print(f"FAIL {name}: oracle error: {exc}", flush=True)
             continue
         # compare with columns sorted by name (driver semantics)
         sidx = [i for _, i in sorted((c.lower(), i) for i, c in enumerate(sdf.columns))]
-        oidx = [i for _, i in sorted((c.lower(), i) for i, c in enumerate([c for c, *_ in cur.description]))]
-        s_sorted = norm_rows(tuple(r[i] for i in sidx) for r in sdf.collect())
-        o_sorted = norm_rows(tuple(r[i] for i in oidx) for r in con.execute(oracles[name]).fetchall())
+        oidx = [i for _, i in sorted((c.lower(), i) for i, c in enumerate(odesc))]
+        s_sorted = norm_rows(tuple(r[i] for i in sidx) for r in raw_srows)
+        o_sorted = norm_rows(tuple(r[i] for i in oidx) for r in raw_orows)
         if scols != ocols:
             failed.append((name, f"schema mismatch: spark={scols} oracle={ocols}"))
             print(f"FAIL {name}: schema mismatch\n  spark={scols}\n  duck ={ocols}", flush=True)
@@ -179,7 +186,13 @@ def main() -> int:
                 flush=True,
             )
         else:
-            bad = kind_audit(sdf, con.execute(oracles[name]).arrow())
+            # LIMIT 0 binds the result schema without re-executing the
+            # plan (0.01 s vs a full second run of a recursive-CTE
+            # oracle); Arrow types are identical to the executed run's
+            bad = kind_audit(
+                sdf,
+                con.execute(f"SELECT * FROM ({oracles[name]}) __kind_probe LIMIT 0").arrow(),
+            )
             if bad:
                 failed.append((name, f"type-kind mismatch (driver-hash hazard): {bad}"))
                 print(f"FAIL {name}: type-kind mismatch {bad}", flush=True)

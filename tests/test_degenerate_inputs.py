@@ -493,6 +493,12 @@ SKEW_SWEEP_QUERIES = [
     "skewed_event_type_counts",  # the salted-aggregation surface itself
     "sessionize_users",  # one user's sessions = 40% of the table
     "user_concentration_report",  # global rank with a hot head
+    # exact-collapse-before-near-dup paths (added after the tier showed
+    # the duplicate clique dominating pair machinery at sf0.1)
+    "ann_cosine_lsh_neardup",  # expanded member-level pair list
+    "dedup_lsh_verified",  # text twin of the expansion
+    "dedup_components",  # connectivity-edges canonical map
+    "embedding_neardup_components",
 ]
 
 
@@ -551,3 +557,41 @@ def test_clock_audit_classification(spark):
     # and the pre-epoch sub-second row FLOORS into min_s
     pre = {r["kind"]: r["min_s"] for r in clock_audit(df, "ts").collect()}
     assert pre["pre_epoch"] == -1
+
+
+def test_dedup_edges_equal_pairlist_components(spark, degen_dirs):
+    """The 100 TB-safe connectivity-edge inputs (rep pairs + member→rep
+    edges, linear in duplicates) must produce EXACTLY the canonical map
+    the full member-level pair list produces — on the duplicate-flood
+    tier where the two differ most."""
+    from flinkecuserbehavioranalysis_spark.operators.dedup import (
+        canonicalize_duplicates,
+        lsh_dedup_edges,
+        lsh_verified_pairs,
+    )
+    from flinkecuserbehavioranalysis_spark.operators.similarity import (
+        cosine_lsh_dedup_edges,
+        cosine_lsh_pairs,
+    )
+
+    sf = os.path.join(degen_dirs, "skew")
+    docs = load_table(spark, sf, "documents")
+    via_pairs = canonicalize_duplicates(docs, lsh_verified_pairs(docs, threshold=0.5))
+    via_edges = canonicalize_duplicates(docs, lsh_dedup_edges(docs, threshold=0.5))
+    assert sorted(map(tuple, via_pairs.collect())) == sorted(
+        map(tuple, via_edges.collect())
+    )
+    emb = load_table(spark, sf, "embeddings")
+    vp = canonicalize_duplicates(
+        emb, cosine_lsh_pairs(emb, threshold=0.4), id_col="vec_id",
+        a_col="vec_a", b_col="vec_b",
+    )
+    ve = canonicalize_duplicates(
+        emb, cosine_lsh_dedup_edges(emb, threshold=0.4), id_col="vec_id",
+        a_col="vec_a", b_col="vec_b",
+    )
+    assert sorted(map(tuple, vp.collect())) == sorted(map(tuple, ve.collect()))
+    # the edge relation really is linear where the pair list is quadratic
+    n_pairs = lsh_verified_pairs(docs, threshold=0.5).count()
+    n_edges = lsh_dedup_edges(docs, threshold=0.5).count()
+    assert n_edges < n_pairs  # the flood tier guarantees a gap

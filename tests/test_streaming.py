@@ -1698,3 +1698,41 @@ def test_match_pattern_stream_times_trailing_negation_matches_batch(spark):
     )
     assert got == batch
     assert len(got) > 0
+
+
+def test_streaming_last_touch_matches_batch(spark):
+    """Bounded replay of the one-(ts,type)-pair-of-state attribution
+    kernel: summing its emitted per-purchase rows per touch_type equals
+    the batch last_touch_attribution aggregate exactly."""
+    import math
+
+    from flinkecuserbehavioranalysis_spark.plans.queries import QUERIES
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import (
+        read_events_stream,
+        run_bounded,
+    )
+    from flinkecuserbehavioranalysis_spark.streaming.stateful import (
+        streaming_last_touch,
+    )
+
+    rows = run_bounded(
+        streaming_last_touch(
+            read_events_stream(spark, SF_DIR)
+            .where(F.col("ts").isNotNull())
+            .select("user_id", "ts", "event_type", "value", "event_id")
+        )
+    )
+    got: dict = {}
+    for r in rows:
+        n, v = got.get(r.touch_type, (0, 0.0))
+        fin = r.value if r.value is not None and math.isfinite(r.value) else 0.0
+        got[r.touch_type] = (n + 1, v + fin)
+    batch = {
+        r.touch_type: (r.n_purchases, r.attributed_value or 0.0)
+        for r in QUERIES["last_touch_attribution"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(batch)
+    for k, (n, v) in got.items():
+        assert n == batch[k][0], k
+        assert abs(v - batch[k][1]) < 1e-6 * max(1.0, abs(v)), k
+    assert sum(n for n, _ in got.values()) > 0
