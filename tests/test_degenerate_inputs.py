@@ -595,3 +595,47 @@ def test_dedup_edges_equal_pairlist_components(spark, degen_dirs):
     n_pairs = lsh_verified_pairs(docs, threshold=0.5).count()
     n_edges = lsh_dedup_edges(docs, threshold=0.5).count()
     assert n_edges < n_pairs  # the flood tier guarantees a gap
+
+
+def test_streaming_kernels_floor_pre_epoch_emissions(spark, degen_dirs):
+    """Bounded replay of a stateful kernel over the extreme-timestamp
+    tier: emitted epoch-second longs must FLOOR (the batch contract) —
+    Python int() in the kernels would truncate the pre-1970 sub-second
+    rows and diverge from the batch twin."""
+    from flinkecuserbehavioranalysis_spark.operators.patterns import pattern_pairs
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import (
+        read_events_stream,
+        run_bounded,
+    )
+    from flinkecuserbehavioranalysis_spark.streaming.stateful import (
+        streaming_pattern_pairs,
+    )
+
+    sf = os.path.join(degen_dirs, "times")
+    ev = load_table(spark, sf, "events")
+    assert ev.where(F.col("ts") < F.lit("1970-01-01").cast("timestamp")).count() > 0
+    kw = dict(
+        first_pred=F.col("event_type") == "view",
+        second_pred=F.col("event_type") == "purchase",
+        within_seconds=3600.0,
+        contiguity="strict",
+        tiebreak_col="event_id",
+    )
+    got = sorted(
+        (r.key, r.first_ts, r.second_ts)
+        for r in run_bounded(
+            streaming_pattern_pairs(
+                read_events_stream(spark, sf).select("user_id", "event_type", "ts", "event_id"),
+                key_col="user_id",
+                ts_col="ts",
+                **kw,
+            )
+        )
+    )
+    batch = sorted(
+        (r.user_id, r.first_ts, r.second_ts)
+        for r in pattern_pairs(
+            ev, key_col="user_id", ts_col="ts", **kw
+        ).collect()
+    )
+    assert got == batch and len(got) > 0
