@@ -7842,3 +7842,138 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from_s").over(w2).alias("valid_to_s"),
         "n_events",
     )
+
+
+# =====================================================================
+# Extension — record linkage / fuzzy matching (operators/linkage.py)
+# =====================================================================
+
+from ..operators.linkage import (  # noqa: E402
+    ascii_only,
+    fuzzy_best_match,
+    fuzzy_self_pairs,
+)
+
+#: distinct ASCII part names — the linkage family's catalog relation.
+#: octet_length = length restricts to the domain where Spark (codepoint)
+#: and DuckDB (byte) edit distances agree (linkage.py module docstring).
+_ASCII_NAMES_SQL = """
+SELECT DISTINCT p_name AS name FROM part
+WHERE p_name IS NOT NULL AND strlen(p_name) = length(p_name)
+"""
+
+
+@_q(
+    "fuzzy_part_name_pairs",
+    f"""
+WITH __n AS ({_ASCII_NAMES_SQL})
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM __n a JOIN __n b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2
+""",
+    "Extension (record linkage): all pairs of distinct part names within 2 edits, via "
+    "SymSpell deletion-neighborhood blocking + levenshtein verify — provably complete, "
+    "no cross join (the oracle IS the quadratic cross join, feasible only at oracle "
+    "scale).  ASCII-only by the linkage contract (Spark codepoint vs DuckDB byte "
+    "distances diverge on multibyte input).",
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(F.col("p_name").alias("name"))
+    return fuzzy_self_pairs(part, "name", max_dist=2)
+
+
+@_q(
+    "fuzzy_token_clusters",
+    """
+WITH RECURSIVE __tok AS (
+  SELECT DISTINCT tok FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents WHERE text IS NOT NULL)
+  WHERE tok <> '' AND strlen(tok) = length(tok)),
+__p AS (
+  SELECT a.tok AS ta, b.tok AS tb FROM __tok a JOIN __tok b ON a.tok < b.tok
+  WHERE levenshtein(a.tok, b.tok) <= 2),
+__e AS (SELECT ta AS s, tb AS d FROM __p UNION SELECT tb, ta FROM __p),
+__r AS (SELECT s AS v, d AS w FROM __e
+        UNION
+        SELECT r.v, e.d FROM __r r JOIN __e e ON r.w = e.s),
+__lbl AS (SELECT v AS tok, least(v, min(w)) AS canon FROM __r GROUP BY v),
+__m AS (SELECT t.tok, coalesce(l.canon, t.tok) AS canon
+        FROM __tok t LEFT JOIN __lbl l USING (tok))
+SELECT m.tok AS token, m.canon AS canon_token, c.n AS cluster_size
+FROM __m m JOIN (SELECT canon, count(*) AS n FROM __m GROUP BY canon) c USING (canon)
+""",
+    "Extension (vocabulary normalization): document vocabulary tokens within 2 edits "
+    "of each other clustered by connected components (large-star/small-star — string "
+    "node ids, lexicographic least = oracle's least()); every token mapped to its "
+    "cluster's lexicographically-least member plus the cluster size.  The typo-collapse "
+    "step of tokenizer/vocab hygiene.  Eager by contract (iterative star contraction).",
+)
+def fuzzy_token_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicate_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .where((F.col("token") != "") & ascii_only("token"))
+        .distinct()
+    )
+    pairs = fuzzy_self_pairs(toks, "token", max_dist=2)
+    comp = duplicate_components(pairs, "token_a", "token_b", deep=True).select(
+        F.col("v").alias("token"), F.col("label")
+    )
+    mapping = toks.join(F.broadcast(comp), "token", "left").select(
+        "token", F.coalesce(F.col("label"), F.col("token")).alias("canon_token")
+    )
+    sizes = mapping.groupBy("canon_token").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return mapping.join(F.broadcast(sizes), "canon_token").select(
+        "token", "canon_token", "cluster_size"
+    )
+
+
+@_q(
+    "fuzzy_catalog_match",
+    f"""
+WITH __n AS ({_ASCII_NAMES_SQL.replace("strlen(p_name) = length(p_name)",
+                                       "strlen(p_name) = length(p_name) AND length(p_name) >= 1")}),
+__pr AS (
+  SELECT DISTINCT concat(substring(name, 1, CAST(pos AS INT) - 1),
+                         substring(name, CAST(pos AS INT) + 1)) AS probe
+  FROM (SELECT name,
+               ('0x' || substring(md5(name), 1, 8))::UBIGINT % length(name) + 1 AS pos
+        FROM __n)),
+__sc AS (
+  SELECT p.probe, n.name, CAST(levenshtein(p.probe, n.name) AS INT) AS d
+  FROM __pr p JOIN __n n ON abs(length(p.probe) - length(n.name)) <= 1
+  WHERE levenshtein(p.probe, n.name) <= 1)
+SELECT probe, name AS best_match, d AS dist FROM (
+  SELECT probe, name, d,
+         row_number() OVER (PARTITION BY probe ORDER BY d, name) AS rn
+  FROM __sc)
+WHERE rn = 1
+""",
+    "Extension (entity resolution): deterministically-corrupted part names (one char "
+    "deleted at an md5-derived position — identical surgery on both engines) resolved "
+    "back against the clean catalog, best match = arg-min (distance, name) within 1 "
+    "edit via one struct-min aggregation, no window.  Same blocked candidate "
+    "generation as the pair queries — the fuzzy-lookup building block.",
+)
+def fuzzy_catalog_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .where(ascii_only("name") & (F.length("name") >= 1))
+        .distinct()
+    )
+    pos = (
+        F.conv(F.substring(F.md5("name"), 1, 8), 16, 10).cast("long")
+        % F.length("name").cast("long")
+        + 1
+    )
+    probes = names.withColumn("__pos", pos).select(
+        F.expr(
+            "concat(substring(name, 1, CAST(__pos AS INT) - 1), "
+            "substring(name, CAST(__pos AS INT) + 1))"
+        ).alias("probe")
+    )
+    return fuzzy_best_match(probes, names, "probe", "name", max_dist=1)
