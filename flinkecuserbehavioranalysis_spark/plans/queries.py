@@ -7977,3 +7977,79 @@ def fuzzy_catalog_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("probe")
     )
     return fuzzy_best_match(probes, names, "probe", "name", max_dist=1)
+
+
+# =====================================================================
+# Extension — BPE tokenizer training (operators/bpe.py)
+# =====================================================================
+
+from ..operators.bpe import bpe_oracle_sql, bpe_train, word_frequencies  # noqa: E402
+
+_BPE_ROUNDS = 6
+
+#: (word, freq) corpus relation — DuckDB side of word_frequencies()
+_BPE_CORPUS_SQL = """
+SELECT word, count(*) AS freq FROM (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents WHERE text IS NOT NULL)
+WHERE word <> '' GROUP BY word
+"""
+
+
+def _bpe_final(spark: SparkSession, sf_dir: str):
+    """Train once per (session, sf_dir); both BPE queries share the
+    result.  Training is eager by contract (driver loop of 1-row
+    arg-max probes, operators/bpe.py)."""
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        merges, final = bpe_train(word_frequencies(docs), rounds=_BPE_ROUNDS)
+        return spark.createDataFrame(
+            [(r, x, y, c) for r, x, y, c in merges],
+            "round int, x string, y string, cnt long",
+        ), final
+
+    return _cached_canon(spark, sf_dir, "bpe_training", build)
+
+
+@_q(
+    "bpe_learn_merges",
+    bpe_oracle_sql(_BPE_ROUNDS, _BPE_CORPUS_SQL)
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, x, y, x || y AS merged, cnt FROM __b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    ),
+    "Extension (tokenizer training): the first 6 BPE merges learned from the document "
+    "corpus — per round, adjacent-symbol pair counts weighted by word frequency over "
+    "the DISTINCT-word relation (vocab-scale, not corpus-scale), global arg-max with "
+    "(count, x, y) tie-break, then greedy leftmost non-overlapping merge as a map-side "
+    "fold.  The oracle replays the identical rounds with a window/run-parity merge "
+    "formulation, proving the two equivalent.  Eager by contract (driver training loop).",
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _bpe_final(spark, sf_dir)
+    return merges.select(
+        "round", "x", "y", F.concat("x", "y").alias("merged"), "cnt"
+    )
+
+
+@_q(
+    "bpe_segment_words",
+    bpe_oracle_sql(_BPE_ROUNDS, _BPE_CORPUS_SQL)
+    + f"""
+SELECT word, freq, array_to_string(s, ' ') AS segmentation,
+       CAST(len(s) AS INT) AS n_symbols
+FROM __w{_BPE_ROUNDS}
+""",
+    "Extension (tokenizer training): every vocabulary word segmented by the 6 learned "
+    "BPE merges — (word, corpus freq, space-joined symbols, symbol count).  The apply "
+    "surface of bpe_learn_merges; shares the memoized training run.",
+)
+def bpe_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, final = _bpe_final(spark, sf_dir)
+    return final.select(
+        "word",
+        "freq",
+        F.array_join("s", " ").alias("segmentation"),
+        F.size("s").alias("n_symbols"),
+    )
