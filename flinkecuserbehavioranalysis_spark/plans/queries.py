@@ -8053,3 +8053,269 @@ def bpe_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("s", " ").alias("segmentation"),
         F.size("s").alias("n_symbols"),
     )
+
+
+@_q(
+    "bpe_corpus_fertility",
+    bpe_oracle_sql(_BPE_ROUNDS, _BPE_CORPUS_SQL)
+    + f""",
+__cw AS (
+  SELECT lang, source, word FROM (
+    SELECT lang, source, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE text IS NOT NULL)
+  WHERE word <> '')
+SELECT d.lang, d.source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(w.s)) AS BIGINT) AS n_tokens,
+       CAST(sum(length(d.word)) AS BIGINT) AS n_chars,
+       CAST(sum(len(w.s)) AS DOUBLE) / count(*) AS fertility,
+       CAST(sum(length(d.word)) AS DOUBLE) / sum(len(w.s)) AS chars_per_token
+FROM __cw d JOIN __w{_BPE_ROUNDS} w USING (word)
+GROUP BY 1, 2
+""",
+    "Extension (tokenizer training): the learned BPE merges applied back to the FULL "
+    "corpus — per (lang, source): word/token/codepoint totals, fertility (tokens per "
+    "word) and compression (codepoints per token).  The apply pass is the scale story: "
+    "corpus words equi-join the trained vocab→symbol-count relation (vocab-sized, "
+    "BROADCAST), so applying a tokenizer to 100 TB is one map-side join + one "
+    "group-bounded aggregate; only training (bpe_learn_merges) iterates.  Every corpus "
+    "word is in the vocab by construction, so the inner join drops nothing.",
+)
+def bpe_corpus_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    _, final = _bpe_final(spark, sf_dir)
+    toks = final.select("word", F.size("s").alias("__n_sym"))
+    words = (
+        docs.filter(F.col("text").isNotNull())
+        .select("lang", "source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return (
+        words.join(F.broadcast(toks), "word")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__n_sym").alias("n_tokens"),
+            F.sum(F.length("word")).alias("n_chars"),
+            (F.sum("__n_sym").cast("double") / F.count(F.lit(1))).alias("fertility"),
+            (F.sum(F.length("word")).cast("double") / F.sum("__n_sym")).alias(
+                "chars_per_token"
+            ),
+        )
+    )
+
+
+# =====================================================================
+# Extension — remaining TPC-H join shapes (Q14 / Q15 / Q9 analogs)
+# =====================================================================
+
+
+@_q(
+    "promo_revenue_by_month",
+    f"""
+SELECT CAST(floor(epoch(l_shipdate) / 2592000) AS BIGINT) AS ship_month,
+       CAST(coalesce(SUM(CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL} END), 0)
+            AS DOUBLE) AS promo_revenue,
+       CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS total_revenue,
+       CASE WHEN SUM({_REVENUE_SQL}) > 0
+            THEN 100.0 * CAST(coalesce(SUM(CASE WHEN p_type = 'PROMO'
+                                              THEN {_REVENUE_SQL} END), 0) AS DOUBLE)
+                 / CAST(SUM({_REVENUE_SQL}) AS DOUBLE) END AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+""",
+    "Extension (TPC-H Q14-style promotion effect): per 30-day epoch month, the share "
+    "of revenue from PROMO-type parts — conditional decimal aggregation over the "
+    "lineitem⋈part star edge with the part dimension BROADCAST; the share ratio is "
+    "zero-denominator-guarded to NULL on both engines (ANSI mode).",
+)
+def promo_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    month = floor_div(F.col("l_shipdate").cast("long"), F.lit(2592000)).alias("ship_month")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", _revenue())).cast("decimal(38,4)")
+    total = F.sum(_revenue())
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(month)
+        .agg(
+            F.coalesce(promo, F.lit(0)).cast("double").alias("promo_revenue"),
+            total.cast("double").alias("total_revenue"),
+            F.when(
+                total > 0,
+                F.lit(100.0)
+                * F.coalesce(promo, F.lit(0)).cast("double")
+                / total.cast("double"),
+            ).alias("promo_share_pct"),
+        )
+    )
+
+
+@_q(
+    "top_supplier_revenue",
+    f"""
+WITH __rev AS (
+  SELECT l_suppkey, SUM({_REVENUE_SQL}) AS total
+  FROM lineitem GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+FROM __rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total = (SELECT max(total) FROM __rev)
+""",
+    "Extension (TPC-H Q15-style top supplier): the supplier(s) with maximum lifetime "
+    "revenue, ties INCLUDED — the max is computed on exact DECIMAL sums (double "
+    "equality would be a correctness bug) over the supplier-sized pre-aggregate, then "
+    "broadcast back as a 1-row join; no global sort, no single-partition window.  The "
+    "supplier dimension joins BROADCAST for the name.",
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("__total"))
+    mx = rev.agg(F.max("__total").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("__total") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("__total").cast("double").alias("total_revenue"))
+    )
+
+
+@_q(
+    "nation_parttype_list_margin",
+    f"""
+SELECT n_name, p_type,
+       CAST(floor(epoch(l_shipdate) / 31536000) AS BIGINT) + 1970 AS ship_year,
+       CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS actual_revenue,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2)))
+            AS DOUBLE) AS list_value,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2)))
+            - SUM({_REVENUE_SQL}) AS DOUBLE) AS discount_from_list
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2, 3
+""",
+    "Extension (TPC-H Q9-style profit cube, honest variant): per supplier-nation x "
+    "part-type x 365-day epoch year, realized revenue vs quantity x list price — the "
+    "testdata carries no supplycost column, so the Q9 'profit' is restated as the "
+    "exact-decimal discount-from-list margin.  All three dimensions (part, supplier, "
+    "nation) BROADCAST onto the fact scan; one shuffle for the group-by.",
+)
+def nation_parttype_list_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    year = (floor_div(F.col("l_shipdate").cast("long"), F.lit(31536000)) + 1970).alias(
+        "ship_year"
+    )
+    list_val = F.sum(_dec("l_quantity") * _dec("p_retailprice"))
+    actual = F.sum(_revenue())
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "p_type", year)
+        .agg(
+            actual.cast("double").alias("actual_revenue"),
+            list_val.cast("double").alias("list_value"),
+            (list_val - actual).cast("double").alias("discount_from_list"),
+        )
+    )
+
+
+# =====================================================================
+# Extension — leakage-safe dataset splitting (near-dup aware)
+# =====================================================================
+
+_SPLIT_CASE_SQL = (
+    "CASE WHEN {b} < 8000 THEN 'train' WHEN {b} < 9000 THEN 'validation' "
+    "ELSE 'test' END"
+)
+
+
+def _split_case(c) -> F.Column:
+    """80/10/10 split label as a pure Column function of any key — the
+    map-side twin of sampling.hash_split (same md5 buckets), usable on
+    BOTH endpoints of a pair without joining the assignment back."""
+    from ..operators.sampling import hash_bucket
+
+    b = hash_bucket(c)
+    return (
+        F.when(b < 8000, F.lit("train"))
+        .when(b < 9000, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+
+
+@_q(
+    "split_leakage_audit",
+    f"""
+WITH __p AS ({_lsh_verified_oracle(0.5)}),
+__lab AS (
+  SELECT {_SPLIT_CASE_SQL.format(b=_BUCKET_SQL.format(k='doc_a'))} AS sa,
+         {_SPLIT_CASE_SQL.format(b=_BUCKET_SQL.format(k='doc_b'))} AS sb
+  FROM __p)
+SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+       count(*) AS n_pairs,
+       (least(sa, sb) <> greatest(sa, sb)) AS is_leak
+FROM __lab GROUP BY 1, 2
+""",
+    "Extension (training-data hygiene): eval-set contamination audit — every "
+    "LSH-verified near-dup pair labeled with the 80/10/10 hash split of BOTH its "
+    "members, counted per (split, split) cell; off-diagonal cells are train→eval "
+    "leaks that naive per-document splitting produces.  The split label is a pure "
+    "md5 function of the id, so both endpoints are labeled MAP-SIDE on the "
+    "pair-set-sized relation (no join back to the corpus); shares the memoized "
+    "session pair set.",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _doc_lsh_pairs(spark, sf_dir)
+    sa, sb = _split_case(F.col("doc_a")), _split_case(F.col("doc_b"))
+    return (
+        pairs.select(
+            F.least(sa, sb).alias("split_a"), F.greatest(sa, sb).alias("split_b")
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        )
+    )
+
+
+@_q(
+    "dataset_split_cluster_safe",
+    f"""
+WITH RECURSIVE __p AS ({_lsh_verified_oracle(0.5)}),
+__e AS (SELECT doc_a AS s, doc_b AS d FROM __p
+        UNION SELECT doc_b, doc_a FROM __p),
+__r AS (SELECT s AS v, d AS w FROM __e
+        UNION
+        SELECT r.v, e.d FROM __r r JOIN __e e ON r.w = e.s),
+__lbl AS (SELECT v AS doc_id, least(v, min(w)) AS canonical_id FROM __r GROUP BY v),
+__map AS (SELECT d.doc_id, coalesce(l.canonical_id, d.doc_id) AS canonical_id
+          FROM documents d LEFT JOIN __lbl l USING (doc_id))
+SELECT {_SPLIT_CASE_SQL.format(b=_BUCKET_SQL.format(k='canonical_id'))} AS split,
+       count(*) AS n_docs,
+       count(DISTINCT canonical_id) AS n_clusters
+FROM __map GROUP BY 1
+""",
+    "Extension (training-data hygiene): the LEAKAGE-SAFE split — every document is "
+    "assigned by the md5 bucket of its near-dup CLUSTER representative, so an entire "
+    "duplicate cluster lands in one split and the off-diagonal cells of "
+    "split_leakage_audit are zero by construction (asserted in tests).  One map-side "
+    "relabel over the memoized canonical mapping + one count shuffle; cluster ids "
+    "stay stable as the corpus grows because the representative is the cluster-min "
+    "doc_id.",
+)
+def dataset_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    canon = _doc_canonical_map(spark, sf_dir)
+    return (
+        canon.select(_split_case(F.col("canonical_id")).alias("split"), "canonical_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canonical_id").alias("n_clusters"),
+        )
+    )

@@ -380,3 +380,33 @@ def test_keyless_windows_are_bounded(spark):
             f"{name}: windowed output {n} rows exceeds the documented "
             f"bound {row_bound} — the keyless window input may be unbounded"
         )
+
+
+def test_promo_revenue_broadcasts_part(spark):
+    plan = _explain(spark, "promo_revenue_by_month")
+    assert "BroadcastHashJoin" in plan          # part dim never shuffles
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2     # partial + final month agg
+
+
+def test_top_supplier_max_is_broadcast_not_sort(spark):
+    plan = _explain(spark, "top_supplier_revenue")
+    # the 1-row max and the supplier dim both broadcast; the only sort
+    # allowed is inside the supplier-keyed aggregation, never a global one
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan                 # no rank() formulation
+
+
+def test_q9_star_broadcasts_all_three_dims(spark):
+    plan = _explain(spark, "nation_parttype_list_margin")
+    assert plan.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_fertility_vocab_join_broadcasts(spark):
+    plan = _explain(spark, "bpe_corpus_fertility")
+    # trained vocab→symbol-count relation is vocab-sized → broadcast onto
+    # the corpus word stream; the corpus side must never shuffle to join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
