@@ -79,25 +79,45 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
-def _merge_expr(x: str, y: str) -> str:
+def _merge_expr(x: str, y: str, col: str = "s") -> str:
     """Greedy leftmost non-overlapping merge of (x, y) in symbol array
-    ``s`` as a single sequential fold — the map-side round step.  The
+    *col* as a single sequential fold — the map-side round step.  The
     ``skip`` flag consumes the right-hand symbol of a just-made merge,
     which is exactly what forbids overlap and rescan."""
     qx, qy = _sql_quote(x), _sql_quote(y)
     return f"""
 aggregate(
-  sequence(1, size(s)),
+  sequence(1, size({col})),
   named_struct('arr', cast(array() as array<string>), 'skip', false),
   (acc, i) -> CASE
     WHEN acc.skip THEN named_struct('arr', acc.arr, 'skip', false)
-    WHEN i < size(s) AND try_element_at(s, i) = {qx}
-         AND try_element_at(s, i + 1) = {qy}
+    WHEN i < size({col}) AND try_element_at({col}, i) = {qx}
+         AND try_element_at({col}, i + 1) = {qy}
       THEN named_struct('arr', array_append(acc.arr, concat({qx}, {qy})), 'skip', true)
-    ELSE named_struct('arr', array_append(acc.arr, try_element_at(s, i)), 'skip', false)
+    ELSE named_struct('arr', array_append(acc.arr, try_element_at({col}, i)), 'skip', false)
   END,
   acc -> acc.arr)
 """
+
+
+def apply_merges(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+    sym_col: str = "s",
+) -> DataFrame:
+    """ENCODE: segment *word_col* by a frozen, already-learned merge
+    list applied in rank order (the classic subword-nmt encode — each
+    merge is one greedy leftmost non-overlapping pass; a later merge
+    can only consume symbols earlier merges produced, never re-open
+    them).  Pure narrow transformations, so this works identically on
+    batch AND streaming DataFrames — the train-offline / apply-online
+    split: training iterates driver-side, encoding is map-only against
+    the broadcast-small merge list baked into the plan."""
+    out = df.withColumn(sym_col, F.split(F.col(word_col), ""))
+    for x, y in merges:
+        out = out.withColumn(sym_col, F.expr(_merge_expr(x, y, sym_col)))
+    return out
 
 
 def bpe_train(

@@ -496,3 +496,31 @@ def streaming_activity_bitmask(
             "mask",
         )
     )
+
+
+def streaming_tokenize(
+    stream: DataFrame,
+    merges: list[tuple[str, str]],
+    group_cols: Sequence[str] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Online tokenization with a FROZEN, batch-trained BPE merge list
+    (train-offline / apply-online — the tokenizer analog of the frozen-
+    codebook streaming IVF ingest): word explode + the rank-ordered
+    merge folds are pure narrow transformations (``operators.bpe.
+    apply_merges``), so the only state is the per-(group) running
+    word/token totals — two longs per group, update mode.  Merges ride
+    inside the plan itself (literal fold expressions), so executors
+    need no side-channel distribution of the model."""
+    from ..operators.bpe import apply_merges
+
+    words = (
+        stream.filter(F.col(text_col).isNotNull())
+        .select(*group_cols, F.explode(F.split(text_col, " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    seg = apply_merges(words, merges)
+    return seg.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("s")).alias("n_tokens"),
+    )

@@ -106,3 +106,56 @@ def test_word_frequencies_skips_null_and_empty(spark):
     )
     got = {r["word"]: r["freq"] for r in word_frequencies(docs).collect()}
     assert got == {"a": 2, "b": 2}
+
+
+def test_apply_merges_reproduces_training_segmentation(spark):
+    """ENCODE consistency: replaying the learned merge list in rank
+    order over the raw vocabulary must reproduce the training fold's
+    final symbol arrays exactly."""
+    from flinkecuserbehavioranalysis_spark.io import load_table
+    from flinkecuserbehavioranalysis_spark.operators.bpe import apply_merges
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    merges, final = bpe_train(word_frequencies(docs), rounds=6)
+    trained = {r["word"]: r["s"] for r in final.collect()}
+    encoded = {
+        r["word"]: r["s"]
+        for r in apply_merges(
+            final.select("word"), [(x, y) for _, x, y, _ in merges]
+        ).collect()
+    }
+    assert len(trained) > 0 and encoded == trained
+
+
+def test_streaming_tokenize_matches_batch(spark):
+    """Bounded replay of the frozen-merges tokenizer equals the batch
+    fertility totals per (lang, source) — final state per key."""
+    from flinkecuserbehavioranalysis_spark.io import load_table
+    from flinkecuserbehavioranalysis_spark.plans.queries import QUERIES
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import (
+        read_events_stream,
+        run_bounded,
+        streaming_tokenize,
+    )
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    merges, _ = bpe_train(word_frequencies(docs), rounds=6)
+    pairs = [(x, y) for _, x, y, _ in merges]
+    rows = run_bounded(
+        streaming_tokenize(
+            read_events_stream(spark, SF_DIR, table="documents"), pairs
+        ),
+        "update",
+    )
+    got = {}
+    for r in rows:  # update mode re-emits touched keys; keep the last
+        got[(r["lang"], r["source"])] = (r["n_words"], r["n_tokens"])
+    want = {
+        (r["lang"], r["source"]): (r["n_words"], r["n_tokens"])
+        for r in QUERIES["bpe_corpus_fertility"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
