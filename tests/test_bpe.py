@@ -159,3 +159,31 @@ def test_streaming_tokenize_matches_batch(spark):
         for r in QUERIES["bpe_corpus_fertility"].fn(spark, SF_DIR).collect()
     }
     assert got == want and len(got) > 0
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+# small alphabet forces pair collisions, repeated letters exercise the
+# x == y overlap-run path; freq ties exercise the (count, x, y) tie-break
+_WORD = st.text(alphabet="abc", min_size=1, max_size=5)
+
+
+@given(
+    st.dictionaries(_WORD, st.integers(min_value=1, max_value=5),
+                    min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=8, deadline=None)
+def test_bpe_fuzz_matches_classic(spark, word_freqs, rounds):
+    exp_merges, _ = _classic_bpe(word_freqs, rounds)
+    got_merges, got_segs = _train_dict(spark, word_freqs, rounds)
+    assert got_merges == exp_merges
+    # independently: the encode path must agree with the training fold
+    from flinkecuserbehavioranalysis_spark.operators.bpe import apply_merges
+
+    words = spark.createDataFrame([(w,) for w in word_freqs], "word string")
+    enc = {
+        r["word"]: tuple(r["s"])
+        for r in apply_merges(words, [(x, y) for _, x, y, _ in got_merges]).collect()
+    }
+    assert enc == got_segs
