@@ -173,35 +173,3 @@ def zorder_write(
         .parquet(path)
     )
 
-
-def backfill_partitions(
-    df: DataFrame,
-    path: str,
-    partition_cols: list[str],
-    n_files_per_partition: int = 1,
-) -> None:
-    """IDEMPOTENT partition backfill: rewrite ONLY the hive partitions
-    present in *df*, leaving every other partition untouched — the
-    re-runnable daily-backfill primitive (a plain ``overwrite`` nukes
-    the whole dataset root; a plain ``append`` duplicates rows on
-    retry).  Implemented with Spark's dynamic partition-overwrite mode,
-    scoped to this one write via ``DataFrameWriter.option`` rather than
-    a session-level conf so concurrent writers keep their own
-    semantics.  Same salt-spread sizing as ``partitioned_write``."""
-    cols = [F.col(c) for c in partition_cols]
-    if "__salt" in df.columns:
-        raise ValueError("backfill_partitions: input must not carry a __salt column")
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in df.columns])
-        + F.monotonically_increasing_id(),
-        F.lit(max(n_files_per_partition, 1)),
-    )
-    (
-        df.withColumn("__salt", salt)
-        .repartition(*cols, F.col("__salt"))
-        .drop("__salt")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*partition_cols)
-        .parquet(path)
-    )

@@ -101,14 +101,36 @@ def pack_sequences(
 
     Output: (id_col, n_tokens, bucket, bin, tok_offset) where
     tok_offset is the document's token start inside its bin."""
-    from pyspark.sql import Window
-
     n_tok = F.size(
         F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
     ).cast("long")
+    return pack_by_weight(
+        df.select(F.col(id_col), n_tok.alias("n_tokens")),
+        id_col=id_col,
+        weight_col="n_tokens",
+        target=target_tokens,
+        buckets=buckets,
+    )
+
+
+def pack_by_weight(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    target: int,
+    buckets: int = 64,
+) -> DataFrame:
+    """The packing kernel behind :func:`pack_sequences`, parameterized
+    on an arbitrary precomputed weight column (whitespace-token counts,
+    exact BPE token counts, byte sizes, …): greedy boundary packing via
+    a per-bucket running weight sum — same scale shape (md5 buckets
+    parallelize the cumulative sum; (bucket, bin) is the globally-
+    unique sequence id)."""
+    from pyspark.sql import Window
+
     base = df.select(
         F.col(id_col),
-        n_tok.alias("n_tokens"),
+        F.col(weight_col).cast("long").alias(weight_col),
         hash_bucket(id_col, buckets).alias("bucket"),
     )
     w = (
@@ -116,13 +138,13 @@ def pack_sequences(
         .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    before = F.sum(weight_col).over(w) - F.col(weight_col)
     return base.select(
         id_col,
-        "n_tokens",
+        weight_col,
         "bucket",
-        F.floor(before / target_tokens).cast("long").alias("bin"),
-        F.pmod(before, F.lit(target_tokens)).cast("long").alias("tok_offset"),
+        F.floor(before / target).cast("long").alias("bin"),
+        F.pmod(before, F.lit(target)).cast("long").alias("tok_offset"),
     )
 
 

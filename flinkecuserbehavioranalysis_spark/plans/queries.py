@@ -8319,3 +8319,64 @@ def dataset_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("canonical_id").alias("n_clusters"),
         )
     )
+
+
+@_q(
+    "pack_bpe_sequences",
+    bpe_oracle_sql(_BPE_ROUNDS, _BPE_CORPUS_SQL)
+    + f""",
+__cw AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE text IS NOT NULL)
+  WHERE word <> ''),
+__dt AS (
+  SELECT c.doc_id, CAST(sum(len(w.s)) AS BIGINT) AS n_tokens
+  FROM __cw c JOIN __w{_BPE_ROUNDS} w USING (word) GROUP BY 1),
+__all AS (
+  SELECT d.doc_id, coalesce(t.n_tokens, 0) AS n_tokens
+  FROM documents d LEFT JOIN __dt t USING (doc_id)),
+__b AS (
+  SELECT doc_id, n_tokens,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              ::VARCHAR::UBIGINT % 64 AS BIGINT) AS bucket
+  FROM __all),
+__c AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens AS before
+  FROM __b)
+SELECT doc_id, n_tokens, bucket,
+       CAST(floor(before / 256) AS BIGINT) AS bin,
+       CAST(before % 256 AS BIGINT) AS tok_offset
+FROM __c
+""",
+    "Extension (training-data, composed end-to-end): sequence packing on EXACT BPE "
+    "token counts — the trained tokenizer's per-word symbol counts broadcast onto the "
+    "corpus word stream (the bpe_corpus_fertility apply pass), summed per document, "
+    "then the same 64-bucket parallel greedy boundary packing as "
+    "pack_training_sequences (operators/sampling.pack_by_weight).  Real pipelines pack "
+    "on tokenizer-true lengths, not whitespace proxies; documents with no tokens pack "
+    "at weight 0.  Shares the memoized training run.",
+)
+def pack_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import pack_by_weight
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, final = _bpe_final(spark, sf_dir)
+    toks = final.select("word", F.size("s").alias("__n_sym"))
+    counted = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .join(F.broadcast(toks), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("__n_sym").alias("n_tokens"))
+    )
+    weighted = (
+        docs.select("doc_id")
+        .join(counted, "doc_id", "left_outer")
+        .select("doc_id", F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"))
+    )
+    return pack_by_weight(
+        weighted, id_col="doc_id", weight_col="n_tokens", target=256, buckets=64
+    )

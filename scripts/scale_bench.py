@@ -72,6 +72,15 @@ SUITE = [
     "pattern_guarded_optional_funnel",
     "login_fail_burst",
     "sessionize_users",
+    # tokenizer + split-safety + TPC-H additions (round-5 continuation)
+    "bpe_learn_merges",
+    "bpe_corpus_fertility",
+    "pack_bpe_sequences",
+    "split_leakage_audit",
+    "dataset_split_cluster_safe",
+    "promo_revenue_by_month",
+    "top_supplier_revenue",
+    "nation_parttype_list_margin",
 ]
 
 

@@ -161,48 +161,3 @@ def test_morton_interleave_matches_python_reference(spark):
     assert got == {(a, b): ref(a, b, 8) for a, b in rows}
     assert len(set(got.values())) == len(got)  # bijective on the grid
 
-
-def test_backfill_partitions_is_idempotent_and_scoped(spark, docs, tmp_path):
-    """Re-running one partition's backfill must not duplicate its rows
-    (idempotency) and must not touch sibling partitions (scoping) —
-    plain overwrite fails scoping, plain append fails idempotency."""
-    from flinkecuserbehavioranalysis_spark.operators.layout import backfill_partitions
-
-    path = str(tmp_path / "backfilled")
-    backfill_partitions(docs, path, ["lang"])
-    langs = [r.lang for r in docs.select("lang").distinct().collect()]
-    assert len(langs) >= 2
-    target, others = langs[0], langs[1:]
-    day1 = docs.filter(F.col("lang") == target)
-
-    # retry the same day's backfill twice
-    backfill_partitions(day1, path, ["lang"])
-    backfill_partitions(day1, path, ["lang"])
-
-    back = spark.read.parquet(path)
-    assert back.filter(F.col("lang") == target).count() == day1.count()
-    for lang in others:  # siblings untouched by the scoped rewrites
-        assert (
-            back.filter(F.col("lang") == lang).count()
-            == docs.filter(F.col("lang") == lang).count()
-        )
-    assert back.count() == docs.count()
-
-
-def test_backfill_partitions_replaces_stale_rows(spark, docs, tmp_path):
-    """The backfill is a REPLACEMENT of the partition, not a merge: a
-    corrected re-run with fewer rows must win."""
-    from flinkecuserbehavioranalysis_spark.operators.layout import backfill_partitions
-
-    path = str(tmp_path / "corrected")
-    backfill_partitions(docs, path, ["lang"])
-    target = docs.select("lang").distinct().orderBy("lang").first().lang
-    corrected = docs.filter(F.col("lang") == target).limit(3)
-    n_corrected = corrected.count()
-    backfill_partitions(corrected, path, ["lang"])
-    back = spark.read.parquet(path)
-    assert back.filter(F.col("lang") == target).count() == n_corrected
-    assert (
-        back.filter(F.col("lang") != target).count()
-        == docs.filter(F.col("lang") != target).count()
-    )

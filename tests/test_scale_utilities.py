@@ -1312,6 +1312,14 @@ def test_write_partitioned_prunes_and_overwrites_dynamically(spark, tmp_path):
     after = {r.event_id for r in spark.read.parquet(path).collect()}
     assert after == {1, 2, 4, 30}
 
+    # idempotency: retrying the same backfill twice duplicates nothing
+    retry = spark.createDataFrame(
+        [(30, "click", 99.0)], "event_id long, event_type string, value double"
+    )
+    write_partitioned(retry, path, ["event_type"])
+    write_partitioned(retry, path, ["event_type"])
+    assert {r.event_id for r in spark.read.parquet(path).collect()} == {1, 2, 4, 30}
+
 
 def test_weekly_sketch_uv_within_tolerance(spark):
     """Unioned per-day HLL sketches must estimate weekly UV within the
