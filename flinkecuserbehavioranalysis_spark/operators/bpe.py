@@ -132,9 +132,32 @@ def bpe_train(
     Each round's vocab relation is localCheckpoint-ed so the fold
     lineage stays one round deep and the pair-count pass never re-runs
     earlier rounds."""
+    merges, cur, _ = bpe_train_curve(words, rounds, track_curve=False)
+    return merges, cur
+
+
+def bpe_train_curve(
+    words: DataFrame, rounds: int, track_curve: bool = True
+) -> tuple[list[tuple[int, str, str, int]], DataFrame, list[tuple[int, int]]]:
+    """:func:`bpe_train` that also tracks the compression curve —
+    (round, total corpus tokens) from round 0 (character tokenization)
+    through every executed merge, with early-exhausted rounds carrying
+    the last total forward (matching the oracle's carry-forward CTEs).
+    The per-round probe is one 1-row scalar aggregate over the
+    vocab-scale relation, same cost class as the arg-max probe."""
+
+    def total_tokens(frame: DataFrame) -> int:
+        row = frame.agg(
+            F.coalesce(F.sum(F.col("freq") * F.size("s")), F.lit(0)).alias("t")
+        ).collect()[0]
+        return int(row["t"])
+
     cur = words.select(
         "word", "freq", F.split("word", "").alias("s")
     ).localCheckpoint(eager=True)
+    curve: list[tuple[int, int]] = []
+    if track_curve:
+        curve.append((0, total_tokens(cur)))
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
         top = (
@@ -150,7 +173,12 @@ def bpe_train(
         cur = cur.select(
             "word", "freq", F.expr(_merge_expr(x, y)).alias("s")
         ).localCheckpoint(eager=True)
-    return merges, cur
+        if track_curve:
+            curve.append((r, total_tokens(cur)))
+    if track_curve:
+        while len(curve) <= rounds:  # exhausted early: carry forward
+            curve.append((len(curve), curve[-1][1]))
+    return merges, cur, curve
 
 
 def bpe_oracle_sql(rounds: int, corpus_sql: str) -> str:

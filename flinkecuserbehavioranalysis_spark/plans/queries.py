@@ -7983,7 +7983,7 @@ def fuzzy_catalog_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Extension — BPE tokenizer training (operators/bpe.py)
 # =====================================================================
 
-from ..operators.bpe import bpe_oracle_sql, bpe_train, word_frequencies  # noqa: E402
+from ..operators.bpe import bpe_oracle_sql, bpe_train_curve, word_frequencies  # noqa: E402
 
 _BPE_ROUNDS = 6
 
@@ -7996,17 +7996,24 @@ WHERE word <> '' GROUP BY word
 
 
 def _bpe_final(spark: SparkSession, sf_dir: str):
-    """Train once per (session, sf_dir); both BPE queries share the
+    """Train once per (session, sf_dir); every BPE query shares the
     result.  Training is eager by contract (driver loop of 1-row
-    arg-max probes, operators/bpe.py)."""
+    arg-max + curve probes, operators/bpe.py).  Returns (merges_df,
+    final_words_df, curve_df)."""
 
     def build():
         docs = load_table(spark, sf_dir, "documents")
-        merges, final = bpe_train(word_frequencies(docs), rounds=_BPE_ROUNDS)
-        return spark.createDataFrame(
-            [(r, x, y, c) for r, x, y, c in merges],
-            "round int, x string, y string, cnt long",
-        ), final
+        merges, final, curve = bpe_train_curve(
+            word_frequencies(docs), rounds=_BPE_ROUNDS
+        )
+        return (
+            spark.createDataFrame(
+                [(r, x, y, c) for r, x, y, c in merges],
+                "round int, x string, y string, cnt long",
+            ),
+            final,
+            spark.createDataFrame(curve, "round int, total_tokens long"),
+        )
 
     return _cached_canon(spark, sf_dir, "bpe_training", build)
 
@@ -8027,7 +8034,7 @@ def _bpe_final(spark: SparkSession, sf_dir: str):
     "formulation, proving the two equivalent.  Eager by contract (driver training loop).",
 )
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    merges, _ = _bpe_final(spark, sf_dir)
+    merges, _, _ = _bpe_final(spark, sf_dir)
     return merges.select(
         "round", "x", "y", F.concat("x", "y").alias("merged"), "cnt"
     )
@@ -8046,7 +8053,7 @@ FROM __w{_BPE_ROUNDS}
     "surface of bpe_learn_merges; shares the memoized training run.",
 )
 def bpe_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, final = _bpe_final(spark, sf_dir)
+    _, final, _ = _bpe_final(spark, sf_dir)
     return final.select(
         "word",
         "freq",
@@ -8083,7 +8090,7 @@ GROUP BY 1, 2
 )
 def bpe_corpus_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    _, final = _bpe_final(spark, sf_dir)
+    _, final, _ = _bpe_final(spark, sf_dir)
     toks = final.select("word", F.size("s").alias("__n_sym"))
     words = (
         docs.filter(F.col("text").isNotNull())
@@ -8362,7 +8369,7 @@ def pack_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import pack_by_weight
 
     docs = load_table(spark, sf_dir, "documents")
-    _, final = _bpe_final(spark, sf_dir)
+    _, final, _ = _bpe_final(spark, sf_dir)
     toks = final.select("word", F.size("s").alias("__n_sym"))
     counted = (
         docs.filter(F.col("text").isNotNull())
@@ -8379,4 +8386,36 @@ def pack_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pack_by_weight(
         weighted, id_col="doc_id", weight_col="n_tokens", target=256, buckets=64
+    )
+
+
+@_q(
+    "bpe_training_curve",
+    bpe_oracle_sql(_BPE_ROUNDS, _BPE_CORPUS_SQL)
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT {r} AS round,
+       CAST(coalesce(sum(freq * len(s)), 0) AS BIGINT) AS total_tokens,
+       CASE WHEN (SELECT sum(freq) FROM __w0) > 0
+            THEN CAST(coalesce(sum(freq * len(s)), 0) AS DOUBLE)
+                 / (SELECT sum(freq) FROM __w0) END AS avg_tokens_per_word
+FROM __w{r}"""
+        for r in range(0, _BPE_ROUNDS + 1)
+    ),
+    "Extension (tokenizer training): the compression curve — total corpus tokens and "
+    "tokens-per-word after round 0 (character tokenization) through each learned merge; "
+    "the metric that decides how many merges a vocabulary budget buys.  Each point is "
+    "one vocab-scale scalar probe alongside training (carry-forward on early "
+    "exhaustion, matching the oracle's carried CTEs); the word total rides a broadcast "
+    "1-row aggregate.  Shares the memoized training run.",
+)
+def bpe_training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, final, curve = _bpe_final(spark, sf_dir)
+    tw = final.agg(F.sum("freq").alias("__tw"))
+    return curve.crossJoin(F.broadcast(tw)).select(
+        "round",
+        "total_tokens",
+        F.when(
+            F.col("__tw") > 0, F.col("total_tokens").cast("double") / F.col("__tw")
+        ).alias("avg_tokens_per_word"),
     )

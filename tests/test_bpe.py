@@ -187,3 +187,22 @@ def test_bpe_fuzz_matches_classic(spark, word_freqs, rounds):
         for r in apply_merges(words, [(x, y) for _, x, y, _ in got_merges]).collect()
     }
     assert enc == got_segs
+
+
+def test_bpe_training_curve_properties(spark):
+    from flinkecuserbehavioranalysis_spark.operators.bpe import bpe_train_curve
+
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    words = spark.createDataFrame(list(wf.items()), "word string, freq long")
+    merges, final, curve = bpe_train_curve(words, rounds=4)
+    # round 0 = character tokenization
+    assert curve[0] == (0, sum(len(w) * f for w, f in wf.items()))
+    # every merge round removes exactly cnt tokens (one per merge made)
+    for (r, _, _, cnt), (pr, pt), (cr, ct) in zip(merges, curve, curve[1:]):
+        assert (cr, pr) == (r, r - 1) and pt - ct == cnt
+    # exhaustion carries the last total forward to the requested length
+    merges2, _, curve2 = bpe_train_curve(
+        spark.createDataFrame([("ab", 7)], "word string, freq long"), rounds=4
+    )
+    assert len(merges2) == 1 and len(curve2) == 5
+    assert [t for _, t in curve2] == [14, 7, 7, 7, 7]
