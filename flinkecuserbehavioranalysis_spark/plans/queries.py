@@ -8419,3 +8419,31 @@ def bpe_training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__tw") > 0, F.col("total_tokens").cast("double") / F.col("__tw")
         ).alias("avg_tokens_per_word"),
     )
+
+
+@_q(
+    "heavy_hitter_provinces",
+    """
+WITH __k AS (
+  SELECT user_id % 25 AS province FROM events WHERE user_id IS NOT NULL)
+SELECT province, count(*) AS cnt
+FROM __k GROUP BY province
+HAVING count(*) > 0.02 * (SELECT count(*) FROM __k)
+""",
+    "Extension (scale utility — Misra-Gries two-pass heavy hitters): provinces with "
+    "more than 2% of events, EXACT counts.  Pass 1 keeps an O(k) mergeable "
+    "Misra-Gries summary per partition (map-only, NO full-cardinality shuffle — the "
+    "superset guarantee is the averaging pigeonhole over partitions); pass 2 "
+    "semi-joins the fact table on the broadcast candidate set and recounts exactly, "
+    "so approximation lives only in the pruning pass and the oracle is the plain "
+    "GROUP BY ... HAVING.  The discovery primitive behind every salting decision "
+    "(operators/skew.py); NULL keys excluded on both sides including from N.",
+)
+def heavy_hitter_provinces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.heavy_hitters import heavy_hitters_exact
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.filter(F.col("user_id").isNotNull()).select(
+        F.pmod(F.col("user_id"), F.lit(25)).alias("province")
+    )
+    return heavy_hitters_exact(keyed, "province", threshold=0.02)

@@ -81,6 +81,7 @@ SUITE = [
     "promo_revenue_by_month",
     "top_supplier_revenue",
     "nation_parttype_list_margin",
+    "heavy_hitter_provinces",
 ]
 
 
