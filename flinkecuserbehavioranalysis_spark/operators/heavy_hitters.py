@@ -41,23 +41,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def mg_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
-    """Per-partition Misra–Gries candidate keys (single column
-    *key_col*, deduplicated across partitions).  Memory is O(k) per
-    partition regardless of key cardinality."""
+def mg_merge(acc: dict, counts: dict, k: int) -> dict:
+    """Merge exact-or-MG *counts* into MG summary *acc* and prune to at
+    most *k* keys (subtract the (k+1)-th largest, drop non-positive) —
+    the mergeable-summaries step; error bounds add across any merge
+    tree (Agarwal et al., PODS'12)."""
+    for key, cnt in counts.items():
+        acc[key] = acc.get(key, 0) + int(cnt)
+    if len(acc) > k:
+        cut = sorted(acc.values(), reverse=True)[k]
+        acc = {x: c - cut for x, c in acc.items() if c - cut > 0}
+    return acc
+
+
+def mg_summaries(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Per-partition Misra–Gries summaries as (key_col, mg_cnt) rows —
+    at most *k* per partition, O(k) memory per task regardless of key
+    cardinality.  ``mg_cnt`` underestimates the partition-true count by
+    at most n_partition/k (the MG error bound)."""
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: dict = {}
         for b in batches:
-            for key, cnt in b[key_col].value_counts().items():
-                acc[key] = acc.get(key, 0) + int(cnt)
-            if len(acc) > k:
-                cut = sorted(acc.values(), reverse=True)[k]
-                acc = {x: c - cut for x, c in acc.items() if c - cut > 0}
-        yield pd.DataFrame({key_col: list(acc.keys())})
+            acc = mg_merge(acc, b[key_col].value_counts().to_dict(), k)
+        yield pd.DataFrame(
+            {key_col: list(acc.keys()), "mg_cnt": list(acc.values())}
+        )
 
     keyed = df.select(key_col).filter(F.col(key_col).isNotNull())
-    return keyed.mapInPandas(summarize, schema=keyed.schema).distinct()
+    out_schema = f"{keyed.schema[key_col].dataType.simpleString()}"
+    return keyed.mapInPandas(
+        summarize, schema=f"{key_col} {out_schema}, mg_cnt long"
+    )
+
+
+def mg_candidates(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Per-partition Misra–Gries candidate keys (single column
+    *key_col*, deduplicated across partitions)."""
+    return mg_summaries(df, key_col, k).select(key_col).distinct()
 
 
 def heavy_hitters_exact(

@@ -524,3 +524,41 @@ def streaming_tokenize(
         F.count(F.lit(1)).alias("n_words"),
         F.sum(F.size("s")).alias("n_tokens"),
     )
+
+
+def streaming_heavy_hitters_foreach_batch(
+    store: dict,
+    totals: list,
+    key_col: str,
+    k: int,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch half of the online heavy-hitter monitor: each
+    micro-batch contributes its per-partition Misra–Gries summaries
+    (``operators.heavy_hitters.mg_summaries`` — O(k) rows per
+    partition, never the full key set), merged driver-side into one
+    running MG(k) *store*; ``totals[0]`` tracks the stream length N.
+    By the mergeable-summaries bound the store's keys are a SUPERSET
+    of every key with frequency > N/k at all times, and each stored
+    count underestimates truth by at most N/k — so the store IS the
+    candidate set for an exact recount (the streaming analog of
+    ``heavy_hitters_exact``'s pass 1; pass 2 stays a batch job over
+    the landed data)."""
+    from ..operators.heavy_hitters import mg_merge, mg_summaries
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        keyed = batch_df.filter(F.col(key_col).isNotNull())
+        n = keyed.count()
+        if n == 0:
+            return
+        totals[0] += n
+        parts = mg_summaries(keyed, key_col, k).collect()
+        merged: dict = {}
+        for r in parts:
+            merged[r[key_col]] = merged.get(r[key_col], 0) + r["mg_cnt"]
+        # merge into a copy: mg_merge returns its first argument when no
+        # prune happens, and clear() before update() would erase it
+        store_new = mg_merge(dict(store), merged, k)
+        store.clear()
+        store.update(store_new)
+
+    return process
