@@ -8447,3 +8447,73 @@ def heavy_hitter_provinces(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("user_id"), F.lit(25)).alias("province")
     )
     return heavy_hitters_exact(keyed, "province", threshold=0.02)
+
+
+@_q(
+    "events_kanonymity_report",
+    """
+WITH __q AS (
+  SELECT user_id % 25 AS province,
+         (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS dow,
+         event_type
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+__g AS (
+  SELECT province, dow, count(*) AS n_rows,
+         count(DISTINCT event_type) AS n_sensitive
+  FROM __q GROUP BY 1, 2),
+__tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM __g),
+__k AS (SELECT unnest([2, 5, 25, 125]) AS k)
+SELECT k.k,
+       CAST(coalesce(sum(CASE WHEN g.n_rows < k.k THEN 1 END), 0) AS BIGINT)
+         AS groups_below_k,
+       CAST(coalesce(sum(CASE WHEN g.n_rows < k.k THEN g.n_rows END), 0) AS BIGINT)
+         AS rows_at_risk,
+       CASE WHEN t.total > 0
+            THEN CAST(coalesce(sum(CASE WHEN g.n_rows < k.k THEN g.n_rows END), 0)
+                      AS DOUBLE) / t.total END AS risk_share,
+       CAST(coalesce(sum(CASE WHEN g.n_sensitive < 2 THEN 1 END), 0) AS BIGINT)
+         AS low_diversity_groups
+FROM __k k CROSS JOIN __tot t LEFT JOIN __g g ON true
+GROUP BY k.k, t.total
+""",
+    "Extension (data governance, complements events_pii_scan): k-anonymity / "
+    "l-diversity risk report over the (province, day-of-week) quasi-identifier with "
+    "event_type as the sensitive attribute — for each re-identification threshold k: "
+    "quasi-identifier groups smaller than k, rows they expose, their corpus share, "
+    "and the l<2 low-diversity group count.  Two-phase: one QI-keyed count shuffle "
+    "produces the GROUP-BOUNDED (|province|x|dow|) relation; the threshold sweep is a "
+    "broadcast seed crossJoin over it, never the fact table.  Rows with NULL "
+    "user_id/ts have no quasi-identity and are excluded on both engines (pinned "
+    "contract); the dow is the calendar-free (days+4) mod 7.",
+)
+def events_kanonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()).select(
+        F.pmod(F.col("user_id"), F.lit(25)).alias("province"),
+        ((floor_div(F.col("ts").cast("long"), F.lit(86400)) + 4) % 7).alias("dow"),
+        "event_type",
+    )
+    g = q.groupBy("province", "dow").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_type").alias("n_sensitive"),
+    )
+    tot = g.agg(F.sum("n_rows").alias("total"))
+    ks = spark.createDataFrame([(2,), (5,), (25,), (125,)], "k int")
+    below = F.sum(F.when(F.col("n_rows") < F.col("k"), 1)).cast("long")
+    risk = F.sum(F.when(F.col("n_rows") < F.col("k"), F.col("n_rows"))).cast("long")
+    lowdiv = F.sum(F.when(F.col("n_sensitive") < 2, 1)).cast("long")
+    return (
+        ks.crossJoin(F.broadcast(tot))
+        .join(g, F.lit(True), "left_outer")
+        .groupBy("k", "total")
+        .agg(
+            F.coalesce(below, F.lit(0)).alias("groups_below_k"),
+            F.coalesce(risk, F.lit(0)).alias("rows_at_risk"),
+            F.when(
+                F.col("total") > 0,
+                F.coalesce(risk, F.lit(0)).cast("double") / F.col("total"),
+            ).alias("risk_share"),
+            F.coalesce(lowdiv, F.lit(0)).alias("low_diversity_groups"),
+        )
+        .drop("total")
+    )
