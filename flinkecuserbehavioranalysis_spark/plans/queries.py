@@ -8517,3 +8517,94 @@ def events_kanonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("total")
     )
+
+
+def _token_budget_oracle() -> str:
+    bpe_ctes = bpe_oracle_sql(_BPE_ROUNDS, _BPE_CORPUS_SQL)[len("WITH ") :]
+    stop_list = ", ".join("'" + w + "'" for w in STOPWORDS)
+    split_case = _SPLIT_CASE_SQL.format(b=_BUCKET_SQL.format(k="m.canonical_id"))
+    return f"""
+WITH RECURSIVE {bpe_ctes},
+__qs AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_words,
+         length(text) AS n_chars,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ({stop_list}))) AS n_stop
+  FROM documents),
+__qok AS (
+  SELECT doc_id, text FROM __qs
+  WHERE n_words >= 5 AND n_words <= 1000
+        AND n_stop * 1.0 / n_words <= 0.5
+        AND (n_chars - (n_words - 1)) * 1.0 / n_words >= 2.0
+        AND (n_chars - (n_words - 1)) * 1.0 / n_words <= 12.0),
+__qkeep AS (SELECT min(doc_id) AS doc_id FROM __qok GROUP BY md5(text)),
+__qsurv AS (SELECT o.doc_id, o.text FROM __qok o JOIN __qkeep USING (doc_id)),
+__pr AS ({_lsh_verified_oracle(0.5)}),
+__qe AS (SELECT doc_a AS s, doc_b AS d FROM __pr
+         UNION SELECT doc_b, doc_a FROM __pr),
+__qr AS (SELECT s AS v, d AS w FROM __qe
+         UNION
+         SELECT r.v, e.d FROM __qr r JOIN __qe e ON r.w = e.s),
+__qlbl AS (SELECT v AS doc_id, least(v, min(w)) AS canonical_id FROM __qr GROUP BY v),
+__qmap AS (SELECT d.doc_id, coalesce(l.canonical_id, d.doc_id) AS canonical_id
+           FROM documents d LEFT JOIN __qlbl l USING (doc_id)),
+__qlab AS (
+  SELECT s.doc_id, s.text, {split_case} AS split
+  FROM __qsurv s JOIN __qmap m USING (doc_id)),
+__qcw AS (
+  SELECT doc_id, split, word FROM (
+    SELECT doc_id, split, unnest(string_split(text, ' ')) AS word FROM __qlab)
+  WHERE word <> ''),
+__qdt AS (
+  SELECT c.doc_id, CAST(sum(len(w.s)) AS BIGINT) AS n_tokens
+  FROM __qcw c JOIN __w{_BPE_ROUNDS} w USING (word) GROUP BY 1)
+SELECT l.split, count(*) AS n_docs,
+       CAST(coalesce(sum(t.n_tokens), 0) AS BIGINT) AS n_tokens
+FROM __qlab l LEFT JOIN __qdt t USING (doc_id)
+GROUP BY 1
+"""
+
+
+@_q(
+    "corpus_token_budget",
+    _token_budget_oracle(),
+    "Extension (training-data capstone, composed end-to-end): the per-split TOKEN "
+    "budget after the full preparation pipeline — quality filter (map-side predicate) "
+    "-> exact dedup (one fingerprint shuffle) -> LEAKAGE-SAFE split by near-dup "
+    "cluster representative (memoized canonical map, map-side relabel) -> exact BPE "
+    "tokenization (trained vocab broadcast onto the word stream) -> per-split doc and "
+    "token totals.  The number a pretraining run actually budgets against; every "
+    "stage reuses the session-shared training/canonical frames and the only "
+    "fact-scale shuffles are the dedup fingerprint and the per-doc token sum.",
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+    from ..operators.text import quality_ok
+
+    docs = load_table(spark, sf_dir, "documents")
+    ok = docs.filter(quality_ok("text"))
+    keep = exact_dedup(ok).select(F.col("keep_id").alias("doc_id"))
+    surv = ok.join(keep, "doc_id").select("doc_id", "text")
+    canon = _doc_canonical_map(spark, sf_dir)
+    labeled = surv.join(canon, "doc_id").select(
+        "doc_id", "text", _split_case(F.col("canonical_id")).alias("split")
+    )
+    _, final, _ = _bpe_final(spark, sf_dir)
+    toks = final.select("word", F.size("s").alias("__n_sym"))
+    per_doc = (
+        labeled.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .join(F.broadcast(toks), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("__n_sym").alias("n_tokens"))
+    )
+    return (
+        labeled.select("doc_id", "split")
+        .join(per_doc, "doc_id", "left_outer")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+        )
+    )
