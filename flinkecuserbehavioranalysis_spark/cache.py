@@ -41,9 +41,15 @@ max_entries: int = DEFAULT_MAX_ENTRIES
 _entries: "OrderedDict[Hashable, DataFrame]" = OrderedDict()
 
 
-def _release(df: DataFrame) -> None:
+def _release(obj) -> None:
+    # composite memo values (e.g. the BPE (merges, final, curve) triple)
+    # release every DataFrame member
+    if isinstance(obj, (tuple, list)):
+        for o in obj:
+            _release(o)
+        return
     try:
-        df.unpersist(blocking=False)
+        obj.unpersist(blocking=False)
     except Exception:  # session already stopped — nothing to free
         pass
 
