@@ -82,6 +82,8 @@ SUITE = [
     "top_supplier_revenue",
     "nation_parttype_list_margin",
     "heavy_hitter_provinces",
+    "events_kanonymity_report",
+    "corpus_token_budget",
 ]
 
 
