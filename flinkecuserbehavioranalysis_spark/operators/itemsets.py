@@ -70,3 +70,61 @@ def frequent_pairs(
         F.desc("support"), F.desc("lift"), F.asc("item_a"), F.asc("item_b")
     )
     return ordered.limit(topk) if topk else ordered
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 3,
+    min_confidence: float = 0.0,
+    topk: int | None = 100,
+) -> DataFrame:
+    """Directional pair rules from the same A-priori pair level:
+    each frequent pair (a, b) yields a→b with confidence
+    support(a,b)/freq(a) and b→a with support(a,b)/freq(b); lift is
+    direction-free.  Returns (antecedent, consequent, support,
+    confidence, lift) ordered by (confidence desc, support desc,
+    antecedent, consequent), optionally cut to *topk* — fully
+    tiebroken, deterministic in any engine.  Same scale shape as
+    :func:`frequent_pairs` (the directional expansion is a map over
+    the pair-level relation, two rows per pair)."""
+    bi = (
+        baskets.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .filter(F.col("__b").isNotNull() & F.col("__i").isNotNull())
+        .distinct()
+    )
+    n_baskets = bi.select(F.countDistinct("__b").alias("__n"))
+    freq = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__f"))
+    a, b = bi.alias("a"), bi.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.__b") == F.col("b.__b")) & (F.col("a.__i") < F.col("b.__i")))
+        .groupBy(F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    stats = (
+        pairs.join(freq.select(F.col("__i").alias("item_a"), F.col("__f").alias("__fa")), "item_a")
+        .join(freq.select(F.col("__i").alias("item_b"), F.col("__f").alias("__fb")), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    lift = F.round(F.col("support") * F.col("__n") / (F.col("__fa") * F.col("__fb")), 6)
+    fwd = stats.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "support",
+        F.round(F.col("support") / F.col("__fa"), 6).alias("confidence"),
+        lift.alias("lift"),
+    )
+    rev = stats.select(
+        F.col("item_b").alias("antecedent"),
+        F.col("item_a").alias("consequent"),
+        "support",
+        F.round(F.col("support") / F.col("__fb"), 6).alias("confidence"),
+        lift.alias("lift"),
+    )
+    out = fwd.unionAll(rev).filter(F.col("confidence") >= min_confidence)
+    ordered = out.orderBy(
+        F.desc("confidence"), F.desc("support"), F.asc("antecedent"), F.asc("consequent")
+    )
+    return ordered.limit(topk) if topk else ordered

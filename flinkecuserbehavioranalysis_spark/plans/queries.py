@@ -8608,3 +8608,43 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
         )
     )
+
+
+@_q(
+    "part_pair_rules",
+    """
+WITH __bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+__n AS (SELECT count(DISTINCT b) AS n FROM __bi),
+__f AS (SELECT i, count(*) AS f FROM __bi GROUP BY i),
+__p AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS support
+        FROM __bi a JOIN __bi b ON a.b = b.b AND a.i < b.i
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+__st AS (SELECT item_a, item_b, support, fa.f AS fa, fb.f AS fb, n
+         FROM __p JOIN __f fa ON fa.i = item_a
+                 JOIN __f fb ON fb.i = item_b CROSS JOIN __n),
+__r AS (
+  SELECT item_a AS antecedent, item_b AS consequent, support,
+         round(CAST(support AS DOUBLE) / fa, 6) AS confidence,
+         round(CAST(support AS DOUBLE) * n / (fa * fb), 6) AS lift
+  FROM __st
+  UNION ALL
+  SELECT item_b, item_a, support,
+         round(CAST(support AS DOUBLE) / fb, 6),
+         round(CAST(support AS DOUBLE) * n / (fa * fb), 6)
+  FROM __st)
+SELECT * FROM __r
+ORDER BY confidence DESC, support DESC, antecedent, consequent LIMIT 100
+""",
+    "Extension (association rules, the directional layer over frequent_part_pairs): "
+    "each co-order pair expands to both a->b and b->a with "
+    "confidence = support/freq(antecedent) and the direction-free lift — the "
+    "recommendation-rule surface.  The expansion is a map over the pair-level "
+    "relation (two rows per pair), so the cost profile is identical to the pair "
+    "miner; fully tiebroken top-100.",
+)
+def part_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.itemsets import association_rules
+
+    return association_rules(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_support=3
+    )

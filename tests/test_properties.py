@@ -1375,3 +1375,35 @@ def test_match_pattern_random_specs_match_naive(spark, spec, events):
         key=repr,
     )
     assert got == expect
+
+
+@given(basket_rows())
+@settings(max_examples=10, deadline=None)
+def test_association_rules_match_naive(spark, rows):
+    """association_rules confidence/lift equal a naive recomputation —
+    both directions of every pair, min_support=1, no cut."""
+    from itertools import combinations
+
+    from flinkecuserbehavioranalysis_spark.operators.itemsets import association_rules
+
+    df = spark.createDataFrame(rows, "b long, i long")
+    got = {(r.antecedent, r.consequent): (r.support, r.confidence, r.lift)
+           for r in association_rules(df, "b", "i", min_support=1, topk=None).collect()}
+
+    baskets = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    n = len(baskets)
+    from collections import Counter
+    freq, sup = Counter(), Counter()
+    for items in baskets.values():
+        for i in items:
+            freq[i] += 1
+        for a, bb in combinations(sorted(items), 2):
+            sup[(a, bb)] += 1
+    expect = {}
+    for (a, bb), c in sup.items():
+        lift = round(c * n / (freq[a] * freq[bb]), 6)
+        expect[(a, bb)] = (c, round(c / freq[a], 6), lift)
+        expect[(bb, a)] = (c, round(c / freq[bb], 6), lift)
+    assert got == expect
