@@ -8648,3 +8648,76 @@ def part_pair_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return association_rules(
         load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", min_support=3
     )
+
+
+@_q(
+    "daily_revenue_decomposition",
+    """
+WITH __d AS (
+  SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+__t AS (
+  SELECT day, cents, (day + 4) % 7 AS dow,
+         CAST(SUM(cents) OVER w AS BIGINT) AS tsum,
+         COUNT(*) OVER w AS cnt7
+  FROM __d WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+__f AS (
+  SELECT day, dow, cents, tsum, 7 * cents - tsum AS dc7
+  FROM __t WHERE cnt7 = 7),
+__s AS (
+  SELECT dow, CAST(sum(dc7) AS BIGINT) AS sd, count(*) AS nd
+  FROM __f GROUP BY 1)
+SELECT f.day, f.dow, f.cents,
+       round(CAST(f.tsum AS DOUBLE) / 700.0, 6) AS trend,
+       round(CAST(s.sd AS DOUBLE) / (700.0 * s.nd), 6) AS seasonal,
+       round(CAST(f.dc7 AS DOUBLE) / 700.0
+             - CAST(s.sd AS DOUBLE) / (700.0 * s.nd), 6) AS residual
+FROM __f f JOIN __s s USING (dow)
+""",
+    "Extension (classical time-series decomposition): daily order revenue split into "
+    "trend (centered 7-day moving average, full-window-only), day-of-week seasonal "
+    "(mean of the detrended series per dow), and residual.  Everything stays in "
+    "EXACT integer cents scaled by 7 (detrended = 7*cents - window sum) until three "
+    "final identically-expressed double divisions, so both engines agree bit-for-bit "
+    "after the 6dp round.  The ordered window runs over the calendar-bounded daily "
+    "pre-aggregation (documented keyless-window family, bound asserted in "
+    "test_keyless_windows_are_bounded); the dow-seasonal relation is 7 rows, joined "
+    "broadcast.",
+)
+def daily_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate").isNotNull())
+    d = o.groupBy(
+        floor_div(F.col("o_orderdate").cast("long"), F.lit(86400)).alias("day")
+    ).agg((F.sum(_dec("o_totalprice")) * 100).cast("long").alias("cents"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    f = (
+        d.select(
+            "day",
+            "cents",
+            ((F.col("day") + 4) % 7).alias("dow"),
+            F.sum("cents").over(w).alias("tsum"),
+            F.count(F.lit(1)).over(w).alias("cnt7"),
+        )
+        .filter(F.col("cnt7") == 7)
+        .withColumn("dc7", 7 * F.col("cents") - F.col("tsum"))
+    )
+    season = f.groupBy("dow").agg(
+        F.sum("dc7").alias("sd"), F.count(F.lit(1)).alias("nd")
+    )
+    seasonal_raw = F.col("sd").cast("double") / (F.lit(700.0) * F.col("nd"))
+    return (
+        f.join(F.broadcast(season), "dow")
+        .select(
+            "day",
+            "dow",
+            "cents",
+            F.round(F.col("tsum").cast("double") / 700.0, 6).alias("trend"),
+            F.round(seasonal_raw, 6).alias("seasonal"),
+            F.round(
+                F.col("dc7").cast("double") / 700.0 - seasonal_raw, 6
+            ).alias("residual"),
+        )
+    )

@@ -353,6 +353,7 @@ def test_keyless_windows_are_bounded(spark):
         "weekly_revenue_wow": 600,       # calendar weeks
         "vocab_growth_curve": 16,        # decile histogram
         "revenue_forecast_backtest": 2000,  # backtest days
+        "daily_revenue_decomposition": 2500,  # calendar days, full-window rows
         "ann_pq_topk": 200,              # query top-k
         "text_vocab": 200_000,           # below the auto-shard cap
     }
