@@ -90,11 +90,14 @@ def as_of_join(
     left_ts: str,
     right_ts: str,
     right_payload: Sequence[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: attach to every left row the right row with
-    the greatest ``right_ts <= left_ts`` for the same *key* (extension —
-    no reference analog; generalizes J1's time matching to "most recent
-    prior" semantics, the standard quote/trade alignment).
+    """As-of join: attach to every left row the right row with the
+    greatest ``right_ts <= left_ts`` (*direction*='backward', default —
+    the standard quote/trade alignment) or the smallest
+    ``right_ts >= left_ts`` (*direction*='forward' — "next following",
+    e.g. the next order after a touchpoint) for the same *key*
+    (extension — no reference analog; generalizes J1's time matching).
 
     Distributed shape: instead of the naive inequality join (which
     explodes to all prior rows before a per-left-row argmax), both sides
@@ -109,11 +112,14 @@ def as_of_join(
     no prior right row keep NULL payloads (left-outer semantics).
 
     NULL timestamps: a right row with NULL *right_ts* can never satisfy
-    ``right_ts <= left_ts`` (three-valued logic) and is excluded; a left
-    row with NULL *left_ts* has no "as of" point and keeps NULL payloads
-    — without the exclusion both NULLs sort together at the head of the
-    union and would spuriously match each other.
+    the inequality (three-valued logic) and is excluded; a left row with
+    NULL *left_ts* has no "as of" point and keeps NULL payloads — the
+    payload fill is explicitly masked on a NULL left timestamp (in the
+    forward direction a descending sort would otherwise place NULL left
+    rows after every right row and spuriously match).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("as_of_join: direction must be 'backward' or 'forward'")
     right = right.where(F.col(right_ts).isNotNull())
     lcols = left.columns
     l2 = left.withColumn("__t", F.col(left_ts)).withColumn("__tag", F.lit(1))
@@ -132,10 +138,13 @@ def as_of_join(
         r2.select(key, "__t", "__tag", *[c for c in lcols if c != key], *right_payload)
     )
     # right rows (__tag=0) sort before left rows at the same timestamp →
-    # a right row AT left_ts is visible to that left row (<= semantics)
+    # a right row AT left_ts is visible to that left row (<= / >=
+    # semantics); forward direction walks time DESCENDING so the running
+    # last-value is the nearest FOLLOWING right row
+    order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("__t").asc(), F.col("__tag").asc())
+        .orderBy(order, F.col("__tag").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
@@ -143,7 +152,13 @@ def as_of_join(
         "__t",
         "__tag",
         *[c for c in lcols if c != key],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_payload],
+        *[
+            F.when(
+                F.col("__t").isNotNull(),
+                F.last(c, ignorenulls=True).over(w),
+            ).alias(c)
+            for c in right_payload
+        ],
     )
     return filled.filter(F.col("__tag") == 1).select(*lcols, *right_payload)
 

@@ -8721,3 +8721,49 @@ def daily_revenue_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual"),
         )
     )
+
+
+@_q(
+    "event_next_order_asof",
+    """
+WITH __r AS (
+  SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_ts,
+         max(o_orderkey) AS next_order_id
+  FROM orders GROUP BY 1, 2),
+__l AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS event_ts FROM events)
+SELECT event_id, user_id, event_ts, next_order_id, order_ts AS next_order_ts
+FROM (SELECT * FROM __l WHERE event_ts IS NOT NULL)
+  ASOF LEFT JOIN __r ON user_id = o_custkey AND event_ts <= order_ts
+UNION ALL
+-- unstamped probes: NULL annotation (same carve-out as the backward
+-- twin); an ASOF `<=` preserves left multiplicity where a QUALIFY
+-- row_number over event_id would COLLAPSE duplicate ids (skew tier)
+SELECT event_id, user_id, event_ts,
+       CAST(NULL AS BIGINT) AS next_order_id, CAST(NULL AS BIGINT) AS next_order_ts
+FROM __l WHERE event_ts IS NULL
+""",
+    "Extension (FORWARD as-of join — the mirror of event_last_order_asof): each event "
+    "annotated with the user's next order at or after it, e.g. touch-to-conversion "
+    "lead time.  Same union-tagged single-shuffle formulation walking time DESCENDING "
+    "(operators/joins.as_of_join direction='forward'); unstamped events keep NULL "
+    "annotations via the explicit NULL-timestamp payload mask.  The oracle is DuckDB's "
+    "ASOF `<=` (left-multiplicity-preserving) with the NULL-probe carve-out, proving "
+    "the propagation form equivalent.",
+)
+def event_next_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("event_ts")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    rt = orders.groupBy(
+        F.col("o_custkey"), F.col("o_orderdate").cast("long").alias("next_order_ts")
+    ).agg(F.max("o_orderkey").alias("next_order_id"))
+    return as_of_join(
+        ev,
+        rt.withColumnRenamed("o_custkey", "user_id"),
+        key="user_id",
+        left_ts="event_ts",
+        right_ts="next_order_ts",
+        right_payload=["next_order_id", "next_order_ts"],
+        direction="forward",
+    )

@@ -1407,3 +1407,39 @@ def test_association_rules_match_naive(spark, rows):
         expect[(a, bb)] = (c, round(c / freq[a], 6), lift)
         expect[(bb, a)] = (c, round(c / freq[bb], 6), lift)
     assert got == expect
+
+
+@given(asof_inputs())
+@settings(max_examples=12, deadline=None)
+def test_forward_as_of_join_matches_naive(spark, data):
+    left_rows, right_rows = data
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)], "k string, t long, lid long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, 1000 + i) for i, (k, t) in enumerate(right_rows)],
+        "k string, rt long, rid long",
+    )
+    got = {
+        (r.k, r.t): r.rid
+        for r in as_of_join(
+            left, right, key="k", left_ts="t", right_ts="rt",
+            right_payload=["rid"], direction="forward",
+        ).collect()
+    }
+    # naive: per left row, the right row with MIN rt >= t for the key
+    rid_by_key_ts = {(k, t): 1000 + i for i, (k, t) in enumerate(right_rows)}
+    for k, t in left_rows:
+        nxt = [rt for (rk, rt) in right_rows if rk == k and rt >= t]
+        expect = rid_by_key_ts[(k, min(nxt))] if nxt else None
+        assert got[(k, t)] == expect, (k, t, got[(k, t)], expect)
+    assert len(got) == len(left_rows)
+
+
+def test_forward_as_of_null_left_ts_keeps_null_payload(spark):
+    left = spark.createDataFrame([("a", None, 1), ("a", 5, 2)], "k string, t long, lid long")
+    right = spark.createDataFrame([("a", 7, 99)], "k string, rt long, rid long")
+    rows = {r.lid: r.rid for r in as_of_join(
+        left, right, key="k", left_ts="t", right_ts="rt",
+        right_payload=["rid"], direction="forward").collect()}
+    assert rows == {1: None, 2: 99}
