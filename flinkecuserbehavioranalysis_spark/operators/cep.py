@@ -144,7 +144,12 @@ def _validate(steps: list[PatternStep]) -> None:
                     f"step {i + 1}: the step after a negation must be 'relaxed'"
                 )
     if any(s.optional for s in steps):
-        pols = {s.contiguity for s in steps if not s.negated}
+        # The leading positive atom's contiguity is ignored by contract
+        # (nothing precedes it), so it does not participate in the
+        # uniformity requirement — a meaningless 'strict' on step 0
+        # plus relaxed optional steps compiles fine.
+        pos = [s for s in steps if not s.negated]
+        pols = {s.contiguity for s in pos[1:]}
         if len(pols) > 1:
             raise ValueError(
                 "optional steps require one uniform contiguity policy "

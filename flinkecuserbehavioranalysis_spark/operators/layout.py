@@ -70,15 +70,13 @@ def partitioned_write(
     # and n=1 would serialize the whole write through a single task.)
     if "__salt" in df.columns:
         raise ValueError("partitioned_write: input must not carry a __salt column")
-    # monotonically_increasing_id term: full-duplicate rows (same hash
-    # of all columns) still spread across the per-partition files.
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in df.columns])
-        + F.monotonically_increasing_id(),
-        F.lit(max(n_files_per_partition, 1)),
-    )
+    # Deterministic salt (local sort + hash + position) — reproducible
+    # across task retries (SPARK-23207), yet full-duplicate rows still
+    # spread across the per-partition files.
+    from .skew import attach_deterministic_salt
+
     (
-        df.withColumn("__salt", salt)
+        attach_deterministic_salt(df, max(n_files_per_partition, 1))
         .repartition(*cols, F.col("__salt"))
         .drop("__salt")
         .write.mode("overwrite")

@@ -19,6 +19,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 
 
 def salted_count(
@@ -125,6 +126,42 @@ def heavy_hitters(
     )
 
 
+def attach_deterministic_salt(df: DataFrame, n: int) -> DataFrame:
+    """Attach a ``__salt`` column in ``[0, n)`` that is a *deterministic*
+    function of the input's row multiset, safe to shuffle on.
+
+    ``xxhash64(all columns) + monotonically_increasing_id()`` alone is
+    the SPARK-23207 hazard class: the id term depends on in-partition
+    row order, which is unstable when the input is post-shuffle, so a
+    retried map task can assign different salts than the attempt whose
+    outputs were already consumed — duplicating or dropping rows under
+    partial stage re-execution.  The remedy here mirrors Spark's own
+    fix for round-robin ``repartition``: a local (per-partition,
+    no-shuffle) sort first, which pins the row order to a pure function
+    of the partition's row multiset, making the position-based id — and
+    hence the salt — reproducible across retries.
+
+    The id term is kept *after* the sort because it is what spreads
+    FULL-DUPLICATE rows (identical event rows on a hot key are common;
+    a pure column hash would send them all to one reducer).  Map-typed
+    columns are unorderable in Spark and are excluded from the sort key;
+    they still feed the hash via their remaining sortable siblings only,
+    which is fine — the sort only needs to pin order, not hash quality.
+    """
+    sortable = [
+        f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)
+    ]
+    ordered = df.sortWithinPartitions(*sortable) if sortable else df
+    return ordered.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in sortable])
+            + F.monotonically_increasing_id(),
+            F.lit(n),
+        ),
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -154,17 +191,10 @@ def salted_join(
                          "(small side is replicated per salt)")
     if "__salt" in big.columns or "__salt" in small.columns:
         raise ValueError("salted_join: inputs must not carry a __salt column")
-    # Salt = hash(all columns) + monotonically_increasing_id: the id term
-    # spreads even FULL-DUPLICATE rows (identical event rows on a hot key
-    # are common; a pure column hash would send them all to one reducer).
-    big_salted = big.withColumn(
-        "__salt",
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in big.columns])
-            + F.monotonically_increasing_id(),
-            F.lit(salt),
-        ),
-    )
+    # Deterministic salt (local sort + hash + position): reproducible
+    # across task retries, yet still spreads full-duplicate rows.  See
+    # attach_deterministic_salt for the SPARK-23207 argument.
+    big_salted = attach_deterministic_salt(big, salt)
     small_rep = small.crossJoin(
         F.broadcast(
             small.sparkSession.range(salt).select(F.col("id").cast("long").alias("__salt"))

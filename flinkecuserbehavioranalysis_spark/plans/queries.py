@@ -4441,17 +4441,25 @@ def _semdedup_cells(n: int) -> int:
     "vectors compared only within their cluster, flagged when a smaller-id cluster-mate "
     "has cosine >= 0.4 (greedy keep-first).  Oracle replays the full Lloyd training loop. "
     "Blocking is ADAPTIVE (round 5): n_cells = max(8, n/500) derived from the corpus on "
-    "both engines (eager 1-row count on the Spark side, scalar subquery in the oracle's "
-    "seed LIMIT), so per-cluster size — and the within-cluster quadratic term — stays "
-    "constant as the corpus grows; the fixed-cell variant measured super-linear at 30x "
-    "(BENCH_DIFF round-5).",
+    "both engines — n counts the CONTRACT-VALID vectors (NULL/non-finite/insane rows "
+    "excluded) on the Spark side exactly as the oracle's scalar subquery counts the "
+    "filtered __et relation, so a corrupt-vector corpus straddling a 500-row boundary "
+    "can't train different codebooks on the two engines (round-6 ADVICE).  The 1-row "
+    "count is memoized per (session, sf_dir) through the session frame cache, so "
+    "repeated invocations cost zero extra jobs.  Per-cluster size — and the "
+    "within-cluster quadratic term — stays constant as the corpus grows; the "
+    "fixed-cell variant measured super-linear at 30x (BENCH_DIFF round-5).",
 )
 def semantic_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import semantic_dedup
+    from ..operators.similarity import _drop_null_vec, semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cells = _semdedup_cells(emb.count())
-    return semantic_dedup(emb, n_cells=cells, train_iters=2, tau=0.4)
+    # The memo value is a plain int; cache._release tolerates non-frames.
+    n_valid = _cached_canon(
+        spark, sf_dir, "semdedup_valid_count",
+        lambda: _drop_null_vec(emb, "embedding").count(),
+    )
+    return semantic_dedup(emb, n_cells=_semdedup_cells(n_valid), train_iters=2, tau=0.4)
 
 
 @_q(

@@ -44,7 +44,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..operators.cep import PatternStep, variant_specs
-from .stateful import _epoch_s
+from .stateful import _epoch_s, _floor_s
 
 _CEP_STATE = StructType(
     [StructField("active", StringType()), StructField("done", StringType())]
@@ -129,8 +129,11 @@ def match_pattern_stream(
 
     def _row(k: int, keep: list[int], chain: list[float]) -> tuple:
         row: list = [int(k)] + [None] * n_atoms
+        # _floor_s, not int(): int() truncates toward zero, diverging
+        # from the batch compiler's floor_long on pre-1970 sub-second
+        # event times (int(-0.75) = 0 vs floor -1).
         for pos, gi in enumerate(keep):
-            row[gi + 1] = int(chain[pos])
+            row[gi + 1] = _floor_s(chain[pos])
         return tuple(row)
 
     # state encodings ------------------------------------------------

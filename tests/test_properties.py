@@ -1179,10 +1179,21 @@ def test_match_pattern_spec_validation(spark):
         match_pattern(df, "user_id", "ts",
                       [PatternStep(a), PatternStep(a, negated=True),
                        PatternStep(a, contiguity="strict")], 10.0)
+    # mixed contiguity AFTER the leading atom + an optional step → rejected
     with _pytest.raises(ValueError, match="uniform contiguity"):
         match_pattern(df, "user_id", "ts",
-                      [PatternStep(a, optional=True),
+                      [PatternStep(a), PatternStep(a, optional=True),
                        PatternStep(a, contiguity="strict")], 10.0)
+    # ...but the FIRST positive atom's contiguity is ignored by contract
+    # (nothing precedes it), so a meaningless 'strict' on step 0 plus
+    # relaxed optional steps must compile (round-6 ADVICE): identical
+    # results to the same spec with a relaxed leading step.
+    loose = [PatternStep(a), PatternStep(a, optional=True), PatternStep(a)]
+    tight0 = [PatternStep(a, contiguity="strict"),
+              PatternStep(a, optional=True), PatternStep(a)]
+    assert sorted(
+        map(tuple, match_pattern(df, "user_id", "ts", tight0, 10.0).collect())
+    ) == sorted(map(tuple, match_pattern(df, "user_id", "ts", loose, 10.0).collect()))
     with _pytest.raises(ValueError, match="bare filter|no compilable"):
         match_pattern(df, "user_id", "ts", [PatternStep(a)], 10.0)
 
