@@ -1295,6 +1295,32 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_meta(attach_binary(docs))
 
 
+@_q(
+    "multimodal_real_decode_meta",
+    """
+SELECT doc_id,
+       CASE ((doc_id % 3) + 3) % 3 WHEN 0 THEN 'pgm' WHEN 1 THEN 'bmp' ELSE 'png' END AS format,
+       CAST(((n_chars % 64) + 64) % 64 + 1 AS INTEGER) AS width,
+       CAST(((n_chars * 7 % 48) + 48) % 48 + 1 AS INTEGER) AS height,
+       CAST(CASE WHEN ((doc_id % 3) + 3) % 3 = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels
+FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+""",
+    "Extension (multimodal, round 6): REAL image decode with zero external libraries — "
+    "attach_image_binary builds fully valid PGM/BMP/PNG files per document (container by "
+    "doc_id%3, geometry from n_chars, pixels tiling the text bytes; PNG includes zlib IDAT "
+    "+ chunk CRCs), then real_decode_meta parses the container HEADERS back via "
+    "decode_image (PNM/BMP/PNG/GIF/JPEG-SOF-walk).  The oracle recomputes the constructed "
+    "geometry analytically, so a parser bug in any branch hash-mismatches.  Both stages "
+    "are map-only mapInPandas — no shuffle; corrupt payloads become format='corrupt' "
+    "side-output rows, never task failures (operators/multimodal.py).",
+)
+def multimodal_real_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_image_binary, real_decode_meta
+
+    docs = load_table(spark, sf_dir, "documents")
+    return real_decode_meta(attach_image_binary(docs))
+
+
 # =====================================================================
 # Reference parity — remaining variants / scalar-function extensions
 # =====================================================================
