@@ -19,6 +19,13 @@ cache before EVERY query, so each number is independently attributable
 — no family member inherits a sibling's memoized LSH pair set /
 codebook / scored frame (round-4 verdict "What's wrong" #2).  The
 default (memoized) mode remains the realistic-session total.
+
+``--set driver50`` restricts the run to a PINNED constant query set
+(the 50 names the driver hashed in rounds 1–5) so round-over-round
+totals compare like-for-like — the full-registry total grows every
+round because the registry grows, which turns regressions into
+mix-shift noise (round-5 verdict #5).  ``--only a,b`` runs an ad-hoc
+subset for attribution work.
 """
 
 from __future__ import annotations
@@ -33,11 +40,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from flinkecuserbehavioranalysis_spark.plans.queries import QUERIES, clear_cache
 from flinkecuserbehavioranalysis_spark.session import get_spark
 
+#: The 50 queries the driver hashed in rounds 1–5 (CORRECTNESS_r05.json),
+#: frozen as the round-over-round comparison set.  Do NOT edit this list
+#: when the registry grows — its value is being constant.
+DRIVER50 = [
+    "ad_blacklist_passed", "ad_blacklist_warnings", "ad_clicks_by_province",
+    "ann_brute_force_topk", "ann_bucketed_neardup", "ann_cosine_lsh_neardup",
+    "ann_ivf_topk", "app_marketing_by_channel", "app_marketing_total",
+    "brand_supplier_revenue", "buyer_viewer_overlap", "customer_order_distribution",
+    "customers_without_big_orders", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "economy_revenue_share",
+    "event_last_order_asof", "hot_items_topn", "interval_join_shipments",
+    "late_shipment_priority_counts", "login_fail_burst", "login_fail_detect",
+    "multimodal_decode_meta", "order_fulfillment_status", "page_view_count",
+    "pattern_clean_conversion", "pattern_funnel_3step",
+    "pattern_guarded_optional_funnel", "pattern_optional_funnel",
+    "pattern_unresolved_error_burst", "pattern_view_no_purchase",
+    "pattern_view_then_purchase", "pricing_summary", "props_numeric_stats",
+    "region_revenue", "sessionize_users", "text_fingerprint", "text_lang_id",
+    "text_quality", "text_token_stats", "top_revenue_customers", "top_urls",
+    "tx_match", "unique_visitors", "unique_visitors_approx",
+    "view_days_without_purchase", "windowed_value_quantiles",
+    "windowed_value_quantiles_approx",
+]
+
+
+def _pick_names(argv: list[str]) -> list[str] | None:
+    """Query subset from --set/--only; None = the full registry."""
+    if "--set" in argv:
+        which = argv[argv.index("--set") + 1]
+        if which != "driver50":
+            raise SystemExit(f"unknown --set {which!r} (have: driver50)")
+        return DRIVER50
+    if "--only" in argv:
+        return argv[argv.index("--only") + 1].split(",")
+    return None
+
 
 def main() -> None:
     no_memo = "--no-memo" in sys.argv[1:] or os.environ.get(
         "SPARK_GRAFT_BENCH_NO_MEMO", ""
     ) not in ("", "0")
+    names = _pick_names(sys.argv[1:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     spark = get_spark("bench")
@@ -52,7 +96,10 @@ def main() -> None:
     materialize(QUERIES["page_view_count"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
-    for name, qd in sorted(QUERIES.items()):
+    selected = sorted(QUERIES.items()) if names is None else [
+        (n, QUERIES[n]) for n in names
+    ]
+    for name, qd in selected:
         if no_memo:
             clear_cache()  # per-query attribution: no shared family frames
         t0 = time.perf_counter()
@@ -69,6 +116,8 @@ def main() -> None:
     }
     if no_memo:
         out["no_memo"] = True
+    if names is not None:
+        out["subset"] = "driver50" if names is DRIVER50 else "only"
     print(json.dumps(out))
 
 

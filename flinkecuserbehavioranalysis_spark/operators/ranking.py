@@ -81,6 +81,50 @@ def global_rank(
     return ranked, running
 
 
+def centered_rows_agg(
+    df: DataFrame,
+    order: list[Column],
+    aggs: dict[str, Column],
+    preceding: int = 3,
+    following: int = 3,
+    rank_col: str = "__crw_rank",
+    shards: int = 64,
+) -> DataFrame:
+    """Exact ``<agg> OVER (ORDER BY *order* ROWS BETWEEN p PRECEDING AND
+    f FOLLOWING)`` WITHOUT the single-partition WindowExec a keyless
+    ``Window.orderBy`` forces.
+
+    Shape: :func:`global_rank` gives every row its position in the total
+    order (range-partitioned, parallel); each row then contributes to the
+    ``p+f+1`` window centers it falls inside via a broadcast offset-seed
+    explode, and a KEYED aggregation on the center rank computes each
+    window — so the whole frame is two ordinary shuffles plus a
+    ``(p+f+1)×`` fan-out of the input, all of it partition-parallel.
+    Aggregates must be algebraic over the fan-out (sum/count/min/max —
+    each window member arrives as its own row).
+
+    Returns the ranked input joined with one column per *aggs* entry;
+    window frames truncated at either end of the data keep SQL ROWS
+    semantics (they simply aggregate fewer rows — pair with a
+    ``count(*)`` agg to filter full windows, as the time-series
+    decomposition does)."""
+    ranked, total = global_rank(df, order, rank_col=rank_col, shards=shards)
+    deltas = df.sparkSession.range(-following, preceding + 1).select(
+        F.col("id").alias("__delta")
+    )
+    contrib = (
+        ranked.crossJoin(F.broadcast(deltas))
+        .withColumn("__center", F.col(rank_col) + F.col("__delta"))
+        .filter((F.col("__center") >= 1) & (F.col("__center") <= total))
+    )
+    win = contrib.groupBy("__center").agg(
+        *[c.alias(name) for name, c in aggs.items()]
+    )
+    return ranked.join(win, ranked[rank_col] == win["__center"]).drop(
+        "__center", rank_col
+    )
+
+
 def global_ntile(
     df: DataFrame,
     order: list[Column],

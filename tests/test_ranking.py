@@ -69,6 +69,43 @@ def test_ntile_more_buckets_than_rows_degenerates_to_rank(spark):
     assert {(r.v, r.b) for r in out.collect()} == {(10, 1), (20, 2), (30, 3)}
 
 
+@pytest.mark.parametrize("vals", CASES)
+@pytest.mark.parametrize("frame", [(3, 3), (0, 2), (4, 0), (1, 1)])
+def test_centered_rows_agg_matches_keyless_window(spark, vals, frame):
+    """operators/ranking.py centered_rows_agg — the global_rank +
+    offset-explode + keyed-agg plan must be bit-identical to the
+    single-partition ROWS BETWEEN window it replaces, including
+    truncated frames at both ends, ties, and asymmetric frames."""
+    from flinkecuserbehavioranalysis_spark.operators.ranking import centered_rows_agg
+
+    p, f = frame
+    df = _df(spark, vals)
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = {
+        (r.id, r.s, r.c)
+        for r in centered_rows_agg(
+            df, order, {"s": F.sum("v"), "c": F.count(F.lit(1))},
+            preceding=p, following=f, shards=8,
+        ).collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(-p, f)
+    want = {
+        (r.id, r.s, r.c)
+        for r in df.select(
+            "id", F.sum("v").over(w).alias("s"), F.count(F.lit(1)).over(w).alias("c")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_centered_rows_agg_empty_input(spark):
+    from flinkecuserbehavioranalysis_spark.operators.ranking import centered_rows_agg
+
+    df = _df(spark, []).limit(0)
+    out = centered_rows_agg(df, [F.col("v")], {"s": F.sum("v")}, 3, 3, shards=4)
+    assert out.count() == 0
+
+
 def test_salted_join_matches_plain_join(spark):
     """operators/skew.py salted_join — same multiset of rows as the
     plain join under a pathologically hot key, all join types."""
