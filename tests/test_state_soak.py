@@ -1,0 +1,193 @@
+"""Streaming state-size soak tests (round-5 ask #4 / round-6 verdict #2).
+
+The bounded-replay equivalence tests prove the stateful kernels compute
+the right ANSWER; these prove their STATE STAYS BOUNDED — the mechanical
+guard against the unbounded-state bug class: drive each kernel through
+>= 20 micro-batches (maxFilesPerTrigger=1 over time-ordered file slices)
+with 2 checkpoint restarts, reading ``stateOperators[].numRowsTotal``
+from every progress record, and assert the series plateaus at the
+operator's designed bound:
+
+- ``streaming_login_fail`` / ``streaming_pattern_sequence`` hold one
+  state row per KEY (NoTimeout) — rows must track key cardinality, never
+  event count: constant once every key has been seen, no matter how many
+  more batches of events flow.
+- ``streaming_order_timeout`` (EventTimeTimeout) holds only PENDING
+  one-sided orders inside the timeout horizon — the watermark must evict
+  decided keys, so the series rises, plateaus at the steady-state pending
+  level, and ends at exactly the undecided count (computed independently
+  from the synthetic data), far below total keys.
+
+Synthetic minute-scale data (not testdata) so the expected plateau is
+closed-form; noop sink (state metrics need no output) + one shared
+checkpoint across the three segment runs = 2 genuine restarts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flinkecuserbehavioranalysis_spark.streaming.stateful import (
+    streaming_login_fail,
+    streaming_order_timeout,
+    streaming_pattern_sequence,
+)
+
+N_SLICES = 24  # 8 per segment x 3 segments = 24 data micro-batches
+T0 = 1_700_000_000  # any fixed epoch anchor
+
+
+def _write_slice_files(src_dir: str, pdf: pd.DataFrame, lo: int, hi: int) -> None:
+    """Write time-ordered slices [lo, hi) of *pdf* as single parquet
+    files (microsecond timestamps — no NANOS legacy conf needed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pdf.sort_values("ts").reset_index(drop=True)
+    bounds = np.linspace(0, len(pdf), N_SLICES + 1).astype(int)
+    for i in range(lo, hi):
+        sl = pdf.iloc[bounds[i] : bounds[i + 1]].copy()
+        sl["ts"] = sl["ts"].astype("datetime64[us]")
+        pq.write_table(
+            pa.Table.from_pandas(sl, preserve_index=False),
+            os.path.join(src_dir, f"slice_{i:03d}.parquet"),
+        )
+
+
+def _state_rows(q) -> list[int]:
+    """numRowsTotal of the (single) state operator, one per progress
+    record that carries state metrics."""
+    out = []
+    for p in q.recentProgress:
+        d = p if isinstance(p, dict) else json.loads(p.json)
+        ops = d.get("stateOperators") or []
+        if ops:
+            out.append(int(ops[0]["numRowsTotal"]))
+    return out
+
+
+def _soak(spark, tmp_path, pdf, schema_ddl, kernel) -> list[int]:
+    """Three checkpointed availableNow segments (8 slices each, one file
+    per trigger) over the same kernel = >= 24 data batches, 2 restarts.
+    Returns the concatenated numRowsTotal series."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    series: list[int] = []
+    for lo, hi in ((0, 8), (8, 16), (16, 24)):
+        _write_slice_files(src, pdf, lo, hi)
+        stream = (
+            spark.readStream.schema(schema_ddl)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            kernel(stream)
+            .writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        series.extend(_state_rows(q))
+    return series
+
+
+@pytest.mark.parametrize("kernel_name", ["login_fail", "pattern_sequence"])
+def test_keyed_nontimeout_state_plateaus_at_key_cardinality(
+    spark, tmp_path, kernel_name
+):
+    """NoTimeout keyed kernels: state rows == key cardinality, flat for
+    the whole soak once every key has appeared (all keys appear in the
+    first micro-batch), while 24 batches of events keep arriving."""
+    n_keys, n_events = 40, 1920
+    i = np.arange(n_events)
+    types = np.array(["view", "click", "purchase", "error"])[i % 4]
+    pdf = pd.DataFrame(
+        {
+            "user_id": (i % n_keys).astype("int64"),
+            "event_type": types,
+            "ts": pd.to_datetime(T0 + i * 5, unit="s"),
+            "event_id": i.astype("int64"),
+        }
+    )
+    if kernel_name == "login_fail":
+        kernel = lambda s: streaming_login_fail(s, max_gap_seconds=3600.0)  # noqa: E731
+    else:
+        kernel = lambda s: streaming_pattern_sequence(  # noqa: E731
+            s,
+            key_col="user_id",
+            ts_col="ts",
+            steps=[
+                F.col("event_type") == "view",
+                F.col("event_type") == "click",
+                F.col("event_type") == "purchase",
+            ],
+            within_seconds=3600.0,
+            tiebreak_col="event_id",
+        )
+    series = _soak(
+        spark,
+        tmp_path,
+        pdf,
+        "user_id long, event_type string, ts timestamp, event_id long",
+        kernel,
+    )
+    assert len(series) >= 20, f"soak too short: {len(series)} state batches"
+    # every key appears in batch 1 (slice 0 holds 80 events of 40 keys):
+    # the series must plateau at n_keys immediately and NEVER grow past
+    # it — state tracks keys, not the 24 batches of events
+    assert max(series) == n_keys, series
+    assert series[1:] == [n_keys] * (len(series) - 1), series
+
+
+def test_order_timeout_state_evicted_by_watermark(spark, tmp_path):
+    """EventTimeTimeout kernel: pending one-sided orders are evicted as
+    the watermark passes their deadline — the series rises to the
+    steady-state pending level, never tracks total keys, and ends at
+    exactly the independently-computed undecided count."""
+    timeout_s = 600.0
+    n_orders = 720
+    i = np.arange(n_orders)
+    create_ts = T0 + i * 10  # one create every 10 s, 7200 s span
+    # i%3==0: pay +50 s; i%3==1: pay +300 s; i%3==2: never pays
+    pays = i[i % 3 != 2]
+    pay_ts = create_ts[pays] + np.where(pays % 3 == 0, 50, 300)
+    pdf = pd.DataFrame(
+        {
+            "order_id": np.concatenate([i, pays]).astype("int64"),
+            "event_type": ["create"] * n_orders + ["pay"] * len(pays),
+            "ts": pd.to_datetime(np.concatenate([create_ts, pay_ts]), unit="s"),
+        }
+    )
+    series = _soak(
+        spark,
+        tmp_path,
+        pdf,
+        "order_id long, event_type string, ts timestamp",
+        lambda s: streaming_order_timeout(s, timeout_seconds=timeout_s),
+    )
+    assert len(series) >= 20, f"soak too short: {len(series)} state batches"
+    # ground truth: watermark closes at max event time - 5 s (the
+    # kernel's bounded-out-of-orderness delay); an unpaid create whose
+    # deadline the watermark never passed is still pending at the end
+    wm_final = pdf["ts"].max().timestamp() - 5.0
+    unpaid = create_ts[i % 3 == 2]
+    expected_pending = int(np.sum(unpaid + timeout_s >= wm_final))
+    assert series[-1] == expected_pending, (series[-5:], expected_pending)
+    # eviction kept pace: the peak is the steady-state pending level
+    # (orders inside one timeout horizon), nowhere near total keys
+    assert max(series) < n_orders / 3, (max(series), n_orders)
+    assert max(series) > series[-1], series
+    # plateau: once past warm-up the pending level never grows with the
+    # batch count — the second half's peak stays at (or below, as the
+    # closing watermark drains it) the first half's
+    half = len(series) // 2
+    assert max(series[half:]) <= max(series[:half]), series

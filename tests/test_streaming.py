@@ -782,7 +782,10 @@ def test_streaming_anomaly_matches_batch(spark):
 def test_streaming_active_users_matches_batch(spark):
     """Bounded replay of the (day, user) presence stream + foreachBatch
     DAU/WAU scoring matches events_rolling_active_users on every day
-    whose trailing window is fully closeable."""
+    whose trailing window is fully closeable — DAU exactly (append-once
+    per (day, user) makes the per-day counts exact), WAU within the HLL
+    sketch tolerance (the store keeps per-day SKETCHES, not users, so it
+    is days-sized at any SF)."""
     from flinkecuserbehavioranalysis_spark.plans.queries import QUERIES
     from flinkecuserbehavioranalysis_spark.streaming.jobs import (
         read_events_stream,
@@ -792,7 +795,7 @@ def test_streaming_active_users_matches_batch(spark):
     )
 
     sf = "/root/testdata/sf0.001"
-    store: set = set()
+    store: dict = {}
     sink: list = []
     run_bounded(
         streaming_daily_users(read_events_stream(spark, sf)),
@@ -808,8 +811,20 @@ def test_streaming_active_users_matches_batch(spark):
     # it are also incomplete on the stream side
     last_day = max(d for d in batch if batch[d][0] > 0)
     comparable = {d: v for d, v in batch.items() if d < last_day}
-    assert {d: got[d] for d in comparable} == comparable
+    for d, (dau, wau) in comparable.items():
+        got_dau, got_wau = got[d]
+        assert got_dau == dau, f"{d}: dau {got_dau} != {dau}"
+        assert abs(got_wau - wau) <= max(2, 0.05 * wau), (
+            f"{d}: wau {got_wau} outside 5% of {wau}"
+        )
     assert len(comparable) > 10
+    # the scale contract itself: the driver store is days-sized — one
+    # (exact count, sketch bytes) entry per day, nothing user-shaped
+    assert len(store) <= len(batch) + 1
+    assert all(
+        isinstance(n, int) and isinstance(sk, (bytes, bytearray))
+        for n, sk in store.values()
+    )
 
 
 def test_streaming_not_followed_by_matches_batch(spark):
