@@ -35,6 +35,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["hot_items_topn"].fn(spark, "/root/testdata/sf0.001")
 
 
+#: Names boosted to the FRONT of the never-checked tier: the bounded
+#: streaming-replay queries (round-6 verdict #7 — their "done" criterion
+#: is a green driver CORRECTNESS row whose Spark side executed through
+#: applyInPandasWithState, so they must reach the next driver window
+#: despite registering at the end).  Once checked, the last-checked key
+#: dominates and this list is inert.
+_DRIVER_PRIORITY = {
+    "streaming_login_fail_replay",
+    "streaming_blacklist_replay",
+    "streaming_order_timeout_replay",
+    "streaming_fail_burst_replay",
+    "streaming_dedup_replay",
+    "streaming_pv_count_replay",
+}
+
+
 def _rotation_order() -> list[str]:
     """Registry names, never-driver-checked first (see module doc).
 
@@ -57,6 +73,7 @@ def _rotation_order() -> list[str]:
         QUERIES,
         key=lambda n: (
             last_checked.get(n, -1),                       # never-checked first
+            n not in _DRIVER_PRIORITY,                     # boosted names first
             QUERIES[n].oracle is None,                     # oracle-backed first
             reg_pos[n],                                    # stable within tier
         ),

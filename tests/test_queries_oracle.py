@@ -59,3 +59,49 @@ def test_flagship_runs_as_pure_sql(spark):
         """
     )
     assert sorted(tuple(r[c] for c in cols) for r in got.collect()) == expect
+
+
+def test_rotation_orders_never_checked_first_with_priority():
+    """The driver hashes the first 50 of queries() each round; the
+    rotation must (a) front-load names with no CORRECTNESS_r*.json row
+    yet — oracle-backed before rows-only, (b) boost _DRIVER_PRIORITY
+    names to the head of the never-checked tier (round-6 verdict #7:
+    the streaming replays must reach the next driver window despite
+    registering last), and (c) push already-checked names to the back,
+    least-recently-checked first."""
+    import json
+    from pathlib import Path
+
+    import __spark_entry__ as e
+
+    order = e._rotation_order()
+    assert sorted(order) == sorted(QUERIES), "rotation must be a permutation"
+
+    last = {}
+    for rec in sorted(Path(e.__file__).resolve().parent.glob("CORRECTNESS_r*.json")):
+        try:
+            names = json.loads(rec.read_text())
+            rnd = int("".join(ch for ch in rec.stem if ch.isdigit()) or 0)
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for n in names:
+            last[n] = max(last.get(n, 0), rnd)
+    never = [n for n in order if n not in last]
+    if never:
+        # every never-checked name precedes every checked name
+        first_checked = min(order.index(n) for n in last) if last else len(order)
+        assert max(order.index(n) for n in never) < first_checked
+        # priority names lead the never-checked tier
+        prio = [n for n in never if n in e._DRIVER_PRIORITY]
+        for p in prio:
+            assert order.index(p) < min(
+                order.index(n) for n in never if n not in e._DRIVER_PRIORITY
+            )
+        # within the non-priority never-checked tier, oracle-backed first
+        plain = [n for n in never if n not in e._DRIVER_PRIORITY]
+        tail_rows_only = [QUERIES[n].oracle is None for n in plain]
+        assert tail_rows_only == sorted(tail_rows_only)
+    # checked names sort by last-checked round ascending
+    checked_in_order = [n for n in order if n in last]
+    rounds = [last[n] for n in checked_in_order]
+    assert rounds == sorted(rounds)
