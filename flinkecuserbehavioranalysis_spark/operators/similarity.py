@@ -1302,14 +1302,17 @@ def pq_fit(
     sub = v.select(
         "__id", F.posexplode(_pq_subs(F.col("__v"), dim, m)).alias("m_idx", "sv")
     ).select("m_idx", "sv")
-    w_seed = Window.orderBy("__id")
-    seeds = (
-        v.orderBy("__id")
-        .limit(k)
-        .withColumn("code", F.row_number().over(w_seed))
-        .select("code", F.posexplode(_pq_subs(F.col("__v"), dim, m)).alias("m_idx", "c_vec"))
-        .select("m_idx", "code", "c_vec")
-    )
+    # seed codes enumerate the first k vectors by id — driver-side
+    # (k-bounded, and the book is collected every iteration anyway),
+    # which keeps the single-partition WindowExec a keyless row_number
+    # would force out of the plan entirely
+    seed_rows = v.orderBy("__id").limit(k).select("__v").collect()
+    seeds = v.sparkSession.createDataFrame(
+        [(ci + 1, list(r["__v"])) for ci, r in enumerate(seed_rows)],
+        "code int, __v array<double>",
+    ).select(
+        F.posexplode(_pq_subs(F.col("__v"), dim, m)).alias("m_idx", "c_vec"), "code"
+    ).select("m_idx", "code", "c_vec")
     def _make_assign(book):
         # bind the collected book by value — the returned kernel may be
         # (re-)executed lazily after the loop variable is rebound
