@@ -26,6 +26,16 @@ totals compare like-for-like — the full-registry total grows every
 round because the registry grows, which turns regressions into
 mix-shift noise (round-5 verdict #5).  ``--only a,b`` runs an ad-hoc
 subset for attribution work.
+
+Each query runs ``--reps`` times (default 3) in one warm session and
+records the MEDIAN — per-query deltas used to be dominated by a ±0.5 s
+single-shot envelope, forcing manual three-run protocols for every
+regression attribution (round-6 verdict #8).  The headline ``value`` is
+the sum of medians; ``cold_total`` sums each query's FIRST rep, the
+number comparable to the single-shot totals of rounds ≤ 6 (under the
+default memoized mode rep 1 pays any shared family-frame build, so
+median < first for family leaders).  ``driver50_total`` is the pinned
+constant-set sum of medians computed from the same run.
 """
 
 from __future__ import annotations
@@ -77,11 +87,18 @@ def _pick_names(argv: list[str]) -> list[str] | None:
     return None
 
 
+def _pick_reps(argv: list[str]) -> int:
+    if "--reps" in argv:
+        return max(1, int(argv[argv.index("--reps") + 1]))
+    return 3
+
+
 def main() -> None:
     no_memo = "--no-memo" in sys.argv[1:] or os.environ.get(
         "SPARK_GRAFT_BENCH_NO_MEMO", ""
     ) not in ("", "0")
     names = _pick_names(sys.argv[1:])
+    reps = _pick_reps(sys.argv[1:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     spark = get_spark("bench")
@@ -95,16 +112,21 @@ def main() -> None:
     # warmup: JVM/codegen + file-listing, outside the timed region
     materialize(QUERIES["page_view_count"].fn(spark, sf_dir))
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float] = {}  # median of reps
+    first: dict[str, float] = {}  # rep-1 (cold / memo-building) time
     selected = sorted(QUERIES.items()) if names is None else [
         (n, QUERIES[n]) for n in names
     ]
     for name, qd in selected:
-        if no_memo:
-            clear_cache()  # per-query attribution: no shared family frames
-        t0 = time.perf_counter()
-        materialize(qd.fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(reps):
+            if no_memo:
+                clear_cache()  # per-rep attribution: no shared family frames
+            t0 = time.perf_counter()
+            materialize(qd.fn(spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        first[name] = round(runs[0], 3)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -113,6 +135,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "reps": reps,
+        "cold_total": round(sum(first.values()), 3),
+        "driver50_total": round(
+            sum(timings[n] for n in DRIVER50 if n in timings), 3
+        ),
     }
     if no_memo:
         out["no_memo"] = True

@@ -412,8 +412,12 @@ def test_bench_contract_single_json_line():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
                SPARK_GRAFT_CPUS="8")
+    # --reps 1: the contract under test is the OUTPUT SHAPE, not the
+    # median protocol — the default 3 reps tripled the full-registry
+    # smoke run past the subprocess timeout once the registry passed
+    # ~200 queries
     out = subprocess.run(
-        [sys.executable, os.path.join(repo, "bench.py")],
+        [sys.executable, os.path.join(repo, "bench.py"), "--reps", "1"],
         capture_output=True, text=True, timeout=500, env=env, cwd=repo,
     )
     assert out.returncode == 0, out.stderr[-2000:]
@@ -422,6 +426,8 @@ def test_bench_contract_single_json_line():
     d = json.loads(json_lines[0])
     assert d["unit"] == "sec" and d["queries"] and d["value"] > 0
     assert d["sf"] == 0.001
+    assert d["reps"] == 1 and d["cold_total"] >= d["value"] > 0
+    assert 0 < d["driver50_total"] < d["value"]
 
 
 def test_hash_split_stability(spark):
