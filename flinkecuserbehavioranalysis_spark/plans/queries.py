@@ -6649,39 +6649,52 @@ FROM __fin f CROSS JOIN __m{iters - 1} m
     "curation pipeline projects onto.",
 )
 def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # EAGER BY CONTRACT: the covariance matrix is dimension-bounded
-    # (2,080 cells regardless of corpus size), so it is materialized
-    # once — the fact-scale pass runs exactly once and every iteration
-    # round is then a plan over a literal dim^2 relation (a lazy chain
-    # re-ran the covariance lineage per matvec: measured 10.7 s vs
-    # ~3 s at sf0.01)
+    # EAGER BY CONTRACT: the fact-scale covariance pass runs once
+    # (memoized, distributed); the matrix it leaves behind is
+    # dimension-bounded (2,080 cells regardless of corpus size), so the
+    # three matvec rounds run DRIVER-SIDE over the collected cells —
+    # the PQ-codebook pattern (codebook-sized materialization, plain
+    # loops).  The previous unrolled 3-round Spark plan moved 64-row
+    # frames through ~12 shuffle/broadcast stages: 6.3 s of pure stage
+    # overhead per run at sf0.1, vs ~0 here — stage fan-out is worth
+    # paying for data, not for a 64x64 matrix.  Arithmetic replicates
+    # the engines bit-for-bit: each product in IEEE double, HALF_UP
+    # DECIMAL(28,12) quantization, exact (order-independent) decimal
+    # sums, HALF_UP round(x, 6), negative zero canonicalized.
+    import math
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
     cells = _emb_cov_df(spark, sf_dir).select("i", "j", "cov").collect()
-    cov = spark.createDataFrame(cells, "i int, j int, cov double")
-    m = cov.unionAll(
-        cov.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
-        )
-    )
-    v = cov.select("i").distinct().select("i", F.lit(1.0).alias("val"))
-    mx = None
-    for _ in range(3):
-        u = (
-            m.join(F.broadcast(v.select(F.col("i").alias("j"), "val")), "j")
-            .groupBy("i")
-            .agg(
-                F.sum((F.col("cov") * F.col("val")).cast("decimal(28,12)"))
-                .cast("double")
-                .alias("u")
-            )
-        )
-        mx = u.agg(F.max(F.abs(F.col("u"))).alias("mx"))
-        v = u.crossJoin(F.broadcast(mx)).select(
-            "i", (F.round(F.col("u") / F.col("mx"), 6) + F.lit(0.0)).alias("val")
-        )
-    return v.crossJoin(F.broadcast(mx)).select(
-        F.col("i").cast("long").alias("dim"),
-        F.col("val").alias("loading"),
-        F.round(F.col("mx"), 6).alias("eigenvalue_est"),
+    m: dict[int, list[tuple[int, float]]] = {}
+    for r in cells:
+        i, j, cov = int(r["i"]), int(r["j"]), float(r["cov"])
+        m.setdefault(i, []).append((j, cov))
+        if i != j:
+            m.setdefault(j, []).append((i, cov))
+    dims = sorted(m)
+    q12, q6 = Decimal("1e-12"), Decimal("1e-6")
+
+    def round6(x: float) -> float:
+        if not math.isfinite(x):
+            return x
+        return float(Decimal(x).quantize(q6, rounding=ROUND_HALF_UP)) + 0.0
+
+    v = {i: 1.0 for i in dims}
+    mx = float("nan")
+    with localcontext() as ctx:
+        ctx.prec = 50  # exact 28-digit decimal sums need headroom
+        for _ in range(3):
+            u = {}
+            for i in dims:
+                acc = Decimal(0)
+                for j, cov in m[i]:
+                    acc += Decimal(cov * v[j]).quantize(q12, rounding=ROUND_HALF_UP)
+                u[i] = float(acc)
+            mx = max(abs(x) for x in u.values())
+            v = {i: round6(x / mx) for i, x in u.items()}
+    return spark.createDataFrame(
+        [(i, v[i], round6(mx)) for i in dims],
+        "dim long, loading double, eigenvalue_est double",
     )
 
 
