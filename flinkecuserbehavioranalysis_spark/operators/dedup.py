@@ -676,25 +676,34 @@ def repeated_gram_stats(
     a row (0/0.0 when shorter than *w* tokens).
 
     Scale shape: windowing is map-side (the same Generate-safe shingle
-    explode as MinHash — per-position, NOT distinct); the duplicated-
-    window set costs one (doc, gram)-distinct shuffle plus a gram-keyed
-    count, and attributing positions back is one hash join on the gram
-    — all keyed on the md5-sized gram string, uniformly distributed by
-    construction.  Per-doc totals ride a separate map-only branch (a
-    non-generator column projected next to ``explode`` is re-evaluated
-    per output row — the Generate pitfall this repo benchmarks).  At
-    100 TB the gram relation is ~tokens-per-corpus rows; the heavy hot
-    grams (site boilerplate) concentrate on few keys but the groupBy is
-    a partial-aggregated count, so skew lands after map-side combine."""
+    explode as MinHash — per-position, NOT distinct), and the corpus-
+    scale gram relation feeds EXACTLY ONE shuffle: a (gram, doc)
+    aggregate keeping per-doc occurrence counts.  Both downstream
+    branches consume that aggregate — the document-frequency filter
+    (gram-keyed count over the already-distinct pairs) and the per-doc
+    duplicated-position sum (join on the hot grams, sum of occurrence
+    counts) — so the shingle Generate runs once and the second pass is
+    over the (gram, doc)-distinct relation, which boilerplate-heavy
+    corpora shrink by the per-doc repetition factor.  (The previous
+    two-branch form shuffled the raw position relation twice on
+    different keys — no exchange reuse; measured ~4.4 s → ~3 s warm at
+    sf0.1, and the second pass no longer scales with per-doc
+    repetition.)  All keys are md5-sized gram strings, uniformly distributed
+    by construction; hot grams concentrate on few keys but every count
+    is partial-aggregated, so skew lands after map-side combine."""
     pos = shingles(docs, id_col, text_col, n=w, distinct=False)
+    per_doc = pos.groupBy("sh", id_col).agg(F.count(F.lit(1)).alias("n_occ"))
     hot = (
-        pos.distinct()
-        .groupBy("sh")
+        per_doc.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_docs)
         .select("sh")
     )
-    dup = pos.join(hot, "sh").groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup"))
+    dup = (
+        per_doc.join(hot, "sh")
+        .groupBy(id_col)
+        .agg(F.sum("n_occ").cast("long").alias("n_dup"))
+    )
     totals = docs.select(
         F.col(id_col),
         F.greatest(

@@ -405,10 +405,22 @@ def streaming_active_users_foreach_batch(
 
     dau is exact; wau carries standard HLL++ error (~2% at the default
     lgConfigK=12) — the price of a days-bounded store, identical to the
-    Redis-sketch layout a production monitor would keep."""
+    Redis-sketch layout a production monitor would keep.
+
+    Exactly-once: foreachBatch re-delivers an epoch after a failure;
+    the old set-based store was naturally idempotent, the additive
+    count upsert is NOT — so replayed epoch_ids are skipped (tracked in
+    the closure; a store persisted across driver restarts would persist
+    the high-water epoch alongside, as ``foreach_batch_upsert`` does
+    with its overwrite discipline)."""
     import datetime as dt
 
+    seen_epochs: set = set()
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in seen_epochs:
+            return
+        seen_epochs.add(epoch_id)
         spark = batch_df.sparkSession
         # days-sized collect: distinct users per day as count + sketch
         agg = (

@@ -1751,3 +1751,72 @@ def test_streaming_last_touch_matches_batch(spark):
         assert n == batch[k][0], k
         assert abs(v - batch[k][1]) < 1e-6 * max(1.0, abs(v)), k
     assert sum(n for n, _ in got.values()) > 0
+
+
+def test_streaming_active_users_multibatch_and_replay_idempotent(spark, tmp_path):
+    """The days-sized DAU/WAU store under MANY micro-batches: days close
+    incrementally (each (day, user) set emits in the batch whose
+    watermark passes the day), so the trailing-window re-scoring runs
+    across batches — results must still match the batch query on every
+    closeable day.  And a REPLAYED foreachBatch epoch (failure-recovery
+    semantics) must leave the store byte-identical: the additive count
+    upsert is guarded by epoch tracking."""
+    import copy
+    import os
+
+    from flinkecuserbehavioranalysis_spark.plans.queries import QUERIES
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import (
+        run_bounded,
+        streaming_active_users_foreach_batch,
+        streaming_daily_users,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    # time-ordered 12-file slice view of events -> 12 data micro-batches
+    src = str(tmp_path / "slices")
+    os.makedirs(src)
+    ev = load_table(spark, sf, "events").select("user_id", "ts").orderBy("ts")
+    rows = ev.collect()
+    n = max(1, len(rows) // 12)
+    for i in range(0, 12):
+        part = rows[i * n : (i + 1) * n] if i < 11 else rows[11 * n :]
+        if not part:
+            continue
+        spark.createDataFrame(part, ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"w{i}"))
+        pf = [f for f in os.listdir(str(tmp_path / f"w{i}")) if f.endswith(".parquet")][0]
+        os.rename(str(tmp_path / f"w{i}" / pf), os.path.join(src, f"s{i:02d}.parquet"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store: dict = {}
+    sink: list = []
+    fb = streaming_active_users_foreach_batch(store, sink)
+    run_bounded(streaming_daily_users(stream), "append", foreach_batch=fb)
+    got = {d: (dau, wau) for d, dau, wau in sink}
+    batch = {
+        r.day.isoformat(): (r.dau, r.wau)
+        for r in QUERIES["events_rolling_active_users"].fn(spark, sf).collect()
+    }
+    last_day = max(d for d in batch if batch[d][0] > 0)
+    comparable = {d: v for d, v in batch.items() if d < last_day}
+    for d, (dau, wau) in comparable.items():
+        got_dau, got_wau = got[d]
+        assert got_dau == dau, f"{d}: dau {got_dau} != {dau}"
+        assert abs(got_wau - wau) <= max(2, 0.05 * wau), (d, got_wau, wau)
+    assert len(comparable) > 10
+
+    # replayed epoch: re-deliver a batch with an already-seen epoch_id —
+    # the store and sink must not move (exactly-once discipline)
+    before_store = copy.deepcopy(store)
+    before_sink = list(sink)
+    some_day = next(iter(store))
+    replay_df = spark.createDataFrame(
+        [(some_day, 424242)], "day string, user_id long"
+    )
+    fb(replay_df, 0)  # epoch 0 was consumed by the run above
+    assert store == before_store
+    assert sink == before_sink
