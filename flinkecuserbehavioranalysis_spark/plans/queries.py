@@ -8834,24 +8834,65 @@ def event_next_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # twin.  Eager by contract (like the iterative dedup/k-means queries);
 # the replay result is memoized per (session, sf_dir) so repeated fn
 # calls (bench reps, plan audit) replay once.
+#
+# Replay domain (degenerate-tier contract, probed on all eight tiers):
+# the stateful kernels process KEYED, STAMPED, kernel-representable
+# events — NULL keys have no state row ("keyed pattern detection
+# requires a key"), NULL timestamps belong to no run, events at or
+# before epoch 0 die against Structured Streaming's initial watermark
+# of 0 (probed: ws<0 windows never emit), and the Arrow->pandas
+# transport bounds event times to the datetime64[ns] range (the year-
+# 9999 DATE sentinel overflows the serializer).  Every replay therefore
+# filters its stream input to that domain AND carries the SAME filter
+# in its oracle — the replay pair stays exact on the NULL / extreme-
+# timestamp / skew tiers, while the batch twins keep pinning the
+# NULL-group semantics on unbounded-domain inputs.
 # =====================================================================
+
+#: Kernel-representable-and-on-time bounds, Spark + DuckDB twins.
+_REPLAY_TS_MAX = 9_200_000_000  # < datetime64[ns] max (~9.22e9 s)
+_REPLAY_TS_SQL = "epoch(ts) > 0 AND epoch(ts) < 9200000000"
+
+
+def _replay_ts_ok(col: str = "ts") -> F.Column:
+    e = F.col(col).cast("double")
+    return F.col(col).isNotNull() & (e > 0) & (e < _REPLAY_TS_MAX)
 
 
 @_q(
     "streaming_login_fail_replay",
-    QUERIES["login_fail_detect"].oracle,
+    """
+WITH __l AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER w AS prev_type,
+         lag(ts) OVER w AS prev_ts
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND epoch(ts) > 0 AND epoch(ts) < 9200000000
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id,
+       CAST(floor(epoch(prev_ts)) AS BIGINT) AS first_fail_ts,
+       CAST(floor(epoch(ts)) AS BIGINT) AS last_fail_ts,
+       'login fail 2 times in a short time' AS warning_msg
+FROM __l
+WHERE event_type = 'error' AND prev_type = 'error'
+  AND epoch(ts) - epoch(prev_ts) < 3600.0
+""",
     "LoginFailTwo.scala:60-91 via the STREAMING kernel (F2/F3 state machine): bounded "
     "availableNow replay of events through streaming/stateful.streaming_login_fail "
     "(applyInPandasWithState, one-slot last-event state per user) — equivalence with the "
-    "batch lag() oracle is the per-key-FIFO contract of the reference's ListState version.",
+    "batch lag() oracle is the per-key-FIFO contract of the reference's ListState version. "
+    "Oracle = login_fail_detect's SQL restricted to the replay domain (keyed, stamped, "
+    "post-epoch, ns-representable — see the replay-domain note above).",
 )
 def streaming_login_fail_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import read_events_stream, run_bounded_df
     from ..streaming.stateful import streaming_login_fail
 
     def build() -> DataFrame:
-        stream = read_events_stream(spark, sf_dir).select(
-            "user_id", "event_type", "ts", "event_id"
+        stream = (
+            read_events_stream(spark, sf_dir)
+            .where(F.col("user_id").isNotNull() & _replay_ts_ok())
+            .select("user_id", "event_type", "ts", "event_id")
         )
         return run_bounded_df(streaming_login_fail(stream, max_gap_seconds=3600.0))
 
@@ -8860,19 +8901,31 @@ def streaming_login_fail_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "streaming_blacklist_replay",
-    QUERIES["ad_blacklist_warnings"].oracle,
+    """
+WITH __e AS (SELECT user_id, event_id % 2 AS ad_id,
+                    CAST(floor(floor(epoch(ts))/86400) AS BIGINT) AS day, ts, event_id
+             FROM events
+             WHERE user_id IS NOT NULL AND ts IS NOT NULL
+               AND epoch(ts) > 0 AND epoch(ts) < 9200000000),
+__r AS (SELECT *, row_number() OVER (PARTITION BY user_id, ad_id, day ORDER BY ts, event_id) AS rn FROM __e)
+SELECT user_id, ad_id, day, 'Click over 1 times today' AS warning_msg FROM __r WHERE rn = 2
+""",
     "AdAnalysisByProvinceBlack.scala:69-109 via the STREAMING kernel (F1): bounded replay "
     "through streaming/stateful.streaming_blacklist — per-(user, ad) running count + sent "
     "flag in keyed state, event-time day rollover replacing the reference's midnight "
-    "processing-time timer; first count past the threshold emits exactly one warning.",
+    "processing-time timer; first count past the threshold emits exactly one warning. "
+    "Oracle = ad_blacklist_warnings' SQL restricted to the replay domain (keyed, stamped, "
+    "post-epoch, ns-representable).",
 )
 def streaming_blacklist_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import read_events_stream, run_bounded_df
     from ..streaming.stateful import streaming_blacklist
 
     def build() -> DataFrame:
-        stream = read_events_stream(spark, sf_dir).select(
-            "user_id", F.pmod("event_id", F.lit(2)).alias("ad_id"), "ts"
+        stream = (
+            read_events_stream(spark, sf_dir)
+            .where(F.col("user_id").isNotNull() & _replay_ts_ok())
+            .select("user_id", F.pmod("event_id", F.lit(2)).alias("ad_id"), "ts")
         )
         return run_bounded_df(streaming_blacklist(stream, threshold=1))
 
@@ -8882,10 +8935,13 @@ def streaming_blacklist_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "streaming_order_timeout_replay",
     """
-WITH __oe AS (
+WITH __oe0 AS (
   SELECT o_orderkey AS order_id, 'create' AS event_type, epoch(o_orderdate) AS tse FROM orders
   UNION ALL
   SELECT l_orderkey, 'pay', epoch(l_shipdate) FROM lineitem),
+__oe AS (SELECT * FROM __oe0
+         WHERE order_id IS NOT NULL AND tse IS NOT NULL
+           AND tse > 0 AND tse < 9200000000),
 __wm AS (SELECT max(tse) - 5.0 AS wm FROM __oe),
 __a AS (
   SELECT order_id,
@@ -8929,10 +8985,12 @@ def streaming_order_timeout_replay(spark: SparkSession, sf_dir: str) -> DataFram
             F.lit("pay").alias("event_type"),
             F.col("l_shipdate").alias("ts"),
         )
+        oe = (
+            o_stream.unionByName(l_stream)
+            .where(F.col("order_id").isNotNull() & _replay_ts_ok())
+        )
         return run_bounded_df(
-            streaming_order_timeout(
-                o_stream.unionByName(l_stream), timeout_seconds=30 * DAY
-            )
+            streaming_order_timeout(oe, timeout_seconds=30 * DAY)
         )
 
     return _cached_canon(spark, sf_dir, "streaming_order_timeout_replay", build)
@@ -8944,7 +9002,8 @@ def streaming_order_timeout_replay(spark: SparkSession, sf_dir: str) -> DataFram
 WITH __o AS (
   SELECT user_id, ts, event_id,
          CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END AS is_succ
-  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND epoch(ts) > 0 AND epoch(ts) < 9200000000),
 __wm AS (SELECT max(epoch_ms(ts)) AS wm_ms FROM __o),
 __ns AS (SELECT user_id, sum(is_succ) AS n_succ FROM __o GROUP BY 1),
 __r AS (SELECT *, sum(is_succ) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -8981,8 +9040,10 @@ def streaming_fail_burst_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import streaming_fail_burst
 
     def build() -> DataFrame:
-        stream = read_events_stream(spark, sf_dir).select(
-            "user_id", "event_type", "ts", "event_id"
+        stream = (
+            read_events_stream(spark, sf_dir)
+            .where(F.col("user_id").isNotNull() & _replay_ts_ok())
+            .select("user_id", "event_type", "ts", "event_id")
         )
         return run_bounded_df(
             streaming_fail_burst(stream, window_seconds=3600.0, min_fails=2)
@@ -8995,6 +9056,7 @@ def streaming_fail_burst_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_dedup_replay",
     """
 SELECT DISTINCT user_id, event_type FROM events
+WHERE ts IS NOT NULL AND epoch(ts) > 0 AND epoch(ts) < 9200000000
 """,
     "Extension (streaming ingest dedup, driver-hashable): bounded replay through "
     "streaming/jobs.streaming_dedup (native dropDuplicatesWithinWatermark — state "
@@ -9007,7 +9069,11 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import read_events_stream, run_bounded_df, streaming_dedup
 
     def build() -> DataFrame:
-        stream = read_events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+        stream = (
+            read_events_stream(spark, sf_dir)
+            .where(_replay_ts_ok())
+            .select("user_id", "event_type", "ts")
+        )
         return run_bounded_df(
             streaming_dedup(stream, ["user_id", "event_type"], watermark="90 days")
         ).select("user_id", "event_type")
@@ -9021,14 +9087,18 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT * FROM ({_tumbling_sql(
         "SELECT epoch(ts) AS __tse FROM events WHERE event_type = 'view'", HOUR, ""
     )}) __t
-WHERE we <= (SELECT max(epoch(ts)) FROM events WHERE event_type = 'view')
+WHERE we > 0
+  AND we <= (SELECT max(epoch(ts)) FROM events WHERE event_type = 'view')
 """,
     "PageView.scala:15-45 via the STREAMING aggregation (W5/A1, driver-hashable): bounded "
     "availableNow replay of the watermarked tumbling hourly pv count — append mode emits "
     "each window exactly once, after the watermark (max event time, 0 s delay) passes its "
     "end, so the oracle is the batch tumbling count RESTRICTED to closed windows "
     "(we <= max event time; the trailing open window stays in the state store, exactly a "
-    "Flink window whose watermark never reached windowEnd).",
+    "Flink window whose watermark never reached windowEnd) AND to non-late windows "
+    "(we > 0 — aggregation lateness is on the WINDOW END vs the initial watermark of 0, "
+    "probed on the extreme-timestamp tier: a ts=0 row's [0,1h) window survives, every "
+    "pre-epoch-ending window is dropped).",
 )
 def streaming_pv_count_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import (

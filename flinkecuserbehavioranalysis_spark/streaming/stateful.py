@@ -503,7 +503,13 @@ def streaming_fail_burst(
             cols = ["ts", "event_id"] if "event_id" in pdf.columns else ["ts"]
             pdf = pdf.sort_values(cols)
             tss = _epoch_s(pdf["ts"])
-            is_fail = (pdf["event_type"] == fail_value).to_numpy()
+            # NULL event_type counts as a FAIL — the batch twin's
+            # success predicate is `event_type <> fail`, which NULL
+            # fails (oracle CASE -> 0); treating NULL as success here
+            # flushed runs early on NULL-bearing tiers
+            is_fail = (
+                (pdf["event_type"] == fail_value) | pdf["event_type"].isna()
+            ).to_numpy()
             for i in range(len(tss)):
                 ts = float(tss[i])
                 if not is_fail[i]:

@@ -639,3 +639,44 @@ def test_streaming_kernels_floor_pre_epoch_emissions(spark, degen_dirs):
         ).collect()
     )
     assert got == batch and len(got) > 0
+
+
+STREAMING_REPLAY_QUERIES = [
+    "streaming_login_fail_replay",
+    "streaming_blacklist_replay",
+    "streaming_order_timeout_replay",
+    "streaming_fail_burst_replay",
+    "streaming_dedup_replay",
+    "streaming_pv_count_replay",
+]
+
+
+@pytest.mark.parametrize("tier", ["nulls", "nulls2", "times"])
+@pytest.mark.parametrize("name", STREAMING_REPLAY_QUERIES)
+def test_streaming_replays_match_oracle_on_degenerate_tiers(
+    spark, degen_dirs, tier, name
+):
+    """The driver-hashable bounded replays on the tiers that broke them
+    (round 7): NULL keys/timestamps reached the pandas kernels as
+    NaN/NaT (int(NaN) crash, negative timer timestamps), the year-9999
+    DATE sentinel overflowed the Arrow->pandas serializer, and NULL
+    event_type flushed fail-burst runs the batch twin counts.  Each
+    replay now filters its stream input to the kernel-representable
+    domain (keyed, stamped, post-epoch, datetime64[ns]-range) with the
+    SAME filter in its oracle; aggregation lateness is pinned on the
+    WINDOW END (a ts=0 row's [0,1h) window survives the initial
+    watermark, pre-epoch-ending windows drop)."""
+    sf = os.path.join(degen_dirs, tier)
+    qd = QUERIES[name]
+    sdf = qd.fn(spark, sf)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = _oracle_con(sf)
+    try:
+        res = con.execute(qd.oracle)
+        d_cols = [d[0].lower() for d in res.description]
+        d_rows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(s_cols) == sorted(d_cols)
+    assert normalized_rows(s_cols, s_rows) == normalized_rows(d_cols, d_rows)
