@@ -6665,6 +6665,12 @@ def embedding_principal_component(spark: SparkSession, sf_dir: str) -> DataFrame
     from decimal import ROUND_HALF_UP, Decimal, localcontext
 
     cells = _emb_cov_df(spark, sf_dir).select("i", "j", "cov").collect()
+    if not cells:  # empty corpus -> empty matrix -> no component
+        # (the oracle's recursive rounds over an empty __cov are empty
+        # too; the lazy Spark form returned the same zero rows)
+        return spark.createDataFrame(
+            [], "dim long, loading double, eigenvalue_est double"
+        )
     m: dict[int, list[tuple[int, float]]] = {}
     for r in cells:
         i, j, cov = int(r["i"]), int(r["j"]), float(r["cov"])

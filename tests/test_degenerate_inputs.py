@@ -185,6 +185,8 @@ EMPTY_SPOT_CHECKS = [
     ("corpus_mix_rebalance", 0),  # ratio math over zero languages
     ("token_drift_chisq", 0),  # zero-token halves guard
     ("revenue_forecast_backtest", 1),  # one all-NULL summary row
+    ("embedding_principal_component", 0),  # driver-side matvec: max() over an
+    #   empty covariance crashed before the round-7 empty-cells early return
 ]
 
 
