@@ -48,6 +48,7 @@ _DRIVER_PRIORITY = {
     "streaming_fail_burst_replay",
     "streaming_dedup_replay",
     "streaming_pv_count_replay",
+    "streaming_session_replay",
 }
 
 

@@ -9120,3 +9120,53 @@ def streaming_pv_count_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_bounded_df(streaming_windowed_count(stream, size="1 hour"))
 
     return _cached_canon(spark, sf_dir, "streaming_pv_count_replay", build)
+
+
+@_q(
+    "streaming_session_replay",
+    """
+WITH __e AS (SELECT user_id, ts, event_id FROM events WHERE ts IS NOT NULL),
+__wm AS (SELECT max(epoch(ts)) AS wm FROM __e),
+__f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS is_start
+  FROM __e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+__g AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM __f),
+__s AS (SELECT user_id, min(epoch(ts)) AS s0, max(epoch(ts)) AS s1, count(*) AS n_events
+        FROM __g GROUP BY user_id, session_id)
+SELECT user_id,
+       CAST(floor(s0) AS BIGINT) AS session_start,
+       CAST(floor(s1) AS BIGINT) AS session_end,
+       n_events
+FROM __s CROSS JOIN __wm
+WHERE s1 + 1800.0 <= wm AND s1 + 1800.0 > 0
+""",
+    "Extension (native merging session windows, driver-hashable): bounded availableNow "
+    "replay of streaming/jobs.streaming_session_window (F.session_window state-store "
+    "merging, 30-min gap) — append mode emits a session once the watermark (max event "
+    "time, 0 s delay) reaches its window end = last event + gap, so the oracle is the "
+    "batch gaps-and-islands sessionization RESTRICTED to closed sessions "
+    "(last_ts + gap <= wm, inclusive like the closed-window rule) and to non-late ones "
+    "(window end past the initial watermark of 0); the trailing open session per key "
+    "stays in the state store, exactly a Flink merging session window awaiting its gap "
+    "timeout.",
+)
+def streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import (
+        read_events_stream,
+        run_bounded_df,
+        streaming_session_window,
+    )
+
+    def build() -> DataFrame:
+        stream = read_events_stream(spark, sf_dir).select("user_id", "ts")
+        return run_bounded_df(
+            streaming_session_window(stream, gap="30 minutes")
+        )
+
+    return _cached_canon(spark, sf_dir, "streaming_session_replay", build)

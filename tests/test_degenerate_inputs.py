@@ -650,6 +650,7 @@ STREAMING_REPLAY_QUERIES = [
     "streaming_fail_burst_replay",
     "streaming_dedup_replay",
     "streaming_pv_count_replay",
+    "streaming_session_replay",
 ]
 
 
