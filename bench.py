@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -75,21 +76,28 @@ DRIVER50 = [
 ]
 
 
+def _flag_value(argv: list[str], flag: str) -> str:
+    i = argv.index(flag)
+    if i + 1 >= len(argv):
+        raise SystemExit(f"{flag} requires a value")
+    return argv[i + 1]
+
+
 def _pick_names(argv: list[str]) -> list[str] | None:
     """Query subset from --set/--only; None = the full registry."""
     if "--set" in argv:
-        which = argv[argv.index("--set") + 1]
+        which = _flag_value(argv, "--set")
         if which != "driver50":
             raise SystemExit(f"unknown --set {which!r} (have: driver50)")
         return DRIVER50
     if "--only" in argv:
-        return argv[argv.index("--only") + 1].split(",")
+        return _flag_value(argv, "--only").split(",")
     return None
 
 
 def _pick_reps(argv: list[str]) -> int:
     if "--reps" in argv:
-        return max(1, int(argv[argv.index("--reps") + 1]))
+        return max(1, int(_flag_value(argv, "--reps")))
     return 3
 
 
@@ -126,7 +134,10 @@ def main() -> None:
             materialize(qd.fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         first[name] = round(runs[0], 3)
-        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        # statistics.median averages the middle pair for even reps —
+        # sorted(runs)[len//2] was the upper-middle element (round-7
+        # advice: reps=4 reported the 3rd-fastest run)
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     out = {

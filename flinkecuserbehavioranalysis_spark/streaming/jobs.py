@@ -409,18 +409,31 @@ def streaming_active_users_foreach_batch(
 
     Exactly-once: foreachBatch re-delivers an epoch after a failure;
     the old set-based store was naturally idempotent, the additive
-    count upsert is NOT — so replayed epoch_ids are skipped (tracked in
-    the closure; a store persisted across driver restarts would persist
-    the high-water epoch alongside, as ``foreach_batch_upsert`` does
-    with its overwrite discipline)."""
+    count upsert is NOT — so replayed epochs are skipped via a
+    HIGH-WATER epoch (epoch_ids are monotonic per query, so one int
+    replaces the round-6 ever-growing ``seen_epochs`` set; a store
+    persisted across driver restarts would persist it alongside, as
+    ``foreach_batch_upsert`` does with its overwrite discipline).  The
+    high-water mark advances ONLY after every Spark action and store
+    mutation for the batch has completed — all mutations are staged in
+    a batch-local dict and committed at the end, so a mid-batch failure
+    leaves the store untouched and the re-delivered epoch is reprocessed
+    instead of silently dropped (round-7 advice).
+
+    Store bound: entries older than ``2 * lookback`` days behind the
+    newest stored day are evicted at commit.  The WAU of any day d only
+    ever reads the trailing ``lookback`` days, append mode emits each
+    closed day once, and a day split across adjacent micro-batches
+    merges while still comfortably inside the retention horizon — so
+    for an infinite stream the store holds O(lookback) entries, never
+    O(stream-lifetime days)."""
     import datetime as dt
 
-    seen_epochs: set = set()
+    high_water = [-1]  # max fully-committed epoch_id
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        if epoch_id in seen_epochs:
+        if epoch_id <= high_water[0]:
             return
-        seen_epochs.add(epoch_id)
         spark = batch_df.sparkSession
         # days-sized collect: distinct users per day as count + sketch
         agg = (
@@ -432,16 +445,18 @@ def streaming_active_users_foreach_batch(
             .collect()
         )
         if not agg:
+            high_water[0] = epoch_id
             return
+        pending: dict = {}  # staged day -> (count, sketch) upserts
         merge_rows = []  # (day, sketch) pairs for days needing a union
         for r in agg:
             d, n_new, sk_new = r["day"], r["n"], bytes(r["sk"])
             if d in day_store:
                 n_old, sk_old = day_store[d]
                 merge_rows.extend([(d, sk_old), (d, sk_new)])
-                day_store[d] = (n_old + n_new, None)  # sketch filled below
+                pending[d] = (n_old + n_new, None)  # sketch filled below
             else:
-                day_store[d] = (n_new, sk_new)
+                pending[d] = (n_new, sk_new)
         if merge_rows:
             merged = (
                 spark.createDataFrame(merge_rows, "day string, sk binary")
@@ -450,7 +465,8 @@ def streaming_active_users_foreach_batch(
                 .collect()
             )
             for r in merged:
-                day_store[r["day"]] = (day_store[r["day"]][0], bytes(r["u"]))
+                pending[r["day"]] = (pending[r["day"]][0], bytes(r["u"]))
+        store = {**day_store, **pending}  # batch view, store still clean
         touched_days = {r["day"] for r in agg}
         affected = set()
         for d in touched_days:
@@ -464,8 +480,8 @@ def streaming_active_users_foreach_batch(
             base = dt.date.fromisoformat(d)
             for o in range(lookback):
                 fd = (base - dt.timedelta(days=o)).isoformat()
-                if fd in day_store:
-                    frame_rows.append((d, day_store[fd][1]))
+                if fd in store:
+                    frame_rows.append((d, store[fd][1]))
         wau_by_day = {
             r["day"]: int(r["wau"])
             for r in spark.createDataFrame(frame_rows, "day string, sk binary")
@@ -473,10 +489,20 @@ def streaming_active_users_foreach_batch(
             .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau"))
             .collect()
         }
+        # commit: every Spark action succeeded — apply staged mutations,
+        # rewrite the sink, evict beyond-retention days, then (and only
+        # then) advance the high-water epoch
+        day_store.update(pending)
         for d in sorted(affected):
-            dau = day_store[d][0] if d in day_store else 0
+            dau = store[d][0] if d in store else 0
             sink[:] = [s for s in sink if s[0] != d]
             sink.append((d, dau, wau_by_day.get(d, 0)))
+        horizon = max(dt.date.fromisoformat(d) for d in day_store) - dt.timedelta(
+            days=2 * lookback
+        )
+        for d in [d for d in day_store if dt.date.fromisoformat(d) < horizon]:
+            del day_store[d]
+        high_water[0] = epoch_id
 
     return process
 

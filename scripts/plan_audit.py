@@ -62,6 +62,25 @@ def main() -> int:
 
     spark = get_spark("plan-audit", shuffle_partitions=8)
 
+    def _first_spec_arg(text: str) -> str:
+        """The first argument of a windowspecdefinition(...) call, split
+        at the first comma at paren depth 0 — NOT at the first '(' — so
+        an ORDER BY over an expression (``cast(x as bigint) ASC``)
+        keeps its ASC/DESC marker (round-7 advice: the naive
+        ``[^()]*`` capture stopped at ``cast`` and the gate failed
+        open on expression-keyed keyless windows)."""
+        depth = 0
+        for k, ch in enumerate(text):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    return text[:k]
+                depth -= 1
+            elif ch == "," and depth == 0:
+                return text[:k]
+        return text
+
     def keyless_windows(plan: str) -> int:
         """Count Window plan nodes whose spec has an empty partition
         clause.  In formatted plans a spec renders as
@@ -72,8 +91,8 @@ def main() -> int:
         for node in re.split(r"(?=\(\d+\) )", plan):
             if not re.match(r"\(\d+\) Window\b", node):
                 continue
-            for spec in re.finditer(r"windowspecdefinition\(([^()]*)", node):
-                first = spec.group(1).split(",")[0]
+            for spec in re.finditer(r"windowspecdefinition\(", node):
+                first = _first_spec_arg(node[spec.end():])
                 if re.search(r"\b(ASC|DESC)\b", first):
                     n += 1
                     break
