@@ -49,6 +49,11 @@ _DRIVER_PRIORITY = {
     "streaming_dedup_replay",
     "streaming_pv_count_replay",
     "streaming_session_replay",
+    # round 8 (round-7 verdict #5): the CEP-NFA / last-touch / as-of
+    # kernels' replays — same done-criterion, must reach this window
+    "streaming_cep_replay",
+    "streaming_last_touch_replay",
+    "streaming_asof_replay",
 }
 
 

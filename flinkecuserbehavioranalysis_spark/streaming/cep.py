@@ -44,7 +44,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..operators.cep import PatternStep, variant_specs
-from .stateful import _epoch_s, _floor_s
+from .stateful import _epoch_s, _floor_s, _tag
 
 _CEP_STATE = StructType(
     [StructField("active", StringType()), StructField("done", StringType())]
@@ -104,7 +104,7 @@ def match_pattern_stream(
         keep = []
         for pred, _c, gi in spec["atoms"]:
             if gi not in tagged_atoms:
-                tagged = tagged.withColumn(f"__m{gi}", pred.cast("int"))
+                tagged = tagged.withColumn(f"__m{gi}", _tag(pred))
                 tagged_atoms.add(gi)
             keep.append(gi)
         gaps: dict[int, list[int]] = {}
@@ -112,7 +112,7 @@ def match_pattern_stream(
         for (li, ri), pred in spec["negs"].items():
             j = len(neg_tags)
             neg_tags.append(pred)
-            tagged = tagged.withColumn(f"__g{j}", pred.cast("int"))
+            tagged = tagged.withColumn(f"__g{j}", _tag(pred))
             if ri is None:
                 trail.append(j)
             else:

@@ -68,6 +68,19 @@ def _floor_s(x) -> int:
     return int(np.floor(x))
 
 
+def _tag(pred: F.Column) -> F.Column:
+    """NULL-safe predicate tag column for the pattern kernels.
+
+    A three-valued predicate (``event_type == 'view'`` over a NULL
+    type) evaluates to NULL; bare ``pred.cast("int")`` carries that
+    NULL through Arrow as NaN, and the kernels' ``astype(bool)`` turns
+    NaN into **True** — silently inverting the batch compilers'
+    NULL-is-a-NON-match semantics (found by the round-8 degenerate-tier
+    probe of streaming_cep_replay).  Coalescing to false pins the
+    batch behavior at the tag site, once, for every kernel."""
+    return F.coalesce(pred.cast("boolean"), F.lit(False)).cast("int")
+
+
 LOGIN_WARNING_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
@@ -592,8 +605,8 @@ def streaming_pattern_pairs(
     """
     if contiguity not in ("strict", "relaxed"):
         raise ValueError(f"contiguity must be 'strict' or 'relaxed', got {contiguity!r}")
-    tagged = events.withColumn("__a", first_pred.cast("int")).withColumn(
-        "__b", second_pred.cast("int")
+    tagged = events.withColumn("__a", _tag(first_pred)).withColumn(
+        "__b", _tag(second_pred)
     )
     sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     strict = contiguity == "strict"
@@ -698,7 +711,7 @@ def streaming_pattern_sequence(
         )
     tagged = events
     for i, pred in enumerate(steps):
-        tagged = tagged.withColumn(f"__m{i}", pred.cast("int"))
+        tagged = tagged.withColumn(f"__m{i}", _tag(pred))
     out_schema = StructType(
         [StructField("key", LongType())]
         + [StructField(f"step{i + 1}_ts", LongType()) for i in range(n)]
@@ -802,7 +815,7 @@ def streaming_pattern_sequence_optional(
         raise ValueError("no expansion keeps >= 2 steps")
     tagged = events
     for i, pred in enumerate(steps):
-        tagged = tagged.withColumn(f"__m{i}", pred.cast("int"))
+        tagged = tagged.withColumn(f"__m{i}", _tag(pred))
     out_schema = StructType(
         [StructField("key", LongType())]
         + [StructField(f"step{i + 1}_ts", LongType()) for i in range(n)]
@@ -918,8 +931,8 @@ def streaming_not_followed_by(
     kill window is the batch operator's value-ordered end-exclusive
     ``first_ts < absent_ts < first_ts + within`` — equal-ts killers
     don't kill, so in-batch sort order never changes the outcome."""
-    tagged = events.withColumn("__a", first_pred.cast("int")).withColumn(
-        "__b", absent_pred.cast("int")
+    tagged = events.withColumn("__a", _tag(first_pred)).withColumn(
+        "__b", _tag(absent_pred)
     )
     sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
 
@@ -1091,8 +1104,8 @@ def streaming_one_or_more(
     run emits (first_a, b_ts, len) when the bound holds, and — being a
     non-A — ends the run; anything else resets.  Constant-size state,
     no buffered prefixes, no pruning needed."""
-    tagged = events.withColumn("__a", a_pred.cast("int")).withColumn(
-        "__b", b_pred.cast("int")
+    tagged = events.withColumn("__a", _tag(a_pred)).withColumn(
+        "__b", _tag(b_pred)
     )
     sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
 

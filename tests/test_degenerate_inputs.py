@@ -370,6 +370,42 @@ def test_drift_statistics_empty_half_returns_empty(spark, degen_dirs, tmp_path):
             ocon.close()
 
 
+def test_principal_component_zero_variance_returns_nulls(spark, tmp_path):
+    """A zero covariance matrix (constant embedding corpus) makes every
+    power-iteration normalization a 0/0 — which BOTH engines evaluate
+    as NULL (Spark non-ANSI and DuckDB return NULL on /0, not IEEE
+    NaN), and NULL then propagates through every later round.  The
+    driver-side matvec loop must short-circuit to those NULL rows, not
+    raise ZeroDivisionError (round-7 advice: the registry returns,
+    never raises, on degenerate tables)."""
+    tier = tmp_path / "constemb"
+    tier.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT vec_id, [0.5::FLOAT for _ in range(64)] AS embedding "
+        f"FROM (SELECT unnest(range(20)) AS vec_id)) "
+        f"TO '{tier}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    qd = QUERIES["embedding_principal_component"]
+    sdf = qd.fn(spark, str(tier))
+    s_rows = normalized_rows(
+        [c.lower() for c in sdf.columns], [tuple(r) for r in sdf.collect()]
+    )
+    ocon = _oracle_con(str(tier))
+    try:
+        cur = ocon.execute(qd.oracle)
+        o_rows = normalized_rows(
+            [c.lower() for c, *_ in cur.description], cur.fetchall()
+        )
+    finally:
+        ocon.close()
+    assert len(s_rows) == 64
+    assert s_rows == o_rows
+    # sorted column order: (dim, eigenvalue_est, loading)
+    assert all(r[1] is None and r[2] is None for r in s_rows)
+
+
 GROUPING_SET_QUERIES = [
     "region_nation_revenue_rollup",
     "marketing_channel_cube",
@@ -651,6 +687,13 @@ STREAMING_REPLAY_QUERIES = [
     "streaming_dedup_replay",
     "streaming_pv_count_replay",
     "streaming_session_replay",
+    # round 8 (round-7 verdict #5): the CEP NFA, last-touch attribution
+    # and as-of enrich kernels' replays — same domain discipline, plus
+    # event_id IS NOT NULL (they sort/emit on the tiebreak, so a NULL
+    # tiebreak is outside the kernel-representable domain)
+    "streaming_cep_replay",
+    "streaming_last_touch_replay",
+    "streaming_asof_replay",
 ]
 
 
