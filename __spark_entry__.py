@@ -52,6 +52,7 @@ _DRIVER_PRIORITY = {
     # round 8 (round-7 verdict #5): the CEP-NFA / last-touch / as-of
     # kernels' replays — same done-criterion, must reach this window
     "streaming_cep_replay",
+    "streaming_cep_negation_replay",
     "streaming_last_touch_replay",
     "streaming_asof_replay",
 }

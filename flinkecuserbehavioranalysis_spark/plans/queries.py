@@ -9293,6 +9293,55 @@ def streaming_cep_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "streaming_cep_negation_replay",
+    """
+WITH __ev AS (SELECT user_id, event_type, ts FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND epoch(ts) > 0 AND epoch(ts) < 9200000000),
+__wm AS (SELECT max(epoch_ms(ts)) AS wm_ms FROM __ev),
+__v AS (SELECT user_id, epoch(ts) AS tse FROM __ev WHERE event_type = 'view'),
+__p AS (SELECT user_id, epoch(ts) AS tse FROM __ev WHERE event_type = 'purchase')
+SELECT v.user_id AS key, CAST(floor(v.tse) AS BIGINT) AS step1_ts
+FROM __v v CROSS JOIN __wm
+WHERE NOT EXISTS (SELECT 1 FROM __p p
+                  WHERE p.user_id = v.user_id
+                    AND p.tse > v.tse AND p.tse < v.tse + 900.0)
+  AND CAST(floor((v.tse + 900.0) * 1000) AS BIGINT) < wm_ms
+""",
+    "Extension (the CEP NFA's TRAILING-negation / event-time-timer path, driver-hashable "
+    "— the companion of streaming_cep_replay, which only exercises the NoTimeout "
+    "immediate-emission path): begin(view).notFollowedBy(purchase).within(15min) through "
+    "streaming/cep.match_pattern_stream — completed anchors PARK in keyed state, a later "
+    "purchase with view_ts < p_ts < view_ts + 900 kills them online, and survivors flush "
+    "only when the watermark passes their deadline (EventTimeTimeout).  Oracle = the "
+    "batch NOT-EXISTS restricted to the replay domain AND to timer-decided anchors — "
+    "Spark fires an event-time timer iff trunc(deadline*1000) ms < the closing watermark "
+    "ms, STRICTLY (the empirically-probed streaming_fail_burst_replay rule; undecided "
+    "anchors stay parked, exactly Flink's pending-timer semantics on a finite stream).",
+)
+def streaming_cep_negation_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cep import PatternStep
+    from ..streaming.cep import match_pattern_stream
+    from ..streaming.jobs import read_events_stream, run_bounded_df
+
+    def build() -> DataFrame:
+        stream = (
+            read_events_stream(spark, sf_dir)
+            .where(F.col("user_id").isNotNull() & _replay_ts_ok())
+            .select("user_id", "event_type", "ts")
+        )
+        steps = [
+            PatternStep(F.col("event_type") == "view"),
+            PatternStep(F.col("event_type") == "purchase", negated=True),
+        ]
+        return run_bounded_df(
+            match_pattern_stream(stream, "user_id", "ts", steps, 900.0)
+        )
+
+    return _cached_canon(spark, sf_dir, "streaming_cep_negation_replay", build)
+
+
+@_q(
     "streaming_last_touch_replay",
     """
 WITH __e AS (

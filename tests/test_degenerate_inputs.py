@@ -692,6 +692,7 @@ STREAMING_REPLAY_QUERIES = [
     # event_id IS NOT NULL (they sort/emit on the tiebreak, so a NULL
     # tiebreak is outside the kernel-representable domain)
     "streaming_cep_replay",
+    "streaming_cep_negation_replay",
     "streaming_last_touch_replay",
     "streaming_asof_replay",
 ]
