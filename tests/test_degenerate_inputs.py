@@ -187,6 +187,12 @@ EMPTY_SPOT_CHECKS = [
     ("revenue_forecast_backtest", 1),  # one all-NULL summary row
     ("embedding_principal_component", 0),  # driver-side matvec: max() over an
     #   empty covariance crashed before the round-7 empty-cells early return
+    # round-8 replays: an empty bounded source must drain to an empty
+    # sink (the asof replay also writes an EMPTY scratch reference side)
+    ("streaming_cep_replay", 0),
+    ("streaming_cep_negation_replay", 0),
+    ("streaming_last_touch_replay", 0),
+    ("streaming_asof_replay", 0),
 ]
 
 
