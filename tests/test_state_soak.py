@@ -34,6 +34,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from flinkecuserbehavioranalysis_spark.streaming.stateful import (
+    streaming_last_touch,
     streaming_login_fail,
     streaming_order_timeout,
     streaming_pattern_sequence,
@@ -100,13 +101,19 @@ def _soak(spark, tmp_path, pdf, schema_ddl, kernel) -> list[int]:
     return series
 
 
-@pytest.mark.parametrize("kernel_name", ["login_fail", "pattern_sequence"])
+@pytest.mark.parametrize(
+    "kernel_name", ["login_fail", "pattern_sequence", "last_touch"]
+)
 def test_keyed_nontimeout_state_plateaus_at_key_cardinality(
     spark, tmp_path, kernel_name
 ):
     """NoTimeout keyed kernels: state rows == key cardinality, flat for
     the whole soak once every key has appeared (all keys appear in the
-    first micro-batch), while 24 batches of events keep arriving."""
+    first micro-batch), while 24 batches of events keep arriving.
+    ``last_touch`` (round 8, driver-hashed the same round) holds exactly
+    one (ts, type) slot per user — the classic unbounded-attribution
+    trap is keeping every touch, which this gate would catch as rows
+    tracking events."""
     n_keys, n_events = 40, 1920
     i = np.arange(n_events)
     types = np.array(["view", "click", "purchase", "error"])[i % 4]
@@ -116,10 +123,13 @@ def test_keyed_nontimeout_state_plateaus_at_key_cardinality(
             "event_type": types,
             "ts": pd.to_datetime(T0 + i * 5, unit="s"),
             "event_id": i.astype("int64"),
+            "value": (i % 7).astype("float64"),
         }
     )
     if kernel_name == "login_fail":
         kernel = lambda s: streaming_login_fail(s, max_gap_seconds=3600.0)  # noqa: E731
+    elif kernel_name == "last_touch":
+        kernel = streaming_last_touch
     else:
         kernel = lambda s: streaming_pattern_sequence(  # noqa: E731
             s,
@@ -137,7 +147,7 @@ def test_keyed_nontimeout_state_plateaus_at_key_cardinality(
         spark,
         tmp_path,
         pdf,
-        "user_id long, event_type string, ts timestamp, event_id long",
+        "user_id long, event_type string, ts timestamp, event_id long, value double",
         kernel,
     )
     assert len(series) >= 20, f"soak too short: {len(series)} state batches"
@@ -146,6 +156,62 @@ def test_keyed_nontimeout_state_plateaus_at_key_cardinality(
     # it — state tracks keys, not the 24 batches of events
     assert max(series) == n_keys, series
     assert series[1:] == [n_keys] * (len(series) - 1), series
+
+
+def test_cep_nfa_parked_state_drained_by_watermark(spark, tmp_path):
+    """The streaming CEP NFA's trailing-negation path (EventTimeTimeout,
+    driver-hashed round 8): completed anchors PARK in keyed state until
+    a kill or the watermark-fired flush — state rows must track keys
+    with UNDECIDED anchors, drain as the watermark passes deadlines, and
+    end at the independently-computed undecided-key count (1), never at
+    key or event cardinality."""
+    from flinkecuserbehavioranalysis_spark.operators.cep import PatternStep
+    from flinkecuserbehavioranalysis_spark.streaming.cep import match_pattern_stream
+
+    n_keys, n_events, within = 40, 1920, 600.0
+    i = np.arange(n_events)
+    keys = (i % n_keys).astype("int64")
+    # type cycles per ROUND (i//40), independent of the key, so every
+    # key sees views; keys >= 20 never purchase, so their views survive
+    # to the watermark flush instead of dying to an online kill
+    types = np.array(["view", "click", "purchase", "error"])[(i // n_keys) % 4]
+    types = np.where((keys >= 20) & (types == "purchase"), "click", types)
+    pdf = pd.DataFrame(
+        {
+            "user_id": keys,
+            "event_type": types,
+            "ts": pd.to_datetime(T0 + i * 5, unit="s"),
+        }
+    )
+    steps = [
+        PatternStep(F.col("event_type") == "view"),
+        PatternStep(F.col("event_type") == "purchase", negated=True),
+    ]
+    series = _soak(
+        spark,
+        tmp_path,
+        pdf,
+        "user_id long, event_type string, ts timestamp",
+        lambda s: match_pattern_stream(s, "user_id", "ts", steps, within),
+    )
+    assert len(series) >= 20, f"soak too short: {len(series)} state batches"
+    # ground truth: keys < 20 park each view for 400 s until its
+    # purchase kills it; keys >= 20 park each view for `within` until
+    # the flush.  At the closing watermark (max ts), the only anchor
+    # with deadline >= wm is key 39's final view (exact equality — the
+    # strict timer rule keeps it parked), so exactly ONE key holds state
+    wm = float(pdf["ts"].max().timestamp())
+    view_ts = T0 + 5 * i[(types == "view") & (keys >= 20)]
+    expected_keys = len(
+        {int(k) for k, t in zip(keys[(types == "view") & (keys >= 20)], view_ts)
+         if t + within >= wm}
+    )
+    assert series[-1] == expected_keys, (series[-5:], expected_keys)
+    # state is keyed: one row per key with live chains, never more
+    assert max(series) <= n_keys, (max(series), n_keys)
+    # drain keeps pace: the second half's peak never exceeds the first's
+    half = len(series) // 2
+    assert max(series[half:]) <= max(series[:half]), series
 
 
 def test_order_timeout_state_evicted_by_watermark(spark, tmp_path):
