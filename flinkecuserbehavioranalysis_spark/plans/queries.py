@@ -9441,6 +9441,12 @@ def streaming_asof_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.basename(os.path.normpath(sf_dir)),
             "orders_asof",
         )
+        # coalesce(1) is a REPLAY-scale choice, not the operator's scale
+        # posture: one file -> one availableNow micro-batch -> the
+        # kernel's in-batch (ts, __tag) sort supplies the global time
+        # order a production feed gets from per-key Kafka log order.
+        # At fact scale the kernel itself needs no single file — state
+        # is one slot per key and input partitions by the group key.
         rt.coalesce(1).write.mode("overwrite").parquet(scratch)
         r_stream = (
             spark.readStream.schema(rt.schema)
