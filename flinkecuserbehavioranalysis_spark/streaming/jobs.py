@@ -298,11 +298,21 @@ def streaming_anomaly_foreach_batch(
     micro-batch of CLOSED day windows (append mode — a (type, day)
     count arrives exactly once, complete, after the watermark passes
     the day end) upserts into the external per-(type, day) count store
-    — the ``foreach_batch_upsert`` / Redis discipline — and re-scores
-    the affected keys' trailing z incrementally in plain Python (the
-    store is key×days-sized, not event-sized).  A bounded replay
+    — the ``foreach_batch_upsert`` / Redis discipline — and scores the
+    NEWLY-CLOSED days' trailing z in plain Python.  A bounded replay
     therefore reproduces ``rolling_anomaly_zscore`` exactly
-    (tests/test_streaming.py)."""
+    (tests/test_streaming.py).
+
+    Store bound (round-8, the day_store discipline): append mode closes
+    a key's days in watermark order, so a day is scored exactly once —
+    on arrival, when its trailing *lookback* observations are all still
+    stored — and observations more than ``2 * lookback`` behind each
+    type's newest are evicted after scoring.  Per-batch work is
+    O(arriving days × lookback) and the store holds O(types × lookback)
+    entries for an infinite stream; the sink keeps the full scored
+    history.  Re-delivered epochs stay idempotent: the upsert writes
+    the same counts, re-scoring recomputes the same z, and the sink
+    rewrite replaces in place."""
     import math
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -310,13 +320,15 @@ def streaming_anomaly_foreach_batch(
         # closed day windows of the types touched by the batch, never raw
         # events — so the driver store stays keys×days-bounded at any SF.
         rows = batch_df.collect()
-        touched = set()
+        touched: dict = {}
         for r in rows:
             day_counts_store[(r["event_type"], r["day"])] = r["cnt"]
-            touched.add(r["event_type"])
-        for et in touched:
+            touched.setdefault(r["event_type"], set()).add(r["day"])
+        for et, new_days in touched.items():
             days = sorted(d for (t, d) in day_counts_store if t == et)
-            for i, d in enumerate(days):
+            idx = {d: i for i, d in enumerate(days)}
+            for d in sorted(new_days):
+                i = idx[d]
                 frame = [day_counts_store[(et, days[j])] for j in range(max(0, i - lookback), i)]
                 n = len(frame)
                 z = None
@@ -327,6 +339,11 @@ def streaming_anomaly_foreach_batch(
                         z = round((day_counts_store[(et, d)] - mean) / math.sqrt(var), 6)
                 sink[:] = [s for s in sink if not (s[0] == et and s[1] == d)]
                 sink.append((et, d, day_counts_store[(et, d)], n, z))
+            # retention: evict observations more than 2*lookback behind
+            # this type's newest — future days' frames only ever read
+            # the trailing lookback observations, all younger than this
+            for d in days[: max(0, len(days) - 2 * lookback)]:
+                del day_counts_store[(et, d)]
 
     return process
 

@@ -779,6 +779,65 @@ def test_streaming_anomaly_matches_batch(spark):
     assert len(got) > 0
 
 
+def test_streaming_anomaly_multibatch_store_bounded(spark, tmp_path):
+    """The anomaly monitor under MANY micro-batches (round 8): days
+    close incrementally, each is scored exactly once on arrival against
+    its trailing observations, and the store evicts beyond 2x lookback
+    per type — so the sink still matches the batch z-scores on every
+    closeable day while the store stays O(types x lookback), never
+    O(stream-lifetime days)."""
+    import os
+
+    from flinkecuserbehavioranalysis_spark.operators.windows import (
+        rolling_anomaly_zscore,
+    )
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import (
+        run_bounded,
+        streaming_anomaly_foreach_batch,
+        streaming_daily_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "slices")
+    os.makedirs(src)
+    ev = load_table(spark, sf, "events").select("event_type", "ts").orderBy("ts")
+    rows = ev.collect()
+    n = max(1, len(rows) // 12)
+    for i in range(12):
+        part = rows[i * n : (i + 1) * n] if i < 11 else rows[11 * n :]
+        if not part:
+            continue
+        spark.createDataFrame(part, ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"w{i}"))
+        pf = [f for f in os.listdir(str(tmp_path / f"w{i}")) if f.endswith(".parquet")][0]
+        os.rename(str(tmp_path / f"w{i}" / pf), os.path.join(src, f"s{i:02d}.parquet"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store: dict = {}
+    sink: list = []
+    counts = streaming_daily_counts(stream, watermark="0 seconds")
+    run_bounded(
+        counts, "append", foreach_batch=streaming_anomaly_foreach_batch(store, sink)
+    )
+    got = {(et, d): (c, n_, z) for et, d, c, n_, z in sink}
+    batch = {
+        (r.event_type, r.day.isoformat()): (r.cnt, r.n_prior, r.z)
+        for r in rolling_anomaly_zscore(load_table(spark, sf, "events")).collect()
+    }
+    last_day = max(d for _, d in batch)
+    closeable = {k: v for k, v in batch.items() if k[1] < last_day}
+    assert got == closeable
+    assert len(got) > 20
+    # boundedness: per type at most 2*lookback(=7) observations kept
+    n_types = len({t for t, _ in store})
+    assert len(store) <= n_types * 2 * 7, sorted(store)
+    assert len(got) > len(store)
+
+
 def test_streaming_active_users_matches_batch(spark):
     """Bounded replay of the (day, user) presence stream + foreachBatch
     DAU/WAU scoring matches events_rolling_active_users on every day
