@@ -9482,6 +9482,9 @@ def streaming_asof_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             payload_cols=("last_order_id", "last_order_ts"),
             left_cols=("event_id",),
         )
-        return run_bounded_df(out).withColumnRenamed("ts", "event_ts")
+        # the heaviest replay (two fact-scale sources through one
+        # kernel): 45 s at sf1, ~8 min at sf10 — the default 300 s
+        # fail-loud guard binds before the kernel does
+        return run_bounded_df(out, timeout=1800).withColumnRenamed("ts", "event_ts")
 
     return _cached_canon(spark, sf_dir, "streaming_asof_replay", build)

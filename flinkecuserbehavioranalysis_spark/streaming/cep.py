@@ -44,7 +44,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..operators.cep import PatternStep, variant_specs
-from .stateful import _epoch_s, _floor_s, _tag
+from .stateful import _epoch_s, _floor_s, _group_chunks, _tag
 
 _CEP_STATE = StructType(
     [StructField("active", StringType()), StructField("done", StringType())]
@@ -166,9 +166,7 @@ def match_pattern_stream(
         ]
         out: list[tuple] = []
 
-        for pdf in pdfs:
-            cols = [c for c in sort_cols if c in pdf.columns]
-            pdf = pdf.sort_values(cols)
+        for pdf in _group_chunks(pdfs, sort_cols):
             tss = _epoch_s(pdf[ts_col])
             m = {gi: pdf[f"__m{gi}"].to_numpy().astype(bool) for gi in tagged_atoms}
             g = [pdf[f"__g{j}"].to_numpy().astype(bool) for j in range(n_negs)]

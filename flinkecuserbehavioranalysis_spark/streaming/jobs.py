@@ -45,24 +45,33 @@ def read_events_stream(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{table}.parquet")
     static = spark.read.parquet(path)
-    # the file source streams a *directory*; testdata tables are single
-    # files, so expose each through a symlink view dir (read-only data
-    # stays untouched)
-    view_dir = os.path.join(
-        "/tmp/spark_graft_stream_views", os.path.basename(os.path.normpath(sf_dir)), table
-    )
-    os.makedirs(view_dir, exist_ok=True)
-    link = os.path.join(view_dir, f"{table}.parquet")
-    # lexists, not exists: a link left by an earlier (deleted) dataset
-    # with the same basename is a *dangling* symlink — exists() follows
-    # it and reports False, but symlink() would still collide.  Re-point
-    # whenever the target differs.
-    if os.path.lexists(link):
-        if os.path.realpath(link) != os.path.realpath(path):
-            os.remove(link)
-            os.symlink(path, link)
+    if os.path.isdir(path):
+        # Spark-written dataset directory (the scratch scale-up SFs):
+        # already a directory of part files — stream it directly.  The
+        # former symlink-into-view-dir path silently produced an EMPTY
+        # stream here: the file source lists plain files only and never
+        # descends into a symlinked subdirectory (found by the round-8
+        # sf1/sf10 replay sweep — 0 rows where the batch twin read 10M).
+        view_dir = path
     else:
-        os.symlink(path, link)
+        # the file source streams a *directory*; testdata tables are
+        # single files, so expose each through a symlink view dir
+        # (read-only data stays untouched)
+        view_dir = os.path.join(
+            "/tmp/spark_graft_stream_views", os.path.basename(os.path.normpath(sf_dir)), table
+        )
+        os.makedirs(view_dir, exist_ok=True)
+        link = os.path.join(view_dir, f"{table}.parquet")
+        # lexists, not exists: a link left by an earlier (deleted)
+        # dataset with the same basename is a *dangling* symlink —
+        # exists() follows it and reports False, but symlink() would
+        # still collide.  Re-point whenever the target differs.
+        if os.path.lexists(link):
+            if os.path.realpath(link) != os.path.realpath(path):
+                os.remove(link)
+                os.symlink(path, link)
+        else:
+            os.symlink(path, link)
     reader = spark.readStream.schema(static.schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -14,9 +14,11 @@ the timers:
   create_ts + deadline (``GroupStateTimeout.EventTimeTimeout`` — fired
   by watermark advance, exactly Flink's event-time timer discipline).
 
-Rows inside a micro-batch are sorted by (ts, tiebreak) per key before
-state transitions — Flink gets this ordering from per-key FIFO delivery;
-Spark micro-batches need the explicit sort.
+Rows inside a micro-batch are buffered to ONE frame per key and sorted
+by (ts, tiebreak) before state transitions (``_group_chunks``) — Flink
+gets this ordering from per-key FIFO delivery; Spark's shuffle delivers
+a group as arbitrarily-ordered Arrow slices, so per-slice sorting alone
+breaks once a group straddles a slice boundary (round-8 sf1 finding).
 
 Hot-path discipline: every operator here extracts the pandas frame's
 columns to numpy arrays ONCE per batch (``.astype('int64')`` epoch-ns →
@@ -81,6 +83,30 @@ def _tag(pred: F.Column) -> F.Column:
     return F.coalesce(pred.cast("boolean"), F.lit(False)).cast("int")
 
 
+def _group_chunks(pdfs: Iterator[pd.DataFrame], sort_cols: list) -> Iterator[pd.DataFrame]:
+    """Yield a key's micro-batch group as ONE time-sorted frame.
+
+    ``applyInPandasWithState`` delivers a group as Arrow-batch slices in
+    shuffle-arrival order.  Sorting each slice independently is only
+    correct while the whole group fits one Arrow batch (always true at
+    test SF); once the grouped partition exceeds ``maxRecordsPerBatch``
+    (~10k rows), a group can straddle slice boundaries whose RELATIVE
+    order is arbitrary, and a sequential kernel would replay events out
+    of time order (found by the round-8 sf1 sweep: the union-tagged
+    as-of replay read stale right-side state on exactly the keys whose
+    group straddled a batch boundary).  Buffering the whole group — per
+    key per MICRO-BATCH, never per stream — is the documented
+    ProcessWindowFunction-style memory bound these kernels already
+    carry.  Sort columns absent from the frame are dropped; a timer-only
+    invocation (no data chunks) yields nothing."""
+    frames = list(pdfs)
+    if not frames:
+        return
+    pdf = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+    cols = [c for c in sort_cols if c in pdf.columns]
+    yield pdf.sort_values(cols) if cols else pdf
+
+
 LOGIN_WARNING_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
@@ -121,8 +147,7 @@ def streaming_login_fail(
         (user_id,) = key
         last_type, last_ts = state.get if state.exists else (None, None)
         out: list[tuple[int, int, int, str]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"] if "event_id" in pdf else ["ts"])
+        for pdf in _group_chunks(pdfs, ["ts", "event_id"]):
             tss = _epoch_s(pdf["ts"])
             is_fail = (pdf["event_type"] == fail_value).to_numpy()
             # batch-interior pairs vectorize: previous row is a fail and
@@ -190,8 +215,7 @@ def streaming_blacklist(
         user_id, ad_id = key
         day, cnt, sent = state.get if state.exists else (None, 0, 0)
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
+        for pdf in _group_chunks(pdfs, ["ts"]):
             # integer day ids straight from epoch-ns — the count per day
             # is order-free, so the loop runs over DAY SEGMENTS, not rows
             days = pdf["ts"].astype("int64").to_numpy() // (86400 * 1_000_000_000)
@@ -310,8 +334,7 @@ def streaming_login_fail_tws(
             stored = self._last.get() if self._last.exists() else None
             last_type, last_ts = stored if stored is not None else (None, None)
             out: list[tuple[int, int, int, str]] = []
-            for pdf in rows:
-                pdf = pdf.sort_values(["ts", "event_id"] if "event_id" in pdf else ["ts"])
+            for pdf in _group_chunks(rows, ["ts", "event_id"]):
                 tss = _epoch_s(pdf["ts"])
                 is_fail = (pdf["event_type"] == fail_value).to_numpy()
                 prev_fail = np.concatenate(([last_type == fail_value], is_fail[:-1]))
@@ -397,8 +420,7 @@ def streaming_as_of_enrich(
         r_ts, pays = stored[0], list(stored[1:])
         out = []
         k0 = int(key_t[0])
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, "__tag"])
+        for pdf in _group_chunks(pdfs, [ts_col, "__tag"]):
             tss = _epoch_s(pdf[ts_col])
             is_right = (pdf["__tag"].to_numpy() == 0)
             # forward-fill: index of the latest right row at-or-before
@@ -512,9 +534,7 @@ def streaming_fail_burst(
         anchor, fails_s, done = state.get if state.exists else (None, "", 0)
         fails = [float(x) for x in fails_s.split(",") if x] if fails_s else []
         out = []
-        for pdf in pdfs:
-            cols = ["ts", "event_id"] if "event_id" in pdf.columns else ["ts"]
-            pdf = pdf.sort_values(cols)
+        for pdf in _group_chunks(pdfs, ["ts", "event_id"]):
             tss = _epoch_s(pdf["ts"])
             # NULL event_type counts as a FAIL — the batch twin's
             # success predicate is `event_type <> fail`, which NULL
@@ -618,9 +638,7 @@ def streaming_pattern_pairs(
         last_a, last_ts, pending_s = state.get if state.exists else (0, None, "")
         pending = [float(x) for x in pending_s.split(",") if x] if pending_s else []
         out: list[tuple[int, int, int]] = []
-        for pdf in pdfs:
-            cols = [c for c in sort_cols if c in pdf.columns]
-            pdf = pdf.sort_values(cols)
+        for pdf in _group_chunks(pdfs, sort_cols):
             tss = _epoch_s(pdf[ts_col])
             a_arr = pdf["__a"].to_numpy().astype(bool)
             b_arr = pdf["__b"].to_numpy().astype(bool)
@@ -728,9 +746,7 @@ def streaming_pattern_sequence(
             [float(x) for x in c.split(",")] for c in chains_s.split(";") if c
         ]
         out: list[tuple[int, ...]] = []
-        for pdf in pdfs:
-            cols = [c for c in sort_cols if c in pdf.columns]
-            pdf = pdf.sort_values(cols)
+        for pdf in _group_chunks(pdfs, sort_cols):
             tss = _epoch_s(pdf[ts_col])
             m = [pdf[f"__m{i}"].to_numpy().astype(bool) for i in range(n)]
             for i in range(len(tss)):
@@ -836,9 +852,7 @@ def streaming_pattern_sequence_optional(
             for p in parts
         ]
         out: list[tuple] = []
-        for pdf in pdfs:
-            cols = [c for c in sort_cols if c in pdf.columns]
-            pdf = pdf.sort_values(cols)
+        for pdf in _group_chunks(pdfs, sort_cols):
             tss = _epoch_s(pdf[ts_col])
             m = [pdf[f"__m{i}"].to_numpy().astype(bool) for i in range(n)]
             for i in range(len(tss)):
@@ -948,9 +962,7 @@ def streaming_not_followed_by(
             pending, absents = _parse(pending_s), _parse(absents_s)
         else:
             pending, absents = [], []
-        for pdf in pdfs:
-            cols = [c for c in sort_cols if c in pdf.columns]
-            pdf = pdf.sort_values(cols)
+        for pdf in _group_chunks(pdfs, sort_cols):
             tss = _epoch_s(pdf[ts_col])
             a_arr = pdf["__a"].to_numpy().astype(bool)
             b_arr = pdf["__b"].to_numpy().astype(bool)
@@ -1046,8 +1058,7 @@ def streaming_funnel(
         u, d = key
         t: list[float | None] = list(state.get) if state.exists else [None, None, None]
         out: list[tuple[int, str, int, int]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col])
+        for pdf in _group_chunks(pdfs, [ts_col]):
             tss = _epoch_s(pdf[ts_col])
             types = pdf[type_col].to_numpy()
             for ts, et in zip(tss, types):
@@ -1115,9 +1126,7 @@ def streaming_one_or_more(
         (k,) = key
         run_len, first_a = state.get if state.exists else (0, 0.0)
         out: list[tuple[int, int, int, int]] = []
-        for pdf in pdfs:
-            cols = [c for c in sort_cols if c in pdf.columns]
-            pdf = pdf.sort_values(cols)
+        for pdf in _group_chunks(pdfs, sort_cols):
             tss = _epoch_s(pdf[ts_col])
             is_b = pdf["__b"].to_numpy().astype(bool)
             is_a = pdf["__a"].to_numpy().astype(bool) & ~is_b
@@ -1179,9 +1188,7 @@ def streaming_value_spike(
         (k,) = key
         last_ts, last_value = state.get if state.exists else (None, None)
         out: list[tuple[int, int, int, float, float]] = []
-        for pdf in pdfs:
-            cols = [c for c in sort_cols if c in pdf.columns]
-            pdf = pdf.sort_values(cols)
+        for pdf in _group_chunks(pdfs, sort_cols):
             tss = _epoch_s(pdf[ts_col])
             vals = pdf[value_col].to_numpy().astype(float)
             for i in range(len(tss)):
@@ -1239,9 +1246,7 @@ def streaming_type_transitions(
     ) -> Iterator[pd.DataFrame]:
         (last_type,) = state.get if state.exists else (None,)
         pairs: dict[tuple[str, str], int] = {}
-        for pdf in pdfs:
-            cols = [c for c in sort_cols if c in pdf.columns]
-            pdf = pdf.sort_values(cols)
+        for pdf in _group_chunks(pdfs, sort_cols):
             types = pdf[type_col].tolist()
             for t in types:
                 if last_type is not None:
@@ -1303,9 +1308,7 @@ def streaming_last_touch(
         (k,) = key
         touch_ts, touch_type = state.get if state.exists else (None, None)
         out: list[tuple[int, int, str | None, float | None]] = []
-        for pdf in pdfs:
-            cols = [c for c in sort_cols if c in pdf.columns]
-            pdf = pdf.sort_values(cols)
+        for pdf in _group_chunks(pdfs, sort_cols):
             tss = _epoch_s(pdf[ts_col])
             types = pdf[type_col].tolist()
             vals = pdf[value_col].to_numpy()

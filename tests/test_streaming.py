@@ -43,6 +43,22 @@ def _max_ts(spark, predicate=None):
     return df.agg(F.max(F.col("ts").cast("double")).alias("m")).collect()[0]["m"]
 
 
+def test_read_events_stream_handles_dataset_directories(spark, tmp_path):
+    """A Spark-written dataset DIRECTORY (the scratch scale-up SFs'
+    layout) must stream its part files — the former symlink-view path
+    produced a silently EMPTY stream for directories, because the file
+    source lists plain files and never descends into a symlinked
+    subdirectory (round-8 sf1 sweep: 0 rows where batch read 10M)."""
+    import os
+
+    src = str(tmp_path / "scratch_sf")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.limit(500).repartition(3).write.parquet(os.path.join(src, "events.parquet"))
+    stream = read_events_stream(spark, src)
+    got = run_bounded(stream.groupBy().count(), "complete")
+    assert got[0]["count"] == 500
+
+
 def test_streaming_windowed_count_matches_batch(spark):
     stream = read_events_stream(spark, SF_DIR).filter(F.col("event_type") == "view")
     out = streaming_windowed_count(stream, size="1 hour")
@@ -471,6 +487,61 @@ def test_streaming_as_of_enrich_matches_batch(spark, tmp_path):
     assert got == expect
     assert expect[(2, 400)] is None  # no right rows for key 2
     assert expect[(1, 500)] == 105  # right at equal ts IS visible
+
+
+def test_stateful_kernels_correct_when_group_spans_arrow_batches(spark, tmp_path):
+    """A key's group arrives as Arrow-batch SLICES in shuffle order; a
+    group that straddles slice boundaries interleaves arbitrarily, so
+    per-slice sorting replays events out of time order (round-8 sf1
+    finding: the as-of replay read stale right-side state on straddling
+    keys).  _group_chunks buffers the whole group and sorts once —
+    pinned here by forcing maxRecordsPerBatch far below the group size
+    and feeding the rows pre-shuffled within the file."""
+    import random
+
+    from flinkecuserbehavioranalysis_spark.operators.joins import as_of_join
+    from flinkecuserbehavioranalysis_spark.streaming.stateful import (
+        streaming_as_of_enrich,
+    )
+
+    rng = random.Random(8)
+    rows = []
+    for k in (1, 2):
+        rows += [(k, 10 * i + 5, 0, None, 100 * k + i) for i in range(40)]  # rights
+        rows += [(k, 10 * i + 7, 1, 1000 + 10 * i, None) for i in range(40)]  # lefts
+    rng.shuffle(rows)  # adversarial in-file order
+    tagged = spark.createDataFrame(
+        rows, "k long, tsd long, __tag int, lid long, rid long"
+    ).selectExpr("k", "timestamp_seconds(tsd) as ts", "__tag", "lid", "rid")
+    d = str(tmp_path / "tagged")
+    tagged.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(
+        "k long, ts timestamp, __tag int, lid long, rid long"
+    ).parquet(d)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {
+            (r.k, r.ts): r.rid
+            for r in run_bounded(
+                streaming_as_of_enrich(
+                    stream, key="k", payload_cols=("rid",), left_cols=("lid",)
+                )
+            )
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    batch = as_of_join(
+        tagged.filter("__tag = 1").selectExpr("k", "CAST(ts AS LONG) ts", "lid"),
+        tagged.filter("__tag = 0").selectExpr("k", "CAST(ts AS LONG) rts", "rid"),
+        key="k",
+        left_ts="ts",
+        right_ts="rts",
+        right_payload=["rid"],
+    )
+    expect = {(r.k, r.ts): r.rid for r in batch.collect()}
+    assert got == expect
+    assert len(got) == 80
 
 
 def test_rate_generator_windowed_count_end_to_end(spark):
