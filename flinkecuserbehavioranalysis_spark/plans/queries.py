@@ -822,20 +822,26 @@ def interval_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "sessionize_users",
     """
-WITH __f AS (
-  SELECT user_id, ts, event_id,
+WITH __d AS (
+  -- collapse byte-identical (user, ts, event_id) duplicates: fully-tied
+  -- ordering tuples make the ROWS-frame running sum tie-order-dependent
+  -- in BOTH engines (round-8 churn repro of the round-6 one-off)
+  SELECT user_id, ts, event_id, count(*) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3),
+__f AS (
+  SELECT user_id, ts, event_id, c,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS is_start
-  FROM events WHERE ts IS NOT NULL
+  FROM __d
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 __g AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, c,
          sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
   FROM __f)
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
        CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
-       count(*) AS n_events
+       CAST(sum(c) AS BIGINT) AS n_events
 FROM __g GROUP BY user_id, session_id
 """,
     "Extension (north star): 30-min-gap sessionization per user (gaps-and-islands).",
@@ -7763,20 +7769,24 @@ def events_ts_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "user_activity_coverage",
     """
-WITH __f AS (
-  SELECT user_id, ts, event_id,
+WITH __d AS (
+  -- duplicate collapse: see sessionize_users (tie-order hazard)
+  SELECT user_id, ts, event_id, count(*) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3),
+__f AS (
+  SELECT user_id, ts, event_id, c,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS is_start
-  FROM events WHERE ts IS NOT NULL
+  FROM __d
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 __g AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, c,
          sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
   FROM __f),
 __s AS (
   SELECT user_id,
          CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS span_s,
-         count(*) AS n_events
+         sum(c) AS n_events
   FROM __g GROUP BY user_id, session_id)
 SELECT user_id,
        count(*) AS n_islands,
@@ -9167,19 +9177,25 @@ def streaming_pv_count_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "streaming_session_replay",
     """
-WITH __e AS (SELECT user_id, ts, event_id FROM events WHERE ts IS NOT NULL),
+WITH __e0 AS (SELECT user_id, ts, event_id FROM events WHERE ts IS NOT NULL),
+__e AS (
+  -- duplicate collapse: see sessionize_users (tie-order hazard); the
+  -- native session_window is value-based, so all duplicates share one
+  -- session on BOTH sides
+  SELECT user_id, ts, event_id, count(*) AS c FROM __e0 GROUP BY 1, 2, 3),
 __wm AS (SELECT max(epoch(ts)) AS wm FROM __e),
 __f AS (
-  SELECT user_id, ts, event_id,
+  SELECT user_id, ts, event_id, c,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS is_start
   FROM __e
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 __g AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, c,
          sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
   FROM __f),
-__s AS (SELECT user_id, min(epoch(ts)) AS s0, max(epoch(ts)) AS s1, count(*) AS n_events
+__s AS (SELECT user_id, min(epoch(ts)) AS s0, max(epoch(ts)) AS s1,
+               CAST(sum(c) AS BIGINT) AS n_events
         FROM __g GROUP BY user_id, session_id)
 SELECT user_id,
        CAST(floor(s0) AS BIGINT) AS session_start,
