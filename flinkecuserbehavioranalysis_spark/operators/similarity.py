@@ -719,8 +719,13 @@ def ivf_topk(
     train_iters: int = 2,
     corpus_probes: int = 2,
     train_fraction: float = 1.0,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: the scale path for similarity search.
+
+    Pass a pre-trained *seeds* codebook (``kmeans_fit`` output) to skip
+    training — the index-sharing path when several query batches (or
+    several index variants) ride one coarse quantizer.
 
     Coarse quantizer: seeded with the *n_cells* smallest-id vectors,
     then refined by *train_iters* Lloyd iterations of spherical k-means
@@ -762,6 +767,7 @@ def ivf_topk(
         train_iters=train_iters,
         corpus_probes=corpus_probes,
         train_fraction=train_fraction,
+        seeds=seeds,
     )
     return query_ivf_index(
         seeds, assigned, queries, query_id_col=query_id_col, vec_col=vec_col,
@@ -777,13 +783,15 @@ def build_ivf_index(
     train_iters: int = 2,
     corpus_probes: int = 2,
     train_fraction: float = 1.0,
+    seeds: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the IVF index relations: (codebook, postings) — the
     build-once half of the index lifecycle.  ``codebook`` is
     (seed_id, s_vec, s_norm); ``postings`` is (neighbor_id, v_vec,
     v_norm, cell), one row per (vector, probed cell).  Persist both
     with :func:`save_ivf_index` and serve queries from the saved index
-    — training never reruns per query batch."""
+    — training never reruns per query batch.  A pre-trained *seeds*
+    codebook skips the Lloyd loop entirely (index-variant sharing)."""
     vectors = _drop_null_vec(vectors, vec_col)
     if corpus_probes not in (1, 2):
         raise ValueError(f"corpus_probes must be 1 or 2, got {corpus_probes}")
@@ -791,14 +799,15 @@ def build_ivf_index(
         vectors.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v_vec"))
         .withColumn("v_norm", F.sqrt(dot(F.col("v_vec"), F.col("v_vec"))))
     )
-    seeds = kmeans_fit(
-        vectors,
-        id_col=id_col,
-        vec_col=vec_col,
-        n_cells=n_cells,
-        train_iters=train_iters,
-        train_fraction=train_fraction,
-    )
+    if seeds is None:
+        seeds = kmeans_fit(
+            vectors,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_cells=n_cells,
+            train_iters=train_iters,
+            train_fraction=train_fraction,
+        )
     assigned = ivf_assign(v, seeds, corpus_probes=corpus_probes)
     return seeds, assigned
 
@@ -1056,6 +1065,7 @@ def ivf_quantized_topk(
     train_iters: int = 2,
     corpus_probes: int = 2,
     train_fraction: float = 1.0,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + int8 codes — the full production ANN shape: the coarse
     quantizer (``kmeans_fit``) restricts each query to Σ_probed |cell|
@@ -1075,14 +1085,15 @@ def ivf_quantized_topk(
     if corpus_probes not in (1, 2):
         raise ValueError(f"corpus_probes must be 1 or 2, got {corpus_probes}")
 
-    seeds = kmeans_fit(
-        vectors,
-        id_col=id_col,
-        vec_col=vec_col,
-        n_cells=n_cells,
-        train_iters=train_iters,
-        train_fraction=train_fraction,
-    )
+    if seeds is None:
+        seeds = kmeans_fit(
+            vectors,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_cells=n_cells,
+            train_iters=train_iters,
+            train_fraction=train_fraction,
+        )
     packed = _pack(seeds)
     qz = quantize_embeddings(vectors, id_col, vec_col).select(F.col(id_col), F.col("q"))
 
@@ -1568,6 +1579,7 @@ def ivf_pq_topk(
     corpus_probes: int = 2,
     train_fraction: float = 1.0,
     book: DataFrame | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + PQ/ADC — the full Jégou-style production index: the coarse
     spherical quantizer (shared ``kmeans_fit``) restricts each query to
@@ -1578,8 +1590,8 @@ def ivf_pq_topk(
     deeper compression point of the same trade curve (m·log2(k) bits vs
     8·dim); recall compounds coarse-probe loss with reconstruction
     error — floor-tested vs the float brute force.  Pass a pre-trained
-    *book* to reuse one PQ codebook across indexes.  Output: (q_id,
-    neighbor_id, cos, rnk)."""
+    *book* (PQ) and/or *seeds* (coarse quantizer) to reuse codebooks
+    across indexes.  Output: (q_id, neighbor_id, cos, rnk)."""
     vectors = _drop_null_vec(vectors, vec_col)
     queries = _drop_null_vec(queries, vec_col)
     from pyspark.sql import Window
@@ -1589,14 +1601,15 @@ def ivf_pq_topk(
     # both trained artifacts feed two broadcast consumers each (corpus
     # assignment + query probes / encode + LUT) — persist so the Lloyd
     # lineages run once, not once per consumer
-    seeds = kmeans_fit(
-        vectors,
-        id_col=id_col,
-        vec_col=vec_col,
-        n_cells=n_cells,
-        train_iters=train_iters,
-        train_fraction=train_fraction,
-    ).persist()
+    if seeds is None:
+        seeds = kmeans_fit(
+            vectors,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_cells=n_cells,
+            train_iters=train_iters,
+            train_fraction=train_fraction,
+        ).persist()
     coarse_packed = _pack(seeds)
     if book is None:
         book = pq_fit(

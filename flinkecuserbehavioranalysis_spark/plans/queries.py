@@ -1755,6 +1755,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_iters=2,
         corpus_probes=2,
         train_fraction=0.5,
+        seeds=_ivf_shared_seeds(spark, sf_dir),
     )
 
 
@@ -3505,6 +3506,7 @@ def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_iters=2,
         corpus_probes=2,
         train_fraction=0.5,
+        seeds=_ivf_shared_seeds(spark, sf_dir),
     )
 
 
@@ -3666,6 +3668,29 @@ SELECT q_id, neighbor_id, cos, CAST(rnk AS BIGINT) AS rnk FROM __rk WHERE rnk <=
     )
 
 
+def _ivf_shared_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One IVF coarse quantizer (n_cells=8, 2 Lloyd iters, trained on
+    the deterministic 50% hash-sample of the null-cleaned embeddings)
+    persisted + memoized per (session, sf_dir) — ann_ivf_topk,
+    ann_ivf_quantized_topk and ann_ivf_pq_topk index with the SAME
+    codebook (their oracles already replay this identical sampled
+    training), so the Lloyd loop runs once per session instead of once
+    per index variant; the codebook is also broadcast-consumed twice
+    per query (corpus assignment + query probes), which the persist
+    collapses to one lineage run."""
+    from ..operators.similarity import _drop_null_vec, kmeans_fit
+
+    def build() -> DataFrame:
+        return kmeans_fit(
+            _drop_null_vec(load_table(spark, sf_dir, "embeddings"), "embedding"),
+            n_cells=8,
+            train_iters=2,
+            train_fraction=0.5,
+        ).persist()
+
+    return _cached_canon(spark, sf_dir, "ivf_seeds_8x2_05", build)
+
+
 def _pq_shared_book(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One PQ codebook (dim=64, m=32, k=32, 2 Lloyd iters, trained on
     the deterministic 50% hash-sample) persisted + memoized per
@@ -3733,6 +3758,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_probes=2,
         train_fraction=0.5,
         book=_pq_shared_book(spark, sf_dir),
+        seeds=_ivf_shared_seeds(spark, sf_dir),
     )
 
 
