@@ -64,7 +64,17 @@ def pagerank(
     converge = tol is not None
     if converge:
         e = e.localCheckpoint(eager=True)
+    else:
+        # the lazy unroll references e once per round and deg once per
+        # round + once for the init — without a persist each reference
+        # re-runs the symmetrize+distinct shuffle (and whatever lineage
+        # produced the edge list).  Both relations are edge-/node-sized
+        # (pair-set scale, not corpus scale), so caching them is the
+        # whole point of the unrolled formulation staying cheap.
+        e = e.persist()
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    if not converge:
+        deg = deg.persist()
     n1 = deg.agg(F.count(F.lit(1)).alias("__n"))
     ranks = (
         deg.crossJoin(F.broadcast(n1))
