@@ -292,3 +292,61 @@ def weighted_hash_sample(
         )
         .drop("__w", "__mx")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str = "lang",
+    temperature: float = 0.5,
+) -> DataFrame:
+    """Temperature-smoothed sampling weights per group — the standard
+    multilingual / multi-source training-mix recipe (mBERT/XLM-R style
+    alpha-sampling, p_l ∝ n_l^T): a raw group's share is flattened
+    toward uniform so head languages stop drowning the tail.
+
+    Only ``temperature=0.5`` is supported: n^0.5 = sqrt(n), and IEEE 754
+    specifies sqrt as a CORRECTLY-ROUNDED operation, so sqrt of an
+    integer count is bit-identical in every engine.  A general ``pow``
+    goes through exp/ln whose last-ulp behavior is library-specific —
+    the one transcendental this repo's cross-engine exactness discipline
+    can't allow (the same reason the text stack is log-free).  The
+    smoothed values are fixed to 6 dp integer micro-units before the
+    group-count-sized sum, so the normalizer is summation-order
+    independent.
+
+    Cost shape: one group-by shuffle to a groups-sized relation, then
+    two 1-row broadcast totals — nothing downstream of the first
+    aggregation is corpus-scale.
+
+    Returns (group, n_docs, share, temp_weight, boost) where boost =
+    temp_weight / share (>1 means the mix upsamples the group)."""
+    if temperature != 0.5:
+        raise ValueError(
+            "temperature_mix: only T=0.5 (sqrt) is engine-exact; "
+            f"got {temperature}"
+        )
+    cnt = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    # sqrt(count) rounded to integer micro-units -> BIGINT-summable
+    sd = F.round(F.sqrt(F.col("n_docs").cast("double")) * 1e6).cast("long")
+    scored = cnt.withColumn("__sd", sd)
+    tot = scored.agg(
+        F.sum("n_docs").alias("__tot"), F.sum("__sd").alias("__tsd")
+    )
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(group_col),
+            F.col("n_docs"),
+            F.round(
+                F.col("n_docs").cast("double") / F.col("__tot").cast("double"), 6
+            ).alias("share"),
+            F.round(
+                F.col("__sd").cast("double") / F.col("__tsd").cast("double"), 6
+            ).alias("temp_weight"),
+            F.round(
+                (F.col("__sd").cast("double") / F.col("__tsd").cast("double"))
+                / (F.col("n_docs").cast("double") / F.col("__tot").cast("double")),
+                6,
+            ).alias("boost"),
+        )
+    )

@@ -9530,3 +9530,112 @@ def streaming_asof_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_bounded_df(out, timeout=1800).withColumnRenamed("ts", "event_ts")
 
     return _cached_canon(spark, sf_dir, "streaming_asof_replay", build)
+
+
+# --------------------------------------------------------------------
+# Round 8 (continued): in-engine model training + mixing extensions
+# --------------------------------------------------------------------
+
+
+def _perceptron_oracle(rounds: int = 3) -> str:
+    """Unrolled DuckDB replay of ``classifier.perceptron_curve`` on the
+    documents quality task: integer features, integer updates — every
+    round's weights and error counts are bit-identical to the Spark
+    training loop (the same engine-exactness argument as the k-means /
+    PageRank / BPE oracles, with no rounding needed at all because the
+    math never leaves int64)."""
+    stop_list = ", ".join("'" + w + "'" for w in STOPWORDS)
+    mis = "(y * (w0 + w1*x1 + w2*x2 + w3*x3) <= 0)"
+    ctes = f"""
+WITH __f0 AS (
+  SELECT len(string_split(text, ' ')) AS x1,
+         length(text) AS x2,
+         len(list_filter(string_split(text, ' '), w -> w IN ({stop_list}))) AS x3
+  FROM documents WHERE text IS NOT NULL),
+__f AS (
+  SELECT x1, x2, x3,
+         CASE WHEN x1 >= 5 AND x1 <= 1000
+                   AND x3 * 1.0 / x1 <= 0.5
+                   AND (x2 - (x1 - 1)) * 1.0 / x1 >= 2.0
+                   AND (x2 - (x1 - 1)) * 1.0 / x1 <= 12.0
+              THEN 1 ELSE -1 END AS y
+  FROM __f0),
+__w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)"""
+    selects = []
+    for r in range(rounds + 1):
+        ctes += f""",
+__a{r} AS (SELECT count(*) AS n_tot,
+  count(*) FILTER (WHERE {mis}) AS n_err,
+  coalesce(sum(y)      FILTER (WHERE {mis}), 0) AS u0,
+  coalesce(sum(y * x1) FILTER (WHERE {mis}), 0) AS u1,
+  coalesce(sum(y * x2) FILTER (WHERE {mis}), 0) AS u2,
+  coalesce(sum(y * x3) FILTER (WHERE {mis}), 0) AS u3
+  FROM __f CROSS JOIN __w{r})"""
+        if r < rounds:
+            ctes += f""",
+__w{r + 1} AS (SELECT CAST(w0 + u0 AS BIGINT) AS w0, CAST(w1 + u1 AS BIGINT) AS w1,
+                      CAST(w2 + u2 AS BIGINT) AS w2, CAST(w3 + u3 AS BIGINT) AS w3
+               FROM __w{r} CROSS JOIN __a{r})"""
+        selects.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, CAST(n_err AS BIGINT) AS n_errors, "
+            f"CAST(n_tot AS BIGINT) AS n_total, "
+            f"CASE WHEN n_tot > 0 THEN round(n_err * 1.0 / n_tot, 6) END AS error_rate "
+            f"FROM __a{r}"
+        )
+    return ctes + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@_q(
+    "quality_perceptron_curve",
+    _perceptron_oracle(3),
+    "Extension (iterative algorithm #5: in-engine model TRAINING): a batch perceptron "
+    "learns the rule-based quality gate from integer text features (n_words, n_chars, "
+    "n_stopwords + bias) — 3 training rounds, each ONE partial-aggregated pass over a "
+    "persisted map-only feature frame collecting d+2 longs; weights are int64 so the "
+    "whole curve is bit-identical in any engine/partitioning and the oracle replays "
+    "training round by round.  Emits (round, n_errors, n_total, error_rate) for rounds "
+    "0..3 — the convergence curve of the learned FastText-style quality filter.",
+)
+def quality_perceptron_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import curve_frame, perceptron_curve
+    from ..operators.text import _quality_signals, quality_ok
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    n_words, n_chars, n_stop, _, _ = _quality_signals("text")
+    feats = docs.select(
+        n_words.cast("long").alias("x1"),
+        n_chars.cast("long").alias("x2"),
+        n_stop.cast("long").alias("x3"),
+        F.when(quality_ok("text"), F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("y"),
+    )
+    curve, _w = perceptron_curve(feats, ["x1", "x2", "x3"], "y", rounds=3)
+    return curve_frame(spark, curve)
+
+
+@_q(
+    "corpus_temperature_mix",
+    """
+WITH __c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+__s AS (SELECT lang, n_docs,
+               CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS sd
+        FROM __c),
+__t AS (SELECT sum(n_docs) AS tot, sum(sd) AS tsd FROM __s)
+SELECT lang, n_docs,
+       round(CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+       round(CAST(sd AS DOUBLE) / CAST(tsd AS DOUBLE), 6) AS temp_weight,
+       round((CAST(sd AS DOUBLE) / CAST(tsd AS DOUBLE))
+             / (CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE)), 6) AS boost
+FROM __s CROSS JOIN __t
+""",
+    "Extension (multilingual training-mix design): temperature-smoothed per-language "
+    "sampling weights, p_l proportional to n_l^0.5 (the mBERT/XLM-R alpha-sampling "
+    "recipe at T=0.5) — sqrt is the one power IEEE specifies as correctly rounded, so "
+    "the smoothing is engine-exact with no transcendental in sight; smoothed values fix "
+    "to 6 dp micro-units before the groups-sized BIGINT normalizer sum.  One group-by "
+    "shuffle, then 1-row broadcast totals; boost > 1 marks upsampled tail languages.",
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import temperature_mix
+
+    return temperature_mix(load_table(spark, sf_dir, "documents"), "lang")
