@@ -120,3 +120,25 @@ def curve_frame(spark: SparkSession, curve: list[tuple[int, int, int]]) -> DataF
             F.round(F.col("n_errors").cast("double") / F.col("n_total").cast("double"), 6),
         ),
     )
+
+
+def score_expr(weights: Sequence[int], feature_exprs: Sequence) -> F.Column:
+    """Map-side scoring with FROZEN integer weights: ``sign(w . x)``
+    with the boundary classed negative (the training convention —
+    dot <= 0 predicts -1).  The weights ride the plan as int64
+    literals, so the projection is shuffle-free, whole-stage-codegen,
+    and works unchanged on batch and STREAMING frames (the bpe
+    ``apply_merges`` train-offline/apply-online pattern).
+
+    *weights* is [w_0 .. w_d] including the bias; *feature_exprs* are
+    the d feature Columns (the bias x_0 = 1 is implied)."""
+    if len(weights) != len(feature_exprs) + 1:
+        raise ValueError(
+            f"score_expr: {len(weights)} weights need "
+            f"{len(weights) - 1} features, got {len(feature_exprs)}"
+        )
+    dot = sum(
+        (F.lit(int(w)) * x for w, x in zip(weights[1:], feature_exprs)),
+        start=F.lit(int(weights[0])).cast("long"),
+    )
+    return F.when(dot > 0, F.lit(1)).otherwise(F.lit(-1)).cast("long")

@@ -9537,23 +9537,26 @@ def streaming_asof_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 
-def _perceptron_oracle(rounds: int = 3) -> str:
-    """Unrolled DuckDB replay of ``classifier.perceptron_curve`` on the
-    documents quality task: integer features, integer updates — every
-    round's weights and error counts are bit-identical to the Spark
-    training loop (the same engine-exactness argument as the k-means /
-    PageRank / BPE oracles, with no rounding needed at all because the
-    math never leaves int64)."""
+def _perceptron_ctes(rounds: int = 3) -> str:
+    """Shared DuckDB CTE prefix replaying ``classifier.perceptron_curve``
+    on the documents quality task: integer features, integer updates —
+    every round's weights and error counts are bit-identical to the
+    Spark training loop (the same engine-exactness argument as the
+    k-means / PageRank / BPE oracles, with no rounding needed at all
+    because the math never leaves int64).  Defines __f (doc_id, x1..x3,
+    y), per-round aggregates __a0..__a{rounds} and weight states
+    __w0..__w{rounds}."""
     stop_list = ", ".join("'" + w + "'" for w in STOPWORDS)
     mis = "(y * (w0 + w1*x1 + w2*x2 + w3*x3) <= 0)"
     ctes = f"""
 WITH __f0 AS (
-  SELECT len(string_split(text, ' ')) AS x1,
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS x1,
          length(text) AS x2,
          len(list_filter(string_split(text, ' '), w -> w IN ({stop_list}))) AS x3
   FROM documents WHERE text IS NOT NULL),
 __f AS (
-  SELECT x1, x2, x3,
+  SELECT doc_id, x1, x2, x3,
          CASE WHEN x1 >= 5 AND x1 <= 1000
                    AND x3 * 1.0 / x1 <= 0.5
                    AND (x2 - (x1 - 1)) * 1.0 / x1 >= 2.0
@@ -9562,7 +9565,6 @@ __f AS (
   FROM __f0),
 __w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
                 CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)"""
-    selects = []
     for r in range(rounds + 1):
         ctes += f""",
 __a{r} AS (SELECT count(*) AS n_tot,
@@ -9577,13 +9579,42 @@ __a{r} AS (SELECT count(*) AS n_tot,
 __w{r + 1} AS (SELECT CAST(w0 + u0 AS BIGINT) AS w0, CAST(w1 + u1 AS BIGINT) AS w1,
                       CAST(w2 + u2 AS BIGINT) AS w2, CAST(w3 + u3 AS BIGINT) AS w3
                FROM __w{r} CROSS JOIN __a{r})"""
-        selects.append(
-            f"SELECT CAST({r} AS BIGINT) AS round, CAST(n_err AS BIGINT) AS n_errors, "
-            f"CAST(n_tot AS BIGINT) AS n_total, "
-            f"CASE WHEN n_tot > 0 THEN round(n_err * 1.0 / n_tot, 6) END AS error_rate "
-            f"FROM __a{r}"
+    return ctes
+
+
+def _perceptron_oracle(rounds: int = 3) -> str:
+    """Training-curve view over :func:`_perceptron_ctes`."""
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS round, CAST(n_err AS BIGINT) AS n_errors, "
+        f"CAST(n_tot AS BIGINT) AS n_total, "
+        f"CASE WHEN n_tot > 0 THEN round(n_err * 1.0 / n_tot, 6) END AS error_rate "
+        f"FROM __a{r}"
+        for r in range(rounds + 1)
+    ]
+    return _perceptron_ctes(rounds) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _perceptron_shared(spark: SparkSession, sf_dir: str):
+    """Train the quality perceptron ONCE per (session, sf_dir) — the
+    curve and flags queries share the memoized (curve, weights) pair
+    (the memo stores plain python values; cache._release tolerates
+    non-frames).  Training is eager by contract, like
+    ``duplicate_components``."""
+    from ..operators.classifier import perceptron_curve
+    from ..operators.text import _quality_signals, quality_ok
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+        n_words, n_chars, n_stop, _, _ = _quality_signals("text")
+        feats = docs.select(
+            n_words.cast("long").alias("x1"),
+            n_chars.cast("long").alias("x2"),
+            n_stop.cast("long").alias("x3"),
+            F.when(quality_ok("text"), F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("y"),
         )
-    return ctes + "\n" + "\nUNION ALL\n".join(selects)
+        return perceptron_curve(feats, ["x1", "x2", "x3"], "y", rounds=3)
+
+    return _cached_canon(spark, sf_dir, "perceptron_quality_3r", build)
 
 
 @_q(
@@ -9598,19 +9629,46 @@ __w{r + 1} AS (SELECT CAST(w0 + u0 AS BIGINT) AS w0, CAST(w1 + u1 AS BIGINT) AS 
     "0..3 — the convergence curve of the learned FastText-style quality filter.",
 )
 def quality_perceptron_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.classifier import curve_frame, perceptron_curve
+    from ..operators.classifier import curve_frame
+
+    curve, _w = _perceptron_shared(spark, sf_dir)
+    return curve_frame(spark, curve)
+
+
+@_q(
+    "quality_perceptron_flags",
+    _perceptron_ctes(3)
+    + """
+SELECT doc_id, CAST(y AS BIGINT) AS label,
+       CAST(CASE WHEN (w0 + w1*x1 + w2*x2 + w3*x3) > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+       CAST(CASE WHEN (CASE WHEN (w0 + w1*x1 + w2*x2 + w3*x3) > 0 THEN 1 ELSE -1 END) <> y
+                 THEN 1 ELSE 0 END AS INT) AS is_error
+FROM __f CROSS JOIN __w3
+""",
+    "Extension (the APPLY half of in-engine training — train offline, score online): "
+    "every document scored by the trained perceptron's final int64 weights as a pure "
+    "map-side projection (the weights ride the plan as literals, like bpe apply's "
+    "frozen merge folds — the same projection works unchanged on a streaming frame); "
+    "emits per-doc rule label, model prediction and disagreement flag.  Shares the "
+    "memoized training run with quality_perceptron_curve.",
+)
+def quality_perceptron_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import score_expr
     from ..operators.text import _quality_signals, quality_ok
 
+    _curve, w = _perceptron_shared(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     n_words, n_chars, n_stop, _, _ = _quality_signals("text")
-    feats = docs.select(
-        n_words.cast("long").alias("x1"),
-        n_chars.cast("long").alias("x2"),
-        n_stop.cast("long").alias("x3"),
-        F.when(quality_ok("text"), F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("y"),
+    y = F.when(quality_ok("text"), F.lit(1)).otherwise(F.lit(-1)).cast("long")
+    pred = score_expr(
+        w, [n_words.cast("long"), n_chars.cast("long"), n_stop.cast("long")]
     )
-    curve, _w = perceptron_curve(feats, ["x1", "x2", "x3"], "y", rounds=3)
-    return curve_frame(spark, curve)
+    return docs.select(
+        "doc_id",
+        y.alias("label"),
+        pred.alias("pred"),
+        (pred != y).cast("int").alias("is_error"),
+    )
 
 
 @_q(

@@ -139,3 +139,39 @@ def test_temperature_mix_rejects_other_temperatures(spark):
 def test_temperature_mix_empty(spark):
     df = spark.createDataFrame([], "lang string")
     assert temperature_mix(df, "lang").count() == 0
+
+
+def test_score_expr_streaming_apply_matches_batch(spark, tmp_path):
+    """Train-offline/apply-online: the frozen-weight scoring projection
+    is stateless and shuffle-free, so it runs unchanged on a streaming
+    frame (the bpe apply pattern) — bounded replay equals the batch
+    scores row for row."""
+    from flinkecuserbehavioranalysis_spark.operators.classifier import score_expr
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import run_bounded
+
+    rows = [(i, (i * 7) % 13, (i * 3) % 5) for i in range(40)]
+    batch = spark.createDataFrame(rows, "id long, x1 long, x2 long")
+    src = str(tmp_path / "scored_src")
+    batch.coalesce(2).write.parquet(src)
+
+    w = [-4, 1, -2]  # bias, w1, w2 — arbitrary frozen weights
+
+    def scored(df):
+        return df.select(
+            "id", score_expr(w, [F.col("x1"), F.col("x2")]).alias("pred")
+        )
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    got = {r.id: r.pred for r in run_bounded(scored(stream))}
+    exp = {r.id: r.pred for r in scored(batch).collect()}
+    assert got == exp
+    # and the convention: boundary (dot == 0) predicts -1
+    naive = {i: (1 if (-4 + x1 - 2 * x2) > 0 else -1) for i, x1, x2 in rows}
+    assert got == naive
+
+
+def test_score_expr_weight_arity_checked(spark):
+    from flinkecuserbehavioranalysis_spark.operators.classifier import score_expr
+
+    with pytest.raises(ValueError, match="weights"):
+        score_expr([1, 2], [F.col("a"), F.col("b")])
