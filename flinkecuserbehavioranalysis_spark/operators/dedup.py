@@ -961,3 +961,102 @@ def incremental_dedup_flags(
             .alias("is_dup"),
         )
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (Chaudhuri et al.
+    ICDE'06 / Xiao et al. WWW'08 "ppjoin" family, public literature) —
+    every pair with shingle Jaccard >= *threshold*, with NO df-cap
+    recall compromise (contrast ``ngram_jaccard_pairs(df_max=...)``,
+    which silently drops pairs whose overlap rides hot shingles).
+
+    The prefix theorem: order each document's shingles by one GLOBAL
+    canonical order (rarest-df first, shingle text as tiebreak — a total
+    order, so both engines agree) and keep only the first
+    ``p = sz - ceil(t*sz) + 1`` as its prefix.  If J(A,B) >= t then
+    |A∩B| >= ceil(t*max(|A|,|B|)), so the intersection cannot fit
+    entirely in both suffixes — the prefixes must share a shingle.
+    Candidates therefore come from a self-join of the PREFIX index
+    only; rare-first ordering makes prefix postings short (a hot
+    shingle enters a prefix only for docs with almost nothing rarer).
+    A length filter (min >= t*max, also implied by J >= t) prunes
+    before verification.
+
+    Verification is exact and candidate-bounded: per-doc sorted shingle
+    arrays (doc-bounded rows) join the candidate pair set and
+    ``array_intersect`` computes |A∩B| map-side — never a second
+    token-level self-join.  The emitted jaccard is the raw IEEE double
+    ratio (engine-identical; see ``ngram_jaccard_pairs`` for why no
+    rounding).
+
+    Use *threshold* values with exact binary representation (0.5, 0.75,
+    0.625 ...) so ``ceil(t*sz)`` can never straddle an engine-specific
+    float boundary.
+
+    Cost shape: shingle explode (map-only) → one df shuffle → one
+    doc-keyed window to rank prefixes (doc-bounded sorts) → prefix-index
+    self-join (Σ prefix-df² pairs, the quantity the rare-first order
+    minimizes) → candidate-sized verify joins.  Returns (doc_a, doc_b,
+    jaccard)."""
+    from pyspark.sql import Window
+
+    # three consumers (df counts, the ranking join, the verify arrays)
+    # read the distinct shingle relation — persist so the explode +
+    # distinct shuffle runs once
+    sh = shingles(docs, id_col, text_col, n).persist()
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy(id_col).orderBy("__df", "sh")
+    pref = (
+        sh.join(dfreq, "sh")
+        .withColumn("__rn", F.row_number().over(w))
+        .join(sizes, id_col)
+        .filter(
+            F.col("__rn")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + F.lit(1)
+        )
+        .select(F.col(id_col), F.col("sh"), F.col("sz"))
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(
+            F.least(F.col("a.sz"), F.col("b.sz"))
+            >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    # collect_list order is nondeterministic, but only the SIZE of the
+    # intersection is consumed — order-independent, so no sort needed
+    toks = sh.groupBy(id_col).agg(
+        F.collect_list("sh").alias("__arr"),
+        F.count(F.lit(1)).alias("__sz"),
+    )
+    ta = toks.select(
+        F.col(id_col).alias("doc_a"), F.col("__arr").alias("__aa"), F.col("__sz").alias("sza")
+    )
+    tb = toks.select(
+        F.col(id_col).alias("doc_b"), F.col("__arr").alias("__ab"), F.col("__sz").alias("szb")
+    )
+    ver = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("__aa", "__ab")).cast("long"))
+        .withColumn(
+            "jaccard", F.col("common") / (F.col("sza") + F.col("szb") - F.col("common"))
+        )
+    )
+    return ver.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")

@@ -1454,3 +1454,61 @@ def test_forward_as_of_null_left_ts_keeps_null_payload(spark):
         left, right, key="k", left_ts="t", right_ts="rt",
         right_payload=["rid"], direction="forward").collect()}
     assert rows == {1: None, 2: 99}
+
+
+@given(doc_inputs(), st.sampled_from([0.25, 0.5, 0.75]))
+@settings(max_examples=10, deadline=None)
+def test_prefix_filter_jaccard_matches_naive(spark, docs, threshold):
+    """The prefix-filter join must return EXACTLY the naive all-pairs
+    Jaccard >= t result — completeness (the prefix theorem never loses a
+    qualifying pair) and precision (verification is exact) in one
+    assert.  Exact-binary thresholds only, per the operator contract."""
+    from flinkecuserbehavioranalysis_spark.operators.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filter_pairs(df, threshold=threshold).collect()
+    }
+
+    def sh(text):
+        ws = text.split(" ")
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)} if len(ws) >= 3 else set()
+
+    expect = {}
+    for i, ta in docs:
+        for j, tb in docs:
+            if i < j:
+                a, b = sh(ta), sh(tb)
+                if a & b:
+                    jac = len(a & b) / len(a | b)
+                    if jac >= threshold:
+                        expect[(i, j)] = jac
+    assert got == expect
+
+
+def test_prefix_filter_planted_duplicates_full_recall(spark):
+    """Planted near-identical pairs that share a CORPUS-WIDE HOT shingle
+    as their overlap: the df-capped operator structurally misses them
+    (the hot shingle is dropped), the prefix filter must not."""
+    from flinkecuserbehavioranalysis_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    hot = "the quick fox"  # one shingle shared by EVERY doc
+    rows = [(i, f"{hot} filler{i} filler{i} tail{i} tail{i}") for i in range(50)]
+    # two planted duplicate pairs: identical texts -> jaccard 1.0
+    rows += [(100, f"{hot} copy one body"), (101, f"{hot} copy one body")]
+    rows += [(200, f"{hot} copy two body"), (201, f"{hot} copy two body")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_pairs(df, threshold=0.5).collect()
+    }
+    assert {(100, 101), (200, 201)} <= got
+    # the df-capped variant with a binding cap loses shingles of the
+    # planted pairs; with cap=1 every shared shingle dies -> no pairs
+    capped = ngram_jaccard_pairs(df, threshold=0.5, df_max=1).collect()
+    assert not capped
