@@ -1051,9 +1051,16 @@ def prefix_filter_pairs(
     tb = toks.select(
         F.col(id_col).alias("doc_b"), F.col("__arr").alias("__ab"), F.col("__sz").alias("szb")
     )
+    # shuffle-hash hints: the planner's size estimate for the array-
+    # carrying toks relation is rows-based and WAY under its true bytes
+    # (each row drags a whole shingle array), so AQE happily picks a
+    # broadcast that OOMs the driver at 100x bench SF (observed at
+    # sf10: "Not enough memory to build and broadcast").  SHJ builds
+    # per-partition maps instead — no driver materialization at any
+    # scale, and at test SF it costs only a small-relation shuffle.
     ver = (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
+        cand.join(ta.hint("shuffle_hash"), "doc_a")
+        .join(tb.hint("shuffle_hash"), "doc_b")
         .withColumn("common", F.size(F.array_intersect("__aa", "__ab")).cast("long"))
         .withColumn(
             "jaccard", F.col("common") / (F.col("sza") + F.col("szb") - F.col("common"))

@@ -9737,3 +9737,51 @@ def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.75
     )
+
+
+@_q(
+    "dedup_threshold_sweep",
+    f"""
+WITH {_SHINGLE_CTE},
+__rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM __sh GROUP BY sh)
+           WHERE df <= 64),
+__shf AS (SELECT s.doc_id, s.sh FROM __sh s JOIN __rare USING (sh)),
+__sz AS (SELECT doc_id, count(*) AS sz FROM __shf GROUP BY doc_id),
+__c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM __shf a JOIN __shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+__j AS (SELECT doc_a, doc_b,
+               common * 1.0 / (x.sz + y.sz - common) AS jac
+        FROM __c JOIN __sz x ON doc_a = x.doc_id JOIN __sz y ON doc_b = y.doc_id),
+__t AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold),
+__p AS (SELECT t.threshold, j.doc_a, j.doc_b FROM __t t JOIN __j j ON j.jac >= t.threshold),
+__d AS (SELECT threshold, doc_a AS doc FROM __p UNION SELECT threshold, doc_b FROM __p)
+SELECT p.threshold, p.n_pairs, d.n_docs_flagged
+FROM (SELECT threshold, count(*) AS n_pairs FROM __p GROUP BY threshold) p
+JOIN (SELECT threshold, count(*) AS n_docs_flagged FROM __d GROUP BY threshold) d
+  USING (threshold)
+""",
+    "Extension (dedup tuning report): near-duplicate pair count and flagged-doc count "
+    "as a function of the Jaccard threshold (0.5..0.9) — the curve an operator reads "
+    "before picking a dedup cutoff.  One broadcast seed join over the session-shared "
+    "pair-intersection relation (df<=64-capped, memoized): the sweep costs five "
+    "filter+count passes over a pair-set-sized cached frame, never a second shingle "
+    "self-join.",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inter = _doc_pair_intersections(spark, sf_dir)
+    jac = inter.select(
+        "doc_a",
+        "doc_b",
+        (F.col("common") / (F.col("sza") + F.col("szb") - F.col("common"))).alias("jac"),
+    )
+    th = spark.createDataFrame([(t,) for t in (0.5, 0.6, 0.7, 0.8, 0.9)], "threshold double")
+    p = jac.join(F.broadcast(th), F.col("jac") >= F.col("threshold"))
+    pairs = p.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    docs = (
+        p.select("threshold", F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n_docs_flagged"))
+    )
+    return pairs.join(docs, "threshold")
