@@ -128,3 +128,74 @@ def association_rules(
         F.desc("confidence"), F.desc("support"), F.asc("antecedent"), F.asc("consequent")
     )
     return ordered.limit(topk) if topk else ordered
+
+
+def cooccurrence_similarity(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    min_support: int = 3,
+    activity_cap: int = 200,
+) -> DataFrame:
+    """Item-to-item co-occurrence cosine — the classic "users who
+    touched X also touched Y" item-based CF statistic (Linden et al.
+    IEEE IC'03, public literature): for items a < b,
+
+        cos(a, b) = |U_a ∩ U_b| / sqrt(|U_a| * |U_b|)
+
+    over distinct (user, item) interactions.
+
+    Scale shape: the pair explosion is the user-keyed self-join, so the
+    cost is Σ_u |items_u|² — a hyperactive user (crawler, bot, power
+    account) is the one thing that can blow it up.  *activity_cap*
+    bounds every user's contribution to its *cap* deterministically
+    chosen items (md5 rank with item tiebreak — engine-stable, not
+    top-recency, so the sample is unbiased across items); |U_i| counts
+    are taken AFTER capping so the cosine stays internally consistent.
+    At test SF the cap never binds; at 100 TB it is the difference
+    between Σ min(\|items_u\|, cap)² and an unbounded quadratic.
+
+    sqrt of the exact int64 product is IEEE-correctly-rounded, and the
+    final division is single — both engine-identical; no rounding
+    applied (integer-ratio dyadics, see ``ngram_jaccard_pairs``).
+
+    Returns (item_a, item_b, n_both, n_a, n_b, cos_sim) for pairs with
+    ``n_both >= min_support``."""
+    from pyspark.sql import Window
+
+    ui = (
+        interactions.select(F.col(user_col).alias("u"), F.col(item_col).alias("i"))
+        .filter(F.col("u").isNotNull() & F.col("i").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("u").orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
+    ui = (
+        ui.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= activity_cap)
+        .drop("__rn")
+    )
+    freq = ui.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ui.alias("a"), ui.alias("b")
+    both = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.i") < F.col("b.i")))
+        .groupBy(F.col("a.i").alias("item_a"), F.col("b.i").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_support)
+    )
+    fa = freq.select(F.col("i").alias("item_a"), F.col("n").alias("n_a"))
+    fb = freq.select(F.col("i").alias("item_b"), F.col("n").alias("n_b"))
+    return (
+        both.join(fa, "item_a")
+        .join(fb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_both")
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+            ).alias("cos_sim"),
+        )
+    )

@@ -9785,3 +9785,43 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs_flagged"))
     )
     return pairs.join(docs, "threshold")
+
+
+@_q(
+    "item_cooccurrence_similarity",
+    """
+WITH __ui AS (
+  SELECT DISTINCT user_id AS u, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
+  FROM events
+  WHERE user_id IS NOT NULL AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+__cap AS (
+  SELECT u, i FROM (
+    SELECT u, i, row_number() OVER (PARTITION BY u ORDER BY md5(CAST(i AS VARCHAR)), i) AS rn
+    FROM __ui)
+  WHERE rn <= 200),
+__f AS (SELECT i, count(*) AS n FROM __cap GROUP BY i),
+__b AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_both
+        FROM __cap a JOIN __cap b ON a.u = b.u AND a.i < b.i
+        GROUP BY 1, 2
+        HAVING count(*) >= 3)
+SELECT b.item_a, b.item_b, b.n_both, fa.n AS n_a, fb.n AS n_b,
+       b.n_both / sqrt(CAST(fa.n * fb.n AS DOUBLE)) AS cos_sim
+FROM __b b JOIN __f fa ON b.item_a = fa.i JOIN __f fb ON b.item_b = fb.i
+""",
+    "Extension (item-based collaborative filtering — the reference's own EC domain): "
+    "item-to-item co-occurrence cosine over distinct (user, item-prop) interactions "
+    "(Linden et al. item2item CF) — the user-keyed pair explosion is bounded by a "
+    "deterministic md5-rank per-user activity cap (sum of min(|items_u|, cap)^2, never "
+    "corpus-quadratic; counts taken post-cap so the cosine stays consistent); sqrt of "
+    "the exact int64 product is IEEE-exact in both engines.",
+)
+def item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.itemsets import cooccurrence_similarity
+    from ..functions.scalar import props_field
+
+    ev = load_table(spark, sf_dir, "events").select(
+        # try_cast: a malformed props value must become a NULL interaction
+        # (dropped by the operator), never an ANSI cast error
+        "user_id", props_field("props", "k").try_cast("long").alias("item")
+    )
+    return cooccurrence_similarity(ev, "user_id", "item", min_support=3, activity_cap=200)

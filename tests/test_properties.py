@@ -1512,3 +1512,68 @@ def test_prefix_filter_planted_duplicates_full_recall(spark):
     # planted pairs; with cap=1 every shared shingle dies -> no pairs
     capped = ngram_jaccard_pairs(df, threshold=0.5, df_max=1).collect()
     assert not capped
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 9)),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_cooccurrence_similarity_matches_naive(spark, pairs):
+    from flinkecuserbehavioranalysis_spark.operators.itemsets import (
+        cooccurrence_similarity,
+    )
+
+    df = spark.createDataFrame(pairs, "u long, i long") if pairs else spark.createDataFrame([], "u long, i long")
+    got = {
+        (r.item_a, r.item_b): (r.n_both, r.n_a, r.n_b, r.cos_sim)
+        for r in cooccurrence_similarity(df, "u", "i", min_support=1).collect()
+    }
+
+    import math
+    from collections import defaultdict
+
+    users = defaultdict(set)
+    for u, i in set(pairs):
+        users[i].add(u)
+    expect = {}
+    items = sorted(users)
+    for x in range(len(items)):
+        for y in range(x + 1, len(items)):
+            a, b = items[x], items[y]
+            co = len(users[a] & users[b])
+            if co >= 1:
+                expect[(a, b)] = (
+                    co, len(users[a]), len(users[b]),
+                    co / math.sqrt(len(users[a]) * len(users[b])),
+                )
+    assert got == expect
+
+
+def test_cooccurrence_activity_cap_binds_deterministically(spark):
+    """A hyperactive user contributes only its cap's worth of items —
+    and which items survive is a pure function of the values (md5
+    rank), not of partitioning."""
+    from flinkecuserbehavioranalysis_spark.operators.itemsets import (
+        cooccurrence_similarity,
+    )
+
+    rows = [(1, i) for i in range(30)] + [(2, 5), (2, 7), (3, 5), (3, 7)]
+    out1 = cooccurrence_similarity(
+        spark.createDataFrame(rows, "u long, i long").repartition(1),
+        "u", "i", min_support=1, activity_cap=4,
+    ).collect()
+    out13 = cooccurrence_similarity(
+        spark.createDataFrame(rows, "u long, i long").repartition(13),
+        "u", "i", min_support=1, activity_cap=4,
+    ).collect()
+    k1 = {(r.item_a, r.item_b): r.n_both for r in out1}
+    assert k1 == {(r.item_a, r.item_b): r.n_both for r in out13}
+    # user 1's quadratic contribution is C(4,2)=6 pairs, not C(30,2)
+    user1_only = [p for p, n in k1.items() if n == 1 and p != (5, 7)]
+    assert len(user1_only) <= 6
+    # pair (5,7) from users 2 and 3 always survives (not capped)
+    assert k1[(5, 7)] >= 2
