@@ -9825,3 +9825,75 @@ def item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", props_field("props", "k").try_cast("long").alias("item")
     )
     return cooccurrence_similarity(ev, "user_id", "item", min_support=3, activity_cap=200)
+
+
+@_q(
+    "events_temporal_split_audit",
+    """
+WITH __e AS (SELECT event_id, user_id, ts FROM events
+             WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+__d AS (SELECT user_id,
+               CASE WHEN ntile(10) OVER (ORDER BY ts, event_id) <= 9
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM __e),
+__s AS (SELECT split, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM __d GROUP BY split),
+__u AS (SELECT DISTINCT split, user_id FROM __d WHERE user_id IS NOT NULL),
+__x AS (SELECT a.split, count(*) AS users_in_both
+        FROM __u a JOIN __u b ON a.user_id = b.user_id AND a.split <> b.split
+        GROUP BY a.split)
+SELECT s.split, s.n_events, s.n_users,
+       CAST(coalesce(x.users_in_both, 0) AS BIGINT) AS users_in_both,
+       CASE WHEN s.n_users > 0
+            THEN round(coalesce(x.users_in_both, 0) * 1.0 / s.n_users, 6) END AS overlap_share
+FROM __s s LEFT JOIN __x x USING (split)
+""",
+    "Extension (temporal train/eval splitting — the leakage-safe split for TIME-ordered "
+    "data, where a hash split would train on the future): the first 9 exact time-deciles "
+    "are train, the last is eval, computed by the distributed global_ntile over a total "
+    "(ts, event_id) order — NO single-partition window at any event count; reports "
+    "per-split volumes plus the cross-split user overlap (users present in both = "
+    "user-level memorization risk a user-keyed model must handle).",
+)
+def events_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_ntile
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+        .select("event_id", "user_id", "ts")
+    )
+    d = global_ntile(ev, [F.col("ts"), F.col("event_id")], 10, bucket_col="__b").select(
+        "user_id",
+        F.when(F.col("__b") <= 9, F.lit("train")).otherwise(F.lit("eval")).alias("split"),
+    )
+    s = d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    u = d.where(F.col("user_id").isNotNull()).select("split", "user_id").distinct()
+    a, b = u.alias("a"), u.alias("b")
+    x = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.split") != F.col("b.split")),
+        )
+        .groupBy(F.col("a.split").alias("split"))
+        .agg(F.count(F.lit(1)).alias("users_in_both"))
+    )
+    return s.join(x, "split", "left").select(
+        "split",
+        "n_events",
+        "n_users",
+        F.coalesce(F.col("users_in_both"), F.lit(0)).cast("long").alias("users_in_both"),
+        F.when(
+            F.col("n_users") > 0,
+            F.round(
+                F.coalesce(F.col("users_in_both"), F.lit(0)).cast("double")
+                / F.col("n_users").cast("double"),
+                6,
+            ),
+        ).alias("overlap_share"),
+    )
