@@ -55,6 +55,9 @@ _DRIVER_PRIORITY = {
     "streaming_cep_negation_replay",
     "streaming_last_touch_replay",
     "streaming_asof_replay",
+    # round-8 continuation: the funnel kernel's replay (the last
+    # pytest-only applyInPandasWithState family)
+    "streaming_funnel_replay",
 }
 
 

@@ -9897,3 +9897,51 @@ def events_temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("overlap_share"),
     )
+
+
+@_q(
+    "streaming_funnel_replay",
+    """
+WITH __e AS (
+  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+         epoch(ts) AS tse
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND epoch(ts) > 0 AND epoch(ts) < 9200000000),
+__s1 AS (SELECT user_id, day, min(tse) AS t0 FROM __e
+         WHERE event_type = 'view' GROUP BY 1, 2),
+__s2 AS (SELECT e.user_id, e.day, min(e.tse) AS t1
+         FROM __e e JOIN __s1 s USING (user_id, day)
+         WHERE e.event_type = 'click' AND e.tse > s.t0 GROUP BY 1, 2),
+__s3 AS (SELECT e.user_id, e.day, min(e.tse) AS t2
+         FROM __e e JOIN __s2 s USING (user_id, day)
+         WHERE e.event_type = 'purchase' AND e.tse > s.t1 GROUP BY 1, 2)
+SELECT user_id, day, CAST(1 AS INT) AS step, CAST(floor(t0) AS BIGINT) AS step_ts FROM __s1
+UNION ALL
+SELECT user_id, day, CAST(2 AS INT), CAST(floor(t1) AS BIGINT) FROM __s2
+UNION ALL
+SELECT user_id, day, CAST(3 AS INT), CAST(floor(t2) AS BIGINT) FROM __s3
+""",
+    "Extension (the streaming funnel kernel, driver-hashable — extends the round-7/8 "
+    "replay pattern to the last pytest-only kernel family): bounded replay through "
+    "streaming/stateful.streaming_funnel — (user, day)-keyed state of three first-touch "
+    "anchor slots, one row per step advancement.  The greedy take-if-unclaimed-and-"
+    "strictly-later transition on a time-ordered replay selects exactly the batch "
+    "conditional-min chain (anchor VALUES are tie-order-free: a min is a min), so the "
+    "oracle is funnel_daily_conversion's per-(user, day) anchor front half restricted "
+    "to the replay domain — full-precision epoch comparisons, floor only at emission, "
+    "matching the kernel's float math.",
+)
+def streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import read_events_stream, run_bounded_df
+    from ..streaming.stateful import streaming_funnel
+
+    def build() -> DataFrame:
+        stream = (
+            read_events_stream(spark, sf_dir)
+            .where(F.col("user_id").isNotNull() & _replay_ts_ok())
+            .select("user_id", "ts", "event_type")
+        )
+        return run_bounded_df(streaming_funnel(stream))
+
+    return _cached_canon(spark, sf_dir, "streaming_funnel_replay", build)

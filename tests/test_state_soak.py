@@ -102,7 +102,7 @@ def _soak(spark, tmp_path, pdf, schema_ddl, kernel) -> list[int]:
 
 
 @pytest.mark.parametrize(
-    "kernel_name", ["login_fail", "pattern_sequence", "last_touch"]
+    "kernel_name", ["login_fail", "pattern_sequence", "last_touch", "funnel"]
 )
 def test_keyed_nontimeout_state_plateaus_at_key_cardinality(
     spark, tmp_path, kernel_name
@@ -126,10 +126,22 @@ def test_keyed_nontimeout_state_plateaus_at_key_cardinality(
             "value": (i % 7).astype("float64"),
         }
     )
+    expected_keys = n_keys
     if kernel_name == "login_fail":
         kernel = lambda s: streaming_login_fail(s, max_gap_seconds=3600.0)  # noqa: E731
     elif kernel_name == "last_touch":
         kernel = streaming_last_touch
+    elif kernel_name == "funnel":
+        # the funnel keys on (user, DAY) and the 2.7 h soak window
+        # crosses midnight UTC — expected cardinality is (user, day)
+        from flinkecuserbehavioranalysis_spark.streaming.stateful import (
+            streaming_funnel,
+        )
+
+        kernel = streaming_funnel
+        days = pdf["ts"].dt.strftime("%Y-%m-%d")
+        expected_keys = len(set(zip(pdf["user_id"], days)))
+        assert expected_keys > n_keys  # the midnight crossing is real
     else:
         kernel = lambda s: streaming_pattern_sequence(  # noqa: E731
             s,
@@ -151,11 +163,19 @@ def test_keyed_nontimeout_state_plateaus_at_key_cardinality(
         kernel,
     )
     assert len(series) >= 20, f"soak too short: {len(series)} state batches"
-    # every key appears in batch 1 (slice 0 holds 80 events of 40 keys):
-    # the series must plateau at n_keys immediately and NEVER grow past
-    # it — state tracks keys, not the 24 batches of events
-    assert max(series) == n_keys, series
-    assert series[1:] == [n_keys] * (len(series) - 1), series
+    if kernel_name == "funnel":
+        # day-2 (user, day) keys only exist after the midnight crossing
+        # (~slice 16): the series must climb monotonically to the exact
+        # (user, day) cardinality and never past it
+        assert max(series) == expected_keys, series
+        assert series == sorted(series), series
+        assert series[-1] == expected_keys, series
+    else:
+        # every key appears in batch 1 (slice 0 holds 80 events of 40
+        # keys): the series must plateau at n_keys immediately and NEVER
+        # grow past it — state tracks keys, not the 24 batches of events
+        assert max(series) == expected_keys, series
+        assert series[1:] == [expected_keys] * (len(series) - 1), series
 
 
 def test_cep_nfa_parked_state_drained_by_watermark(spark, tmp_path):
