@@ -55,9 +55,11 @@ _DRIVER_PRIORITY = {
     "streaming_cep_negation_replay",
     "streaming_last_touch_replay",
     "streaming_asof_replay",
-    # round-8 continuation: the funnel kernel's replay (the last
-    # pytest-only applyInPandasWithState family)
+    # round-8 continuation: the funnel / looping-quantifier / iterative-
+    # condition kernels' replays (previously pytest-only families)
     "streaming_funnel_replay",
+    "streaming_one_or_more_replay",
+    "streaming_value_spike_replay",
 }
 
 

@@ -9945,3 +9945,116 @@ def streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run_bounded_df(streaming_funnel(stream))
 
     return _cached_canon(spark, sf_dir, "streaming_funnel_replay", build)
+
+
+@_q(
+    "streaming_one_or_more_replay",
+    """
+WITH __r AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(CASE WHEN event_type = 'view' THEN 0 ELSE 1 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS seg
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND ts IS NOT NULL
+    AND epoch(ts) > 0 AND epoch(ts) < 9200000000),
+__runs AS (SELECT user_id, seg + 1 AS seg, count(*) AS n_views, min(ts) AS first_a
+           FROM __r WHERE event_type = 'view' GROUP BY user_id, seg),
+__b AS (SELECT user_id, seg, ts AS b_ts FROM __r WHERE event_type = 'purchase')
+SELECT b.user_id, CAST(floor(epoch(r.first_a)) AS BIGINT) AS first_view_ts,
+       CAST(floor(epoch(b.b_ts)) AS BIGINT) AS purchase_ts, r.n_views
+FROM __b b JOIN __runs r ON r.user_id = b.user_id AND r.seg = b.seg
+WHERE epoch(b.b_ts) <= epoch(r.first_a) + 86400.0
+""",
+    "Extension (the CEP looping-quantifier kernel, driver-hashable): bounded replay "
+    "through streaming/stateful.streaming_one_or_more — oneOrMore().consecutive()"
+    ".greedy().next() as literally TWO numbers of state per key (trailing-run length + "
+    "first timestamp); each purchase with a live view-run inside 1 day emits once and "
+    "ends the run.  Oracle = pattern_view_burst_purchase's segment-id run restatement "
+    "restricted to the replay domain; emitted values are tie-order-free under the "
+    "(ts, event_id) total order both engines sort by.",
+)
+def streaming_one_or_more_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import read_events_stream, run_bounded_df
+    from ..streaming.stateful import streaming_one_or_more
+
+    def build() -> DataFrame:
+        stream = (
+            read_events_stream(spark, sf_dir)
+            .where(
+                F.col("user_id").isNotNull()
+                & F.col("event_id").isNotNull()
+                & _replay_ts_ok()
+            )
+            .select("user_id", "ts", "event_type", "event_id")
+        )
+        out = streaming_one_or_more(
+            stream,
+            key_col="user_id",
+            ts_col="ts",
+            a_pred=F.col("event_type") == "view",
+            b_pred=F.col("event_type") == "purchase",
+            within_seconds=86400.0,
+            tiebreak_col="event_id",
+        )
+        return run_bounded_df(out).select(
+            F.col("key").alias("user_id"),
+            F.col("first_a_ts").alias("first_view_ts"),
+            F.col("b_ts").alias("purchase_ts"),
+            F.col("n_a").alias("n_views"),
+        )
+
+    return _cached_canon(spark, sf_dir, "streaming_one_or_more_replay", build)
+
+
+@_q(
+    "streaming_value_spike_replay",
+    """
+WITH __l AS (
+  SELECT user_id, event_id, value, ts,
+         lag(value) OVER w AS prev_value,
+         lag(ts) OVER w AS prev_ts
+  FROM events
+  WHERE (value IS NULL OR isfinite(value))
+    AND user_id IS NOT NULL AND event_id IS NOT NULL AND ts IS NOT NULL
+    AND epoch(ts) > 0 AND epoch(ts) < 9200000000
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(floor(epoch(prev_ts)) AS BIGINT) AS prev_ts,
+       CAST(floor(epoch(ts)) AS BIGINT) AS spike_ts,
+       CAST(prev_value AS DOUBLE) AS prev_value, CAST(value AS DOUBLE) AS spike_value
+FROM __l
+WHERE prev_value IS NOT NULL AND value >= 2 * prev_value
+  AND epoch(ts) - epoch(prev_ts) <= 3600.0
+""",
+    "Extension (the IterativeCondition kernel, driver-hashable): bounded replay through "
+    "streaming/stateful.streaming_value_spike — ONE (ts, value) pair of state per user, "
+    "each event whose value at least doubles its predecessor within 1 h emits once.  "
+    "Oracle = pattern_value_spike's lag-window restatement restricted to the replay "
+    "domain; non-finite measures are excluded BEFORE pairing on both sides so run "
+    "adjacency agrees (a NULL value flows through both as a never-matching base).",
+)
+def streaming_value_spike_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import read_events_stream, run_bounded_df
+    from ..streaming.stateful import streaming_value_spike
+
+    def build() -> DataFrame:
+        stream = (
+            read_events_stream(spark, sf_dir)
+            .where(
+                _finite_or_null("value")
+                & F.col("user_id").isNotNull()
+                & F.col("event_id").isNotNull()
+                & _replay_ts_ok()
+            )
+            .select("user_id", "ts", "value", "event_id")
+        )
+        out = streaming_value_spike(stream)
+        return run_bounded_df(out).select(
+            F.col("key").alias("user_id"),
+            "prev_ts",
+            "spike_ts",
+            "prev_value",
+            "spike_value",
+        )
+
+    return _cached_canon(spark, sf_dir, "streaming_value_spike_replay", build)
