@@ -60,6 +60,8 @@ _DRIVER_PRIORITY = {
     "streaming_funnel_replay",
     "streaming_one_or_more_replay",
     "streaming_value_spike_replay",
+    "streaming_pattern_sequence_replay",
+    "streaming_not_followed_by_replay",
 }
 
 

@@ -10058,3 +10058,126 @@ def streaming_value_spike_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _cached_canon(spark, sf_dir, "streaming_value_spike_replay", build)
+
+
+@_q(
+    "streaming_pattern_sequence_replay",
+    """
+WITH __e AS (
+  SELECT user_id, event_type, event_id, ts
+  FROM events
+  WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND ts IS NOT NULL
+    AND epoch(ts) > 0 AND epoch(ts) < 9200000000),
+__p AS (
+  SELECT user_id, event_type, event_id, epoch(ts) AS tse,
+         min(CASE WHEN event_type = 'purchase' THEN epoch(ts) END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+  FROM __e),
+__c AS (
+  SELECT user_id, event_type, tse,
+         min(CASE WHEN event_type = 'click' AND np IS NOT NULL THEN tse END) OVER w AS t2,
+         min(CASE WHEN event_type = 'click' THEN np END) OVER w AS t3
+  FROM __p
+  WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+SELECT user_id,
+       CAST(floor(tse) AS BIGINT) AS step1_ts,
+       CAST(floor(t2) AS BIGINT) AS step2_ts,
+       CAST(floor(t3) AS BIGINT) AS step3_ts
+FROM __c
+WHERE event_type = 'view' AND t3 IS NOT NULL AND t3 - tse < 86400.0
+""",
+    "Extension (the N-step keyed-NFA kernel, driver-hashable): bounded replay through "
+    "streaming/stateful.streaming_pattern_sequence — 3-step view→click→purchase chains "
+    "per user within 24 h, relaxed contiguity; state = the active partial chains, "
+    "pruned per event once any completion is out of window.  Greedy first-match "
+    "advancement equals the batch lexicographically-earliest chain under uniform "
+    "relaxed contiguity (chain monotonicity), so the oracle is pattern_funnel_3step's "
+    "scalar reverse-window restatement restricted to the replay domain.",
+)
+def streaming_pattern_sequence_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import read_events_stream, run_bounded_df
+    from ..streaming.stateful import streaming_pattern_sequence
+
+    def build() -> DataFrame:
+        stream = (
+            read_events_stream(spark, sf_dir)
+            .where(
+                F.col("user_id").isNotNull()
+                & F.col("event_id").isNotNull()
+                & _replay_ts_ok()
+            )
+            .select("user_id", "ts", "event_type", "event_id")
+        )
+        out = streaming_pattern_sequence(
+            stream,
+            key_col="user_id",
+            ts_col="ts",
+            steps=[
+                F.col("event_type") == "view",
+                F.col("event_type") == "click",
+                F.col("event_type") == "purchase",
+            ],
+            within_seconds=86400.0,
+            contiguity="relaxed",
+            tiebreak_col="event_id",
+        )
+        return run_bounded_df(out).select(
+            F.col("key").alias("user_id"), "step1_ts", "step2_ts", "step3_ts"
+        )
+
+    return _cached_canon(spark, sf_dir, "streaming_pattern_sequence_replay", build)
+
+
+@_q(
+    "streaming_not_followed_by_replay",
+    """
+WITH __ev AS (SELECT user_id, event_type, ts FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND epoch(ts) > 0 AND epoch(ts) < 9200000000),
+__wm AS (SELECT max(epoch_ms(ts)) AS wm_ms FROM __ev),
+__f AS (SELECT user_id, epoch(ts) AS tse FROM __ev WHERE event_type = 'click'),
+__k AS (SELECT user_id, epoch(ts) AS tse FROM __ev WHERE event_type = 'error'),
+__nk AS (SELECT f.user_id, f.tse FROM __f f
+         WHERE NOT EXISTS (SELECT 1 FROM __k k
+                           WHERE k.user_id = f.user_id
+                             AND k.tse > f.tse AND k.tse < f.tse + 1800.0)),
+__fire AS (SELECT user_id, min(CAST(floor((tse + 1800.0) * 1000) AS BIGINT)) AS min_dl
+           FROM __nk GROUP BY user_id)
+SELECT n.user_id AS key, CAST(floor(n.tse) AS BIGINT) AS first_ts
+FROM __nk n JOIN __fire g USING (user_id) CROSS JOIN __wm
+WHERE g.min_dl < wm_ms
+  AND n.tse + 1800.0 <= CAST(wm_ms AS DOUBLE) / 1000.0
+""",
+    "Extension (the dedicated CEP-negation kernel, driver-hashable — distinct from the "
+    "NFA's trailing-negation path): clicks with NO error within 30 min through "
+    "streaming/stateful.streaming_not_followed_by — undecided firsts park in keyed "
+    "state, killers prune online, survivors flush on the EventTimeTimeout timer.  The "
+    "oracle encodes the kernel's exact two-part flush rule on a bounded replay: the "
+    "key's timer (min unkilled deadline, ms-floored) must fire STRICTLY below the "
+    "closing watermark, and each survivor needs tse + within <= wm (float64, the "
+    "kernel's own comparison) — the ms-exact-boundary anchor in a group whose earlier "
+    "pending fired is the one case the per-anchor strict rule alone would miss.",
+)
+def streaming_not_followed_by_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import read_events_stream, run_bounded_df
+    from ..streaming.stateful import streaming_not_followed_by
+
+    def build() -> DataFrame:
+        stream = (
+            read_events_stream(spark, sf_dir)
+            .where(F.col("user_id").isNotNull() & _replay_ts_ok())
+            .select("user_id", "ts", "event_type")
+        )
+        out = streaming_not_followed_by(
+            stream,
+            key_col="user_id",
+            ts_col="ts",
+            first_pred=F.col("event_type") == "click",
+            absent_pred=F.col("event_type") == "error",
+            within_seconds=1800.0,
+        )
+        return run_bounded_df(out)
+
+    return _cached_canon(spark, sf_dir, "streaming_not_followed_by_replay", build)
