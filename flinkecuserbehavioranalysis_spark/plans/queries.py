@@ -9942,7 +9942,10 @@ def streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("user_id").isNotNull() & _replay_ts_ok())
             .select("user_id", "ts", "event_type")
         )
-        return run_bounded_df(streaming_funnel(stream))
+        # (user, day)-keyed groups make this the widest-keyed replay:
+        # 172 s at sf1 — the default 300 s fail-loud guard would bind
+        # at sf10, so scale the bound like the as-of replay does
+        return run_bounded_df(streaming_funnel(stream), timeout=1800)
 
     return _cached_canon(spark, sf_dir, "streaming_funnel_replay", build)
 
