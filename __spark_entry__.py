@@ -41,6 +41,27 @@ def entry(spark: SparkSession) -> DataFrame:
 #: applyInPandasWithState, so they must reach the next driver window
 #: despite registering at the end).  Once checked, the last-checked key
 #: dominates and this list is inert.
+#: Names REGISTERED in round 9, deliberately held OUT of the round-9
+#: driver window (round-8 verdict #2: the r9 window must be the 22
+#: never-checked queries plus the 28 least-recently-checked round-1-era
+#: queries — a new registration would displace an LRU re-hash slot).
+#: While no CORRECTNESS_r09 record exists these names sort as if checked
+#: in round 9 (the very back); the moment the r9 record lands they are
+#: genuinely never-checked again and jump to the front of the r10
+#: window.  Self-retiring: once every name here has a real record the
+#: set is inert.
+_DEFER_PAST_R9 = {
+    "doc_quality_gopher_rules",
+    "docs_paragraph_dedup",
+    "corpus_contamination_ngram_overlap",
+    "reservoir_sample_documents",
+    "domain_quality_mix_report",
+    "token_ngram_perplexity",
+    "dedup_url_canonical",
+    "events_sessionized_stats",
+}
+
+
 _DRIVER_PRIORITY = {
     "streaming_login_fail_replay",
     "streaming_blacklist_replay",
@@ -82,6 +103,11 @@ def _rotation_order() -> list[str]:
         if isinstance(names, dict):
             for name in names:
                 last_checked[name] = max(last_checked.get(name, 0), rnd)
+    if max(last_checked.values(), default=0) < 9:
+        # round-9 window protection (see _DEFER_PAST_R9): sort the new
+        # registrations behind everything already checked
+        for name in _DEFER_PAST_R9:
+            last_checked.setdefault(name, 9)
     reg_pos = {name: i for i, name in enumerate(QUERIES)}
     return sorted(
         QUERIES,

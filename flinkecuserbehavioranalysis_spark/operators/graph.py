@@ -64,17 +64,28 @@ def pagerank(
     converge = tol is not None
     if converge:
         e = e.localCheckpoint(eager=True)
+        deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     else:
         # the lazy unroll references e once per round and deg once per
         # round + once for the init — without a persist each reference
         # re-runs the symmetrize+distinct shuffle (and whatever lineage
         # produced the edge list).  Both relations are edge-/node-sized
         # (pair-set scale, not corpus scale), so caching them is the
-        # whole point of the unrolled formulation staying cheap.
-        e = e.persist()
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    if not converge:
-        deg = deg.persist()
+        # whole point of the unrolled formulation staying cheap.  The
+        # persists are REGISTERED in the session frame cache (keyed by
+        # the edge plan's semantic hash) so (a) repeated calls over the
+        # same edge relation reuse the cached blocks instead of stacking
+        # new ones and (b) LRU eviction eventually unpersists them —
+        # session-lifetime accumulation was round-8 advice #2.
+        from .. import cache as _frame_cache
+
+        app = edges.sparkSession.sparkContext.applicationId
+        sig = (app, "pagerank_sym_edges", edges.semanticHash(), src, dst)
+        e = _frame_cache.pin(sig, lambda e=e: e.persist())
+        deg = _frame_cache.pin(
+            (*sig[:2], "deg", *sig[2:]),
+            lambda e=e: e.groupBy("s").agg(F.count(F.lit(1)).alias("deg")).persist(),
+        )
     n1 = deg.agg(F.count(F.lit(1)).alias("__n"))
     ranks = (
         deg.crossJoin(F.broadcast(n1))

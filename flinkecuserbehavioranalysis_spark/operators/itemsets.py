@@ -153,7 +153,7 @@ def cooccurrence_similarity(
     top-recency, so the sample is unbiased across items); |U_i| counts
     are taken AFTER capping so the cosine stays internally consistent.
     At test SF the cap never binds; at 100 TB it is the difference
-    between Σ min(\|items_u\|, cap)² and an unbounded quadratic.
+    between Σ min(|items_u|, cap)² and an unbounded quadratic.
 
     sqrt of the exact int64 product is IEEE-correctly-rounded, and the
     final division is single — both engine-identical; no rounding
