@@ -1084,3 +1084,184 @@ def prefix_filter_pairs(
         )
     )
     return ver.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+# --- paragraph-level exact dedup (round 9) ----------------------------
+
+
+def paragraph_dedup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_words: int = 25,
+    max_dup_ratio: float = 0.6,
+) -> DataFrame:
+    """Paragraph-granular exact dedup report (RefinedWeb/MassiveText
+    line-dedup shape): fingerprint every paragraph, count corpus-wide
+    repeats, flag documents dominated by boilerplate.
+
+    The synthetic corpus carries no newlines, so a "paragraph" here is a
+    fixed *para_words*-word block (the operator splits on the block
+    boundary; on real crawl text pass the newline-split relation
+    instead — the downstream fingerprint/count/join shape is
+    unchanged).  Exactly two shuffles at any corpus size: one md5-keyed
+    paragraph count (map-side combined), one doc-keyed join back.
+    A paragraph is duplicated when its fingerprint occurs >1 times
+    corpus-wide (same-doc repeats count — self-plagiarized boilerplate
+    is still boilerplate)."""
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    paras = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), ws.alias("ws"))
+        .where(F.size("ws") >= 1)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST(ceil(size(ws) / {para_words}.0) AS INT) - 1), "
+                    f"j -> array_join(slice(ws, j * {para_words} + 1, {para_words}), ' '))"
+                )
+            ).alias("para"),
+        )
+        .select(F.col(id_col), F.md5(F.col("para")).alias("fp"))
+    )
+    fp_counts = paras.groupBy("fp").agg(F.count(F.lit(1)).alias("n_occ"))
+    per_doc = (
+        paras.join(fp_counts, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paragraphs"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_paragraphs"),
+        )
+    )
+    ratio = F.col("n_dup_paragraphs") / F.col("n_paragraphs")
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_paragraphs"),
+        F.col("n_dup_paragraphs"),
+        F.round(ratio, 6).alias("dup_ratio"),
+        F.when(ratio <= max_dup_ratio, F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
+    )
+
+
+# --- URL canonicalization dedup (round 9) ------------------------------
+
+
+def canonical_url(url) -> F.Column:
+    """Canonical form of a URL for crawl dedup, as a pure Column
+    expression (map-side, codegen): case-fold scheme+host, treat
+    http/https as one, strip default ports / fragments / utm_* params,
+    sort surviving query params, collapse duplicate slashes, strip the
+    trailing slash.  Mirrors the public crawl-pipeline convention
+    (e.g. Common Crawl URL normalization); the DuckDB twin applies the
+    same steps with list_sort/list_filter."""
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(u, "#.*$", "")                       # fragment
+    u = F.regexp_replace(u, "^[Hh][Tt][Tt][Pp][Ss]?://", "")  # scheme (http==https)
+    host = F.lower(F.regexp_extract(u, "^([^/?]+)", 1))
+    host = F.regexp_replace(host, ":(80|443)$", "")           # default ports
+    rest = F.regexp_replace(u, "^[^/?]+", "")
+    path = F.regexp_extract(rest, "^([^?]*)", 1)
+    path = F.regexp_replace(path, "/{2,}", "/")               # dup slashes
+    path = F.regexp_replace(path, "/$", "")                   # trailing slash
+    query = F.regexp_extract(rest, "\\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        host,
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup_groups(
+    pages: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """Group pages by canonical URL: one row per canonical form with
+    >1 raw variants — n_variants, n_distinct_raw, keeper (min id).
+    Map-side canonicalization + ONE canonical-key count shuffle."""
+    c = pages.select(
+        F.col(id_col), F.col(url_col), canonical_url(url_col).alias("canon")
+    )
+    return (
+        c.groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.countDistinct(url_col).cast("long").alias("n_distinct_raw"),
+            F.min(id_col).cast("long").alias("keeper"),
+        )
+        .where(F.col("n_variants") > 1)
+    )
+
+
+# --- eval-centric n-gram contamination report (round 9) ----------------
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    min_hit_share: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Eval-set-centric decontamination report (the reverse direction of
+    ``ngram_contamination``, which attributes leakage to TRAIN docs):
+    for every eval document — including clean ones — how many of its
+    distinct word *n*-grams appear anywhere in the training corpus, and
+    in how many distinct train documents.
+
+    The gram join is keyed on the gram string (hash-partitioned; the
+    train side is corpus-scale, so this is THE shuffle and it is
+    key-parallel); eval docs with zero hits survive via the left join.
+    Output: doc_id, n_grams, n_hit_grams, n_train_docs, hit_share
+    (round 6), contaminated flag at *min_hit_share*."""
+
+    def grams(df: DataFrame) -> DataFrame:
+        ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        return (
+            df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col), ws.alias("ws"))
+            .where(F.size("ws") >= n)
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size(ws) - {n} + 1), "
+                        f"i -> array_join(slice(ws, i, {n}), ' '))"
+                    )
+                ).alias("g"),
+            )
+            .distinct()
+        )
+    eg = grams(eval_docs)
+    tg = grams(train)
+    hits = (
+        eg.join(tg.withColumnRenamed(id_col, "__tid"), "g")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("g").cast("long").alias("n_hit_grams"),
+            F.countDistinct("__tid").cast("long").alias("n_train_docs"),
+        )
+    )
+    totals = eg.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    j = totals.join(hits, id_col, "left").select(
+        F.col(id_col),
+        "n_grams",
+        F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+        F.coalesce("n_train_docs", F.lit(0)).cast("long").alias("n_train_docs"),
+    )
+    share = F.col("n_hit_grams") / F.col("n_grams")
+    return j.select(
+        id_col,
+        "n_grams",
+        "n_hit_grams",
+        "n_train_docs",
+        F.round(share, 6).alias("hit_share"),
+        (share > min_hit_share).alias("contaminated"),
+    )

@@ -350,3 +350,36 @@ def temperature_mix(
             ).alias("boost"),
         )
     )
+
+
+def reservoir_sample(
+    df: DataFrame,
+    key: str,
+    k: int,
+    carry: Sequence[str] = (),
+) -> DataFrame:
+    """Fixed-size-*k* uniform corpus sample: bottom-k rows by the
+    (md5(key), key) priority — the distributed, deterministic form of
+    reservoir sampling (Algorithm A-Res with a hash-derived priority in
+    place of the RNG draw: every key's priority is fixed, so partial
+    per-partition reservoirs merge associatively and the result is
+    independent of partitioning, arrival order, and cluster size,
+    unlike a sequential Algorithm R whose output depends on stream
+    order).  Catalyst compiles the orderBy+limit to
+    TakeOrderedAndProject — each task keeps a k-row heap, the driver
+    merges P×k rows — no global sort, no full shuffle.  The final
+    row_number window runs on the ≤k surviving rows only.  Emits
+    ``rk`` (1-based inclusion rank) and ``priority`` (hex) so a later
+    run over a GROWN corpus can be audited: a key's priority never
+    changes, so the sample only evolves by displacement, the reservoir
+    invariant."""
+    from pyspark.sql import Window
+
+    pr = F.md5(F.col(key).cast("string"))
+    kept = (
+        df.select(*([key] + list(carry)), pr.alias("priority"))
+        .orderBy("priority", key)
+        .limit(k)
+    )
+    w = Window.orderBy("priority", key)  # ≤k rows — bounded single partition
+    return kept.withColumn("rk", F.row_number().over(w).cast("long"))

@@ -99,3 +99,67 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    gap_seconds: int = 1800,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Session quality report grouped by LANDING event type (the first
+    event of each 30-min-gap session): session count, bounce rate
+    (single-event sessions), mean/max duration, mean events.
+
+    Same gaps-and-islands core as ``sessionize`` with the same
+    determinism discipline: byte-identical (key, ts, tiebreak, type)
+    tuples are collapsed to one row carrying multiplicity BEFORE the
+    window, and *type_col* joins the ordering tuple so the landing
+    event of a fully-tied boundary is decided by VALUES, not shuffle
+    arrival order.  All windows are key-partitioned; durations are
+    floor-second integers and the means exact rationals rounded 6dp —
+    hash-stable across engines."""
+    d = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(key_col, ts_col, tiebreak_col, type_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # NULL types order via coalesce('') — Spark windows sort NULLS FIRST,
+    # SQL engines default NULLS LAST; the sentinel pins one order in both
+    type_ord = F.coalesce(F.col(type_col), F.lit(""))
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col), type_ord)
+    ts = F.col(ts_col).cast("double")
+    prev = F.lag(ts).over(w)
+    is_start = F.when(prev.isNull() | (ts - prev > F.lit(float(gap_seconds))), 1).otherwise(0)
+    sess = d.withColumn(
+        "sid",
+        F.sum(is_start).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = sess.groupBy(key_col, "sid").agg(
+        F.min_by(
+            F.col(type_col),
+            F.struct(
+                F.col(ts_col),
+                F.col(tiebreak_col),
+                F.coalesce(F.col(type_col), F.lit("")).alias("__t"),
+            ),
+        ).alias("landing"),
+        F.sum("__c").cast("long").alias("n_events"),
+        (F.max(F.col(ts_col).cast("long")) - F.min(F.col(ts_col).cast("long"))).alias("dur"),
+    )
+    return (
+        per_sess.groupBy("landing")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("long").alias("n_bounces"),
+            F.round(F.sum("n_events").cast("double") / F.count(F.lit(1)), 6).alias("avg_events"),
+            F.round(F.sum("dur").cast("double") / F.count(F.lit(1)), 6).alias("avg_duration_sec"),
+            F.max("dur").cast("long").alias("max_duration_sec"),
+        )
+        .withColumn(
+            "bounce_rate",
+            F.round(F.col("n_bounces").cast("double") / F.col("n_sessions"), 6),
+        )
+    )

@@ -573,3 +573,177 @@ def hashed_vectorize(
     return docs.select(F.col(id_col), hist.alias("vec")).select(
         F.col(id_col), F.col("vec"), F.round(norm, 6).alias("l2_norm")
     )
+
+
+# --- Gopher-style document quality rules (round 9) -------------------
+
+#: Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models:
+#: ... Gopher", Table A1 — public paper).  The synthetic corpus has no
+#: newlines, so the bullet/ellipsis line rules are structurally pass-
+#: through here, but the plumbing (line split, prefix/suffix tests) is
+#: the real MassiveText filter shape and activates on real crawl text.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.80
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_BULLET_LINE_FRAC = 0.90
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.30
+GOPHER_MAX_TOP_UNIGRAM_FRAC = 0.25
+
+
+def gopher_rules(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document Gopher quality-rule battery → per-rule booleans,
+    failure count, and a keep/drop verdict.
+
+    Word-shape statistics (word count, mean word length, alphabetic-word
+    fraction, stopword count, top-unigram fraction) come from ONE
+    explode → (doc, word) count → per-doc aggregate chain — linear in
+    corpus tokens with map-side combine, never the O(words²) per-row
+    array scan that a lambda-only formulation costs on a 100k-word
+    document.  Character/line signals (symbol ratio, bullet/ellipsis
+    line fractions) are map-side column expressions on the doc relation;
+    one doc-keyed join assembles the report.  All ratios are exact
+    rationals rounded at 6dp — no transcendental, hash-stable across
+    engines."""
+    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda w: w != "")).alias("w"),
+    )
+    per_word = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("k"))
+    wstats = per_word.groupBy(id_col).agg(
+        F.sum("k").cast("long").alias("n_words"),
+        F.sum(F.length("w") * F.col("k")).cast("long").alias("n_word_chars"),
+        F.sum(F.when(F.col("w").rlike("[a-zA-Z]"), F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("n_alpha_words"),
+        F.sum(F.when(F.expr(f"w IN ({stop_arr})"), F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("n_stopwords"),
+        F.max("k").cast("long").alias("top_unigram_k"),
+    )
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda ln: ln.startswith("- ") | ln.startswith("* ") | ln.startswith("• "))
+    )
+    n_ellipsis = F.size(F.filter(lines, lambda ln: ln.endswith("...") | ln.endswith("…")))
+    n_symbols = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), "#", ""))
+        + (
+            F.length(F.col(text_col))
+            - F.length(F.regexp_replace(F.col(text_col), "\\.\\.\\.", ""))
+        )
+        / F.lit(3)
+    )
+    cstats = docs.select(
+        F.col(id_col),
+        n_symbols.cast("double").alias("n_symbols"),
+        n_lines.cast("long").alias("n_lines"),
+        n_bullet.cast("long").alias("n_bullet_lines"),
+        n_ellipsis.cast("long").alias("n_ellipsis_lines"),
+    )
+    j = wstats.join(cstats, id_col)
+    mean_wl = F.col("n_word_chars") / F.col("n_words")
+    r_wc = (F.col("n_words") >= GOPHER_MIN_WORDS) & (F.col("n_words") <= GOPHER_MAX_WORDS)
+    r_mwl = (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN) & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+    r_sym = (F.col("n_symbols") / F.col("n_words")) <= GOPHER_MAX_SYMBOL_RATIO
+    r_alpha = (F.col("n_alpha_words") / F.col("n_words")) >= GOPHER_MIN_ALPHA_WORD_FRAC
+    r_stop = F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS
+    r_bullet = (F.col("n_bullet_lines") / F.col("n_lines")) <= GOPHER_MAX_BULLET_LINE_FRAC
+    r_ell = (F.col("n_ellipsis_lines") / F.col("n_lines")) <= GOPHER_MAX_ELLIPSIS_LINE_FRAC
+    r_top = (F.col("top_unigram_k") / F.col("n_words")) <= GOPHER_MAX_TOP_UNIGRAM_FRAC
+    rules = {
+        "rule_word_count": r_wc,
+        "rule_mean_word_len": r_mwl,
+        "rule_symbol_ratio": r_sym,
+        "rule_alpha_words": r_alpha,
+        "rule_stopwords": r_stop,
+        "rule_bullet_lines": r_bullet,
+        "rule_ellipsis_lines": r_ell,
+        "rule_top_unigram": r_top,
+    }
+    n_failed = sum(
+        (F.when(c, F.lit(0)).otherwise(F.lit(1)) for c in rules.values()),
+        F.lit(0),
+    )
+    return j.select(
+        F.col(id_col),
+        F.col("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        *[c.alias(n) for n, c in rules.items()],
+        n_failed.cast("long").alias("n_rules_failed"),
+        F.when(n_failed == 0, F.lit("keep")).otherwise(F.lit("drop")).alias("verdict"),
+    )
+
+
+# --- bigram-LM surprisal (round 9) ------------------------------------
+
+
+def bigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document add-one-smoothed bigram-LM surprisal (CCNet-style
+    perplexity quality signal) with EXACT cross-engine arithmetic.
+
+    Model: p(cur|prev) = (c(prev,cur) + 1) / (c(prev) + V) trained on
+    the corpus itself (V = successor vocabulary size).  Per-token
+    surprisal in bits is log2(den) - log2(num) computed by the Q12
+    fixed-point integer log2 (functions/fixedpoint.py) — Spark, DuckDB,
+    and the Python model produce the same integer, so the per-doc
+    average is hash-exact without any libm call.
+
+    Shape: the doc→bigram explode feeds ONE (prev,cur) count shuffle;
+    context counts and the two log2 chains run on the MODEL relation
+    (distinct-bigram-sized, vocab²-bounded), never the token stream;
+    one (prev,cur)-keyed join scores the stream.  Output: doc_id,
+    n_bigrams, avg_surprisal_bits (round 6), ppl_bucket
+    head/middle/tail at 6/9 bits."""
+    from ..functions.fixedpoint import ONE_Q12, with_log2_q12
+
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    d = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), ws.alias("ws")
+    ).where(F.size("ws") >= 2)
+    bg = d.select(
+        F.col(id_col),
+        F.explode(
+            F.expr("transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS prev, ws[i] AS cur))")
+        ).alias("b"),
+    ).select(id_col, F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+    doc_bg = bg.groupBy(id_col, "prev", "cur").agg(F.count(F.lit(1)).alias("k"))
+    model = doc_bg.groupBy("prev", "cur").agg(F.sum("k").cast("long").alias("c_bg"))
+    ctx = model.groupBy("prev").agg(F.sum("c_bg").cast("long").alias("c_ctx"))
+    vdf = model.select("cur").distinct().agg(F.count(F.lit(1)).cast("long").alias("v"))
+    m = (
+        model.join(ctx, "prev")
+        .crossJoin(F.broadcast(vdf))
+        .withColumn("num", F.col("c_bg") + 1)
+        .withColumn("den", F.col("c_ctx") + F.col("v"))
+    )
+    m = with_log2_q12(m, "num", "lg_num")
+    m = with_log2_q12(m, "den", "lg_den")
+    m = m.select("prev", "cur", (F.col("lg_den") - F.col("lg_num")).alias("surprisal_q12"))
+    scored = doc_bg.join(m, ["prev", "cur"])
+    out = scored.groupBy(id_col).agg(
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.sum(F.col("k") * F.col("surprisal_q12")).cast("long").alias("s_q12"),
+    )
+    avg_bits = F.round(
+        F.col("s_q12").cast("double") / F.col("n_bigrams") / F.lit(float(ONE_Q12)), 6
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        avg_bits.alias("avg_surprisal_bits"),
+        F.when(avg_bits < 6.0, F.lit("head"))
+        .when(avg_bits < 9.0, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )

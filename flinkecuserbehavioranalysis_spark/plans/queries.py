@@ -10184,3 +10184,445 @@ def streaming_not_followed_by_replay(spark: SparkSession, sf_dir: str) -> DataFr
         return run_bounded_df(out)
 
     return _cached_canon(spark, sf_dir, "streaming_not_followed_by_replay", build)
+
+
+# =====================================================================
+# Round 9 — corpus-quality / contamination / canonicalization additions
+# (all names listed in __spark_entry__._DEFER_PAST_R9: registered this
+# round but held out of the r9 driver window so the 22-never-checked +
+# 28-LRU re-hash composition is not displaced; they become the front of
+# the r10 window the moment CORRECTNESS_r09.json lands.)
+# =====================================================================
+
+from ..operators.text import (  # noqa: E402
+    GOPHER_MAX_BULLET_LINE_FRAC,
+    GOPHER_MAX_ELLIPSIS_LINE_FRAC,
+    GOPHER_MAX_MEAN_WORD_LEN,
+    GOPHER_MAX_SYMBOL_RATIO,
+    GOPHER_MAX_TOP_UNIGRAM_FRAC,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_ALPHA_WORD_FRAC,
+    GOPHER_MIN_MEAN_WORD_LEN,
+    GOPHER_MIN_STOPWORDS,
+    GOPHER_MIN_WORDS,
+    STOPWORDS,
+    bigram_surprisal,
+    gopher_rules,
+)
+
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@_q(
+    "doc_quality_gopher_rules",
+    f"""
+WITH __w AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+  FROM documents WHERE text IS NOT NULL),
+__pw AS (SELECT doc_id, w, count(*) AS k FROM __w GROUP BY 1, 2),
+__ws AS (SELECT doc_id,
+                CAST(sum(k) AS BIGINT) AS n_words,
+                CAST(sum(length(w) * k) AS BIGINT) AS n_word_chars,
+                CAST(sum(CASE WHEN regexp_matches(w, '[a-zA-Z]') THEN k ELSE 0 END) AS BIGINT) AS n_alpha_words,
+                CAST(sum(CASE WHEN w IN ({_GOPHER_STOP_SQL}) THEN k ELSE 0 END) AS BIGINT) AS n_stopwords,
+                CAST(max(k) AS BIGINT) AS top_unigram_k
+         FROM __pw GROUP BY doc_id),
+__cs AS (SELECT doc_id,
+                (length(text) - length(replace(text, '#', '')))
+                  + (length(text) - length(replace(text, '...', ''))) / 3 AS n_symbols,
+                len(string_split(text, chr(10))) AS n_lines,
+                len(list_filter(string_split(text, chr(10)),
+                    l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) AS n_bullet_lines,
+                len(list_filter(string_split(text, chr(10)),
+                    l -> l LIKE '%...' OR l LIKE '%…')) AS n_ellipsis_lines
+         FROM documents WHERE text IS NOT NULL),
+__j AS (SELECT w.*, c.n_symbols, c.n_lines, c.n_bullet_lines, c.n_ellipsis_lines
+        FROM __ws w JOIN __cs c USING (doc_id))
+SELECT doc_id, n_words,
+       round(n_word_chars / n_words, 6) AS mean_word_len,
+       n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} AS rule_word_count,
+       n_word_chars / n_words >= {GOPHER_MIN_MEAN_WORD_LEN!r}
+         AND n_word_chars / n_words <= {GOPHER_MAX_MEAN_WORD_LEN!r} AS rule_mean_word_len,
+       n_symbols / n_words <= {GOPHER_MAX_SYMBOL_RATIO!r} AS rule_symbol_ratio,
+       n_alpha_words / n_words >= {GOPHER_MIN_ALPHA_WORD_FRAC!r} AS rule_alpha_words,
+       n_stopwords >= {GOPHER_MIN_STOPWORDS} AS rule_stopwords,
+       n_bullet_lines / n_lines <= {GOPHER_MAX_BULLET_LINE_FRAC!r} AS rule_bullet_lines,
+       n_ellipsis_lines / n_lines <= {GOPHER_MAX_ELLIPSIS_LINE_FRAC!r} AS rule_ellipsis_lines,
+       top_unigram_k / n_words <= {GOPHER_MAX_TOP_UNIGRAM_FRAC!r} AS rule_top_unigram,
+       CAST((CASE WHEN n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} THEN 0 ELSE 1 END)
+          + (CASE WHEN n_word_chars / n_words >= {GOPHER_MIN_MEAN_WORD_LEN!r}
+                   AND n_word_chars / n_words <= {GOPHER_MAX_MEAN_WORD_LEN!r} THEN 0 ELSE 1 END)
+          + (CASE WHEN n_symbols / n_words <= {GOPHER_MAX_SYMBOL_RATIO!r} THEN 0 ELSE 1 END)
+          + (CASE WHEN n_alpha_words / n_words >= {GOPHER_MIN_ALPHA_WORD_FRAC!r} THEN 0 ELSE 1 END)
+          + (CASE WHEN n_stopwords >= {GOPHER_MIN_STOPWORDS} THEN 0 ELSE 1 END)
+          + (CASE WHEN n_bullet_lines / n_lines <= {GOPHER_MAX_BULLET_LINE_FRAC!r} THEN 0 ELSE 1 END)
+          + (CASE WHEN n_ellipsis_lines / n_lines <= {GOPHER_MAX_ELLIPSIS_LINE_FRAC!r} THEN 0 ELSE 1 END)
+          + (CASE WHEN top_unigram_k / n_words <= {GOPHER_MAX_TOP_UNIGRAM_FRAC!r} THEN 0 ELSE 1 END)
+         AS BIGINT) AS n_rules_failed,
+       CASE WHEN (CASE WHEN n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} THEN 0 ELSE 1 END)
+          + (CASE WHEN n_word_chars / n_words >= {GOPHER_MIN_MEAN_WORD_LEN!r}
+                   AND n_word_chars / n_words <= {GOPHER_MAX_MEAN_WORD_LEN!r} THEN 0 ELSE 1 END)
+          + (CASE WHEN n_symbols / n_words <= {GOPHER_MAX_SYMBOL_RATIO!r} THEN 0 ELSE 1 END)
+          + (CASE WHEN n_alpha_words / n_words >= {GOPHER_MIN_ALPHA_WORD_FRAC!r} THEN 0 ELSE 1 END)
+          + (CASE WHEN n_stopwords >= {GOPHER_MIN_STOPWORDS} THEN 0 ELSE 1 END)
+          + (CASE WHEN n_bullet_lines / n_lines <= {GOPHER_MAX_BULLET_LINE_FRAC!r} THEN 0 ELSE 1 END)
+          + (CASE WHEN n_ellipsis_lines / n_lines <= {GOPHER_MAX_ELLIPSIS_LINE_FRAC!r} THEN 0 ELSE 1 END)
+          + (CASE WHEN top_unigram_k / n_words <= {GOPHER_MAX_TOP_UNIGRAM_FRAC!r} THEN 0 ELSE 1 END)
+         = 0 THEN 'keep' ELSE 'drop' END AS verdict
+FROM __j
+""",
+    "Extension (round 9, quality filtering): the Gopher rule battery (Rae et al. 2021 "
+    "Table A1, public) — word-count / mean-word-length / symbol-ratio / alphabetic-word / "
+    "stopword / bullet-line / ellipsis-line / top-unigram rules as per-doc booleans + "
+    "failure count + keep verdict.  Word stats from ONE explode → (doc,word) count → "
+    "per-doc aggregate (linear, map-side combined — never the O(n²) per-row array scan); "
+    "char/line signals map-side; one doc-keyed join.  All ratios exact rationals.",
+)
+def doc_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+from ..operators.dedup import paragraph_dedup_stats  # noqa: E402
+
+
+@_q(
+    "docs_paragraph_dedup",
+    """
+WITH __d AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+             FROM documents WHERE text IS NOT NULL),
+__p AS (SELECT doc_id,
+               md5(array_to_string(list_slice(ws, j * 25 + 1, j * 25 + 25), ' ')) AS fp
+        FROM __d, unnest(range(0, CAST(ceil(len(ws) / 25.0) AS BIGINT))) AS t(j)
+        WHERE len(ws) >= 1),
+__c AS (SELECT fp, count(*) AS n_occ FROM __p GROUP BY fp),
+__pd AS (SELECT p.doc_id,
+                CAST(count(*) AS BIGINT) AS n_paragraphs,
+                CAST(sum(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         FROM __p p JOIN __c c USING (fp) GROUP BY p.doc_id)
+SELECT doc_id, n_paragraphs, n_dup AS n_dup_paragraphs,
+       round(n_dup / n_paragraphs, 6) AS dup_ratio,
+       CASE WHEN n_dup / n_paragraphs <= 0.6 THEN 'keep' ELSE 'drop' END AS verdict
+FROM __pd
+""",
+    "Extension (round 9, paragraph dedup): RefinedWeb/MassiveText line-dedup shape — "
+    "fingerprint every 25-word paragraph block (the synthetic corpus has no newlines; "
+    "on crawl text the same operator takes the newline split), count corpus-wide "
+    "repeats, flag docs over 60% boilerplate.  Two shuffles at any scale: one md5-keyed "
+    "paragraph count, one doc-keyed join back (operators/dedup.py paragraph_dedup_stats).",
+)
+def docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return paragraph_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+from ..operators.dedup import contamination_report  # noqa: E402
+
+
+@_q(
+    "corpus_contamination_ngram_overlap",
+    f"""
+WITH __d AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws,
+                    {_BUCKET_SQL.format(k='doc_id')} AS b
+             FROM documents WHERE text IS NOT NULL),
+__g AS (SELECT DISTINCT doc_id, b, array_to_string(list_slice(ws, i, i + 7), ' ') AS g
+        FROM __d, unnest(range(1, len(ws) - 6)) AS t(i) WHERE len(ws) >= 8),
+__eg AS (SELECT doc_id, g FROM __g WHERE b < 500),
+__tg AS (SELECT doc_id AS tid, g FROM __g WHERE b >= 500),
+__tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM __eg GROUP BY 1),
+__hit AS (SELECT e.doc_id,
+                 CAST(count(DISTINCT e.g) AS BIGINT) AS n_hit_grams,
+                 CAST(count(DISTINCT t.tid) AS BIGINT) AS n_train_docs
+          FROM __eg e JOIN __tg t USING (g) GROUP BY 1)
+SELECT t.doc_id, t.n_grams,
+       coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+       coalesce(h.n_train_docs, 0) AS n_train_docs,
+       round(coalesce(h.n_hit_grams, 0) / t.n_grams, 6) AS hit_share,
+       coalesce(h.n_hit_grams, 0) / t.n_grams > 0.1 AS contaminated
+FROM __tot t LEFT JOIN __hit h USING (doc_id)
+""",
+    "Extension (round 9, decontamination): EVAL-centric 8-gram contamination report — "
+    "the reverse direction of corpus_decontaminate (which attributes leakage to train "
+    "docs): for every doc in the 5% hash-held-out eval slice, how many of its distinct "
+    "word 8-grams appear anywhere in the train slice and in how many train docs; clean "
+    "eval docs survive via the left join with zero counts.  The gram-keyed join is THE "
+    "shuffle and is key-parallel (operators/dedup.py contamination_report).",
+)
+def corpus_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    return contamination_report(
+        docs.filter(b >= 500), docs.filter(b < 500), n=8, min_hit_share=0.1
+    )
+
+
+from ..operators.sampling import reservoir_sample  # noqa: E402
+
+
+@_q(
+    "reservoir_sample_documents",
+    """
+WITH __p AS (SELECT doc_id, source, lang, md5(CAST(doc_id AS VARCHAR)) AS priority
+             FROM documents ORDER BY priority, doc_id LIMIT 100)
+SELECT doc_id, source, lang, priority,
+       CAST(row_number() OVER (ORDER BY priority, doc_id) AS BIGINT) AS rk
+FROM __p
+""",
+    "Extension (round 9, sampling): fixed-k=100 uniform corpus reservoir — bottom-k by "
+    "(md5(key), key) priority, the distributed deterministic form of Algorithm A-Res "
+    "(fixed priorities make partial per-partition reservoirs merge associatively; "
+    "Catalyst compiles to TakeOrderedAndProject — per-task k-row heaps, no global "
+    "sort).  The emitted priority makes re-runs over a grown corpus auditable: a key's "
+    "priority never changes, the sample evolves only by displacement "
+    "(operators/sampling.py reservoir_sample).",
+)
+def reservoir_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return reservoir_sample(docs, "doc_id", k=100, carry=("source", "lang"))
+
+
+@_q(
+    "domain_quality_mix_report",
+    f"""
+WITH __b AS (
+  SELECT source, lang,
+         coalesce(len(list_filter(string_split(text, ' '), w -> w <> '')), 0) AS n_tokens,
+         CASE WHEN len(string_split(text, ' ')) >= 5 AND len(string_split(text, ' ')) <= 1000
+                   AND len(list_filter(string_split(text, ' '),
+                       w -> w IN ({_GOPHER_STOP_SQL}))) * 1.0 / len(string_split(text, ' ')) <= 0.5
+                   AND (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                       / len(string_split(text, ' ')) >= 2.0
+                   AND (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                       / len(string_split(text, ' ')) <= 12.0
+              THEN 1 ELSE 0 END AS q_ok
+  FROM documents),
+__s AS (SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(q_ok) AS BIGINT) AS n_quality,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM __b GROUP BY source),
+__t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM __s)
+SELECT s.source, s.n_docs, s.n_tokens, s.n_langs,
+       round(CAST(s.n_tokens AS DOUBLE) / t.tot_tokens, 6) AS token_share,
+       round(CAST(s.n_quality AS DOUBLE) / s.n_docs, 6) AS quality_rate,
+       round(CAST(s.n_tokens AS DOUBLE) / s.n_docs, 6) AS avg_tokens
+FROM __s s CROSS JOIN __t t
+""",
+    "Extension (round 9, training-mix curation): per-source corpus mix report — doc / "
+    "token counts, corpus token share, quality-keep rate (the text_quality predicate, "
+    "operators/text.quality_ok), language diversity, mean doc length.  One source-keyed "
+    "aggregate plus a broadcast single-row total; the upstream signals are map-side.",
+)
+def domain_quality_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_ok
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.coalesce(
+        F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != "")).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    base = docs.select(
+        "source",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.when(quality_ok("text"), 1).otherwise(0).alias("q_ok"),
+    )
+    per_src = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("q_ok").cast("long").alias("n_quality"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    tot = per_src.agg(F.sum("n_tokens").cast("long").alias("tot_tokens"))
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        F.round(F.col("n_tokens").cast("double") / F.col("tot_tokens"), 6).alias("token_share"),
+        F.round(F.col("n_quality").cast("double") / F.col("n_docs"), 6).alias("quality_rate"),
+        F.round(F.col("n_tokens").cast("double") / F.col("n_docs"), 6).alias("avg_tokens"),
+    )
+
+
+def _ngram_perplexity_oracle() -> str:
+    """DuckDB twin of bigram_surprisal: the bigram/context/vocab model
+    CTEs, then TWO generated Q12 fixed-point log2 chains over the
+    model relation (functions/fixedpoint.log2_q12_sql_ctes)."""
+    from ..functions.fixedpoint import ONE_Q12, log2_q12_sql_ctes
+
+    num_chain = log2_q12_sql_ctes("__mn", ["prev", "cur", "den", "num"], "num", "lg_num", "__ln")
+    den_chain = log2_q12_sql_ctes("__lnf", ["prev", "cur", "lg_num"], "den", "lg_den", "__ld")
+    return f"""
+WITH __d AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+             FROM documents WHERE text IS NOT NULL),
+__bg AS (SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur
+         FROM __d, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+__dbg AS (SELECT doc_id, prev, cur, count(*) AS k FROM __bg GROUP BY 1, 2, 3),
+__m AS (SELECT prev, cur, CAST(sum(k) AS BIGINT) AS c_bg FROM __dbg GROUP BY 1, 2),
+__cx AS (SELECT prev, CAST(sum(c_bg) AS BIGINT) AS c_ctx FROM __m GROUP BY 1),
+__v AS (SELECT CAST(count(DISTINCT cur) AS BIGINT) AS v FROM __m),
+__mn AS (SELECT m.prev, m.cur, m.c_bg + 1 AS num, c.c_ctx + v.v AS den
+         FROM __m m JOIN __cx c USING (prev) CROSS JOIN __v v),
+{num_chain},
+{den_chain},
+__sp AS (SELECT prev, cur, lg_den - lg_num AS surprisal_q12 FROM __ldf),
+__sc AS (SELECT d.doc_id, CAST(sum(d.k) AS BIGINT) AS n_bigrams,
+                CAST(sum(d.k * s.surprisal_q12) AS BIGINT) AS s_q12
+         FROM __dbg d JOIN __sp s USING (prev, cur) GROUP BY 1)
+SELECT doc_id, n_bigrams,
+       round(CAST(s_q12 AS DOUBLE) / n_bigrams / {float(ONE_Q12)!r}, 6) AS avg_surprisal_bits,
+       CASE WHEN round(CAST(s_q12 AS DOUBLE) / n_bigrams / {float(ONE_Q12)!r}, 6) < 6.0 THEN 'head'
+            WHEN round(CAST(s_q12 AS DOUBLE) / n_bigrams / {float(ONE_Q12)!r}, 6) < 9.0 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM __sc
+"""
+
+
+@_q(
+    "token_ngram_perplexity",
+    _ngram_perplexity_oracle(),
+    "Extension (round 9, LM quality scoring): per-doc add-one-smoothed bigram-LM "
+    "surprisal (the CCNet perplexity-bucketing signal) with EXACT cross-engine "
+    "arithmetic — log2 computed in Q28→Q12 fixed-point integer square-and-shift "
+    "(functions/fixedpoint.py; DuckDB ln/exp are NOT bit-identical to JVM libm, "
+    "measured 218/5000 ULP mismatches, so transcendentals stay banned).  The log2 "
+    "chains and context counts run on the MODEL relation (distinct-bigram-sized), "
+    "never the token stream; one (prev,cur)-keyed join scores the stream "
+    "(operators/text.bigram_surprisal).",
+)
+def token_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+from ..operators.dedup import url_dedup_groups  # noqa: E402
+
+#: Deterministic synthetic URL per document (the corpus carries no URL
+#: column — FIXTURES.md surrogate convention, like CHANNEL_CASE): four
+#: consecutive doc_ids share a page id, and scheme case / host case /
+#: default port / doubled slashes / trailing slash / utm params /
+#: fragment vary by residue — exactly the variant families a crawl
+#: canonicalizer must collapse.  Same expression text on both engines.
+_URL_SYNTH_SQL = (
+    "CASE WHEN {k} % 2 = 0 THEN 'http://' ELSE 'HTTPS://' END || "
+    "CASE WHEN {k} % 3 = 0 THEN 'Example.COM' ELSE 'example.com' END || "
+    "CASE WHEN {k} % 5 = 0 THEN ':80' ELSE '' END || "
+    "CASE WHEN {k} % 7 = 0 THEN '//docs//' ELSE '/docs/' END || "
+    "CAST({d4} AS {str_t}) || "
+    "CASE WHEN {k} % 2 = 0 THEN '/' ELSE '' END || "
+    "CASE WHEN {k} % 3 = 0 THEN '?utm_source=feed&page=' || CAST({d4} AS {str_t}) "
+    "     WHEN {k} % 3 = 1 THEN '?page=' || CAST({d4} AS {str_t}) "
+    "     ELSE '?page=' || CAST({d4} AS {str_t}) || '&utm_campaign=x' END || "
+    "CASE WHEN {k} % 4 = 0 THEN '#sec' ELSE '' END"
+)
+
+
+@_q(
+    "dedup_url_canonical",
+    f"""
+WITH __u AS (
+  SELECT doc_id,
+         {_URL_SYNTH_SQL.format(k='doc_id', d4='doc_id // 4', str_t='VARCHAR')} AS url
+  FROM documents),
+__c AS (
+  SELECT doc_id, url,
+         lower(regexp_replace(regexp_extract(regexp_replace(regexp_replace(url, '#.*$', ''),
+               '^[Hh][Tt][Tt][Pp][Ss]?://', ''), '^([^/?]+)', 1), ':(80|443)$', ''))
+         ||
+         regexp_replace(regexp_replace(regexp_replace(
+               regexp_extract(regexp_replace(regexp_replace(regexp_replace(url, '#.*$', ''),
+                 '^[Hh][Tt][Tt][Pp][Ss]?://', ''), '^[^/?]+', ''), '^([^?]*)', 1),
+               '/{{2,}}', '/', 'g'), '/$', ''), '', '')
+         ||
+         CASE WHEN array_to_string(list_sort(list_filter(string_split(
+                  regexp_extract(regexp_replace(regexp_replace(regexp_replace(url, '#.*$', ''),
+                    '^[Hh][Tt][Tt][Pp][Ss]?://', ''), '^[^/?]+', ''), '\\?(.*)$', 1), '&'),
+                  p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') <> ''
+              THEN '?' || array_to_string(list_sort(list_filter(string_split(
+                  regexp_extract(regexp_replace(regexp_replace(regexp_replace(url, '#.*$', ''),
+                    '^[Hh][Tt][Tt][Pp][Ss]?://', ''), '^[^/?]+', ''), '\\?(.*)$', 1), '&'),
+                  p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&')
+              ELSE '' END AS canon
+  FROM __u)
+SELECT canon, CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+       CAST(min(doc_id) AS BIGINT) AS keeper
+FROM __c GROUP BY canon HAVING count(*) > 1
+""",
+    "Extension (round 9, crawl dedup): URL canonicalization dedup — case-fold "
+    "scheme+host (http==https), strip default ports / fragments / utm_* params, sort "
+    "surviving query params, collapse doubled and trailing slashes, then group raw "
+    "variants by canonical form (keeper = min doc_id).  Canonicalization is a pure "
+    "map-side Column expression (operators/dedup.canonical_url); ONE canonical-key "
+    "count shuffle.  URLs are synthesized deterministically per doc_id (no URL column "
+    "in the corpus — surrogate convention) covering every variant family the "
+    "canonicalizer must collapse.",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.expr(
+            _URL_SYNTH_SQL.format(k="doc_id", d4="doc_id div 4", str_t="STRING")
+        ).alias("url"),
+    )
+    return url_dedup_groups(pages)
+
+
+from ..operators.sessions import session_stats  # noqa: E402
+
+
+@_q(
+    "events_sessionized_stats",
+    """
+WITH __d AS (
+  SELECT user_id, ts, event_id, event_type, count(*) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3, 4),
+__f AS (
+  SELECT user_id, ts, event_id, event_type, c,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS is_start
+  FROM __d
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, coalesce(event_type, ''))),
+__g AS (
+  SELECT user_id, ts, event_id, event_type, c,
+         sum(is_start) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id, coalesce(event_type, '')
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM __f),
+__s AS (SELECT user_id, sid, CAST(sum(c) AS BIGINT) AS n_events,
+               CAST(floor(epoch(max(ts))) AS BIGINT)
+                 - CAST(floor(epoch(min(ts))) AS BIGINT) AS dur
+        FROM __g GROUP BY 1, 2),
+__l AS (SELECT user_id, sid, event_type AS landing
+        FROM (SELECT user_id, sid, event_type,
+                     row_number() OVER (PARTITION BY user_id, sid
+                                        ORDER BY ts, event_id, coalesce(event_type, '')) AS rn
+              FROM __g) WHERE rn = 1),
+__ps AS (SELECT l.landing, s.n_events, s.dur
+         -- NULL-safe key: a NULL user_id is a real session group (both
+         -- engines aggregate it); a plain equi-join would drop it here
+         -- while the Spark side computes landing in the SAME groupBy
+         -- (caught by the nulls2 degenerate tier in round 9)
+         FROM __s s JOIN __l l
+           ON s.user_id IS NOT DISTINCT FROM l.user_id AND s.sid = l.sid)
+SELECT landing,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS avg_events,
+       round(CAST(sum(dur) AS DOUBLE) / count(*), 6) AS avg_duration_sec,
+       CAST(max(dur) AS BIGINT) AS max_duration_sec,
+       round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS bounce_rate
+FROM __ps GROUP BY landing
+""",
+    "Extension (round 9, product analytics): session quality report by LANDING event "
+    "type — session count, bounce rate (single-event sessions), mean/max duration, "
+    "mean events per session.  Same gaps-and-islands core and determinism discipline "
+    "as sessionize_users (byte-identical tuples collapsed pre-window; event_type joins "
+    "the ordering tuple via coalesce so a fully-tied boundary's landing is decided by "
+    "values, not shuffle order).  All windows user-partitioned; durations floor-second "
+    "integers; means exact rationals (operators/sessions.session_stats).",
+)
+def events_sessionized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_stats(load_table(spark, sf_dir, "events"))

@@ -37,6 +37,7 @@ KEYLESS_WINDOW_EXEMPT = {
     "revenue_forecast_backtest": "calendar-day spine after per-day pre-aggregation",
     "vocab_growth_curve": "decile spine over the 1000-term capped vocab (≤10 rows)",
     "text_vocab": "post-LIMIT max_size=1000 survivors (build_vocab single-stage path; above single_stage_cap it auto-shards via global_rank)",
+    "reservoir_sample_documents": "rank window runs AFTER the k=100 LIMIT (TakeOrderedAndProject merges per-task k-row heaps first; operators/sampling.reservoir_sample)",
 }
 # (the former pq_fit seed window — ann_pq_topk's 3 runtime warns — was
 # ELIMINATED in round 7: seed codes now enumerate driver-side over the

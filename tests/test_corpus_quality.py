@@ -1,0 +1,238 @@
+"""Round-9 operators: Gopher rule battery, paragraph dedup, eval-centric
+contamination, reservoir sampling, URL canonicalization, session stats,
+and the Q12 fixed-point log2 / bigram-surprisal pair (hand fixtures +
+cross-engine equality of the fixed-point chain)."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+
+from flinkecuserbehavioranalysis_spark.functions.fixedpoint import (
+    FRAC_BITS,
+    ONE_Q12,
+    log2_q12_py,
+    log2_q12_sql_ctes,
+    with_log2_q12,
+)
+from flinkecuserbehavioranalysis_spark.operators.dedup import (
+    canonical_url,
+    contamination_report,
+    paragraph_dedup_stats,
+    url_dedup_groups,
+)
+from flinkecuserbehavioranalysis_spark.operators.sampling import reservoir_sample
+from flinkecuserbehavioranalysis_spark.operators.sessions import session_stats
+from flinkecuserbehavioranalysis_spark.operators.text import bigram_surprisal, gopher_rules
+
+
+# --- fixed-point log2 -------------------------------------------------
+
+_LOG2_PROBES = [
+    1, 2, 3, 4, 5, 7, 8, 15, 16, 17, 255, 256, 257, 4095, 4096, 10**6,
+    10**9, 10**12, 2**40 + 123, 2**46 + 999, 999999937,
+]
+
+
+def test_log2_q12_spark_matches_python_model(spark):
+    df = spark.createDataFrame([(x,) for x in _LOG2_PROBES], "x long")
+    got = {r.x: r.lg for r in with_log2_q12(df, "x", "lg").select("x", "lg").collect()}
+    for x in _LOG2_PROBES:
+        assert got[x] == log2_q12_py(x), x
+
+
+def test_log2_q12_duckdb_matches_python_model():
+    rows = ",".join(f"({x})" for x in _LOG2_PROBES)
+    ctes = log2_q12_sql_ctes(f"(SELECT x FROM (VALUES {rows}) v(x))", ["x"], "x", "lg", "__l")
+    got = dict(duckdb.sql(f"WITH {ctes} SELECT x, lg FROM __lf").fetchall())
+    for x in _LOG2_PROBES:
+        assert got[x] == log2_q12_py(x), x
+
+
+def test_log2_q12_accuracy_bound():
+    import math
+
+    for x in _LOG2_PROBES:
+        assert abs(log2_q12_py(x) / ONE_Q12 - math.log2(x)) < 2 ** -(FRAC_BITS - 2), x
+
+
+def test_bigram_surprisal_matches_hand_model(spark):
+    # corpus: two docs over a 3-word vocab; model computed by hand below
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b c"), (3, None), (4, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_surprisal(docs).collect()}
+    # bigrams: d1: (a,b)x2 (b,a) (b,c); d2: (a,b) (b,c)
+    # model: c(a,b)=3 c(b,a)=1 c(b,c)=2; ctx: a=3, b=3; V = |{a,b,c}| = 3
+    def s(num, den):
+        return log2_q12_py(den) - log2_q12_py(num)
+
+    d1 = 2 * s(4, 6) + s(2, 6) + s(3, 6)
+    d2 = s(4, 6) + s(3, 6)
+    assert out[1].n_bigrams == 4 and out[2].n_bigrams == 2
+    assert out[1].avg_surprisal_bits == round(d1 / 4 / float(ONE_Q12), 6)
+    assert out[2].avg_surprisal_bits == round(d2 / 2 / float(ONE_Q12), 6)
+    assert 3 not in out and 4 not in out  # NULL text / <2 words: no row
+
+
+# --- Gopher rules ------------------------------------------------------
+
+_50_WORDS = "the quick brown fox jumps over lazy dogs near riverbank " * 5
+
+
+def test_gopher_rules_battery(spark):
+    good = _50_WORDS.strip()  # 50 words, stopword 'the' x5, varied
+    short = "tiny doc of the and"  # fails word count, passes stopwords
+    symbols = " ".join(["##" for _ in range(25)] * 2) + " the the"  # symbol flood
+    repeat = "the " * 60  # top unigram = 100%
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, repeat)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert out[1].rule_word_count and out[1].rule_stopwords and out[1].rule_top_unigram
+    assert out[1].verdict == "keep" and out[1].n_rules_failed == 0
+    assert not out[2].rule_word_count and out[2].verdict == "drop"
+    assert not out[3].rule_symbol_ratio and not out[3].rule_alpha_words
+    assert not out[4].rule_top_unigram
+    assert out[4].mean_word_len == 3.0  # boundary: inclusive, rule passes
+
+
+def test_gopher_rules_null_and_empty_text_emit_no_row(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "  "), (4, _50_WORDS.strip())],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in gopher_rules(docs).collect()}
+    assert got == {4}
+
+
+# --- paragraph dedup ---------------------------------------------------
+
+
+def test_paragraph_dedup_counts_corpus_repeats(spark):
+    block = " ".join(f"w{i}" for i in range(25))
+    uniq = " ".join(f"u{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [
+            (1, block + " " + uniq),        # para1 duplicated (doc 2 + self of 3), para2 unique
+            (2, block),                      # single duplicated para
+            (3, block + " " + block),        # self-repeat counts too
+            (4, "short tail"),               # one sub-block para, unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup_stats(docs).collect()}
+    assert out[1].n_paragraphs == 2 and out[1].n_dup_paragraphs == 1
+    assert out[2].n_paragraphs == 1 and out[2].n_dup_paragraphs == 1
+    assert out[3].n_paragraphs == 2 and out[3].n_dup_paragraphs == 2
+    assert out[3].verdict == "drop" and out[1].verdict == "keep"
+    assert out[4].n_paragraphs == 1 and out[4].n_dup_paragraphs == 0
+
+
+# --- contamination report ----------------------------------------------
+
+
+def test_contamination_report_eval_centric(spark):
+    shared = " ".join(f"s{i}" for i in range(8))
+    train = spark.createDataFrame(
+        [(10, shared + " extra tokens here"), (11, shared)],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(1, shared + " clean suffix words"), (2, "totally different eight gram words in here now")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in contamination_report(train, eval_docs, n=8).collect()}
+    assert out[1].n_hit_grams == 1 and out[1].n_train_docs == 2
+    assert out[2].n_hit_grams == 0 and out[2].n_train_docs == 0 and not out[2].contaminated
+    assert out[1].n_grams == 4  # 11 words -> 4 distinct 8-grams
+
+
+# --- reservoir sample --------------------------------------------------
+
+
+def test_reservoir_sample_deterministic_and_displacement_only(spark):
+    base = spark.range(0, 200).withColumnRenamed("id", "k")
+    s1 = {r.k: r.rk for r in reservoir_sample(base, "k", 10).collect()}
+    s2 = {r.k: r.rk for r in reservoir_sample(base.repartition(7), "k", 10).collect()}
+    assert s1 == s2 and len(s1) == 10  # partition-independent
+    grown = spark.range(0, 400).withColumnRenamed("id", "k")
+    s3 = set(reservoir_sample(grown, "k", 10).select("k").toPandas()["k"])
+    # reservoir invariant: growing the corpus only displaces, never reorders
+    kept = set(s1) & s3
+    pr = {r.k: r.priority for r in reservoir_sample(grown, "k", 400).collect()}
+    assert all(pr[k] <= max(pr[j] for j in s3) for k in kept)
+    assert len(s3) == 10
+
+
+# --- URL canonicalization ----------------------------------------------
+
+
+def test_canonical_url_collapses_variant_families(spark):
+    urls = [
+        (1, "http://Example.COM:80//docs//7/?utm_source=x&page=7#frag"),
+        (2, "HTTPS://example.com/docs/7?page=7&utm_campaign=y"),
+        (3, "http://example.com/docs/7/?page=7"),
+        (4, "http://other.org/a"),
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    canon = {r.doc_id: r.c for r in df.select("doc_id", canonical_url("url").alias("c")).collect()}
+    assert canon[1] == canon[2] == canon[3] == "example.com/docs/7?page=7"
+    assert canon[4] == "other.org/a"
+    groups = url_dedup_groups(df).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.n_variants == 3 and g.n_distinct_raw == 3 and g.keeper == 1
+
+
+# --- session stats -----------------------------------------------------
+
+
+def test_session_stats_bounce_and_landing(spark):
+    rows = [
+        # user 1: session A view->click (dur 100), session B lone error (bounce)
+        (1, 1000.0, 1, "view"),
+        (1, 1100.0, 2, "click"),
+        (1, 10000.0, 3, "error"),
+        # user 2: lone view (bounce)
+        (2, 500.0, 4, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, tsd double, event_id long, event_type string")
+    df = df.select("user_id", F.timestamp_seconds("tsd").alias("ts"), "event_id", "event_type")
+    out = {r.landing: r for r in session_stats(df).collect()}
+    assert out["view"].n_sessions == 2 and out["view"].n_bounces == 1
+    assert out["view"].avg_events == 1.5
+    assert out["view"].max_duration_sec == 100
+    assert out["error"].n_sessions == 1 and out["error"].bounce_rate == 1.0
+
+
+def test_session_stats_tied_boundary_landing_is_value_determined(spark):
+    # two event types at the SAME (ts, event_id): landing must be the
+    # coalesce('')-least type in every run/partitioning
+    rows = [(1, 1000.0, 7, "view"), (1, 1000.0, 7, "click"), (1, 1000.0, 7, "view")]
+    df = spark.createDataFrame(rows, "user_id long, tsd double, event_id long, event_type string")
+    df = df.select("user_id", F.timestamp_seconds("tsd").alias("ts"), "event_id", "event_type")
+    for run in range(3):
+        out = session_stats(df.repartition(run + 2)).collect()
+        assert len(out) == 1 and out[0].landing == "click" and out[0].avg_events == 3.0
+
+
+def test_session_stats_null_key_sessions_survive(spark):
+    # round-9 nulls2 tier lesson: NULL user_id is a REAL session group
+    # (all NULL-key events sessionize together); the oracle's landing
+    # join must be NULL-safe or these sessions silently vanish from the
+    # report while the Spark side (landing computed in the same groupBy)
+    # keeps them
+    rows = [
+        (None, 1000.0, 1, "view"),
+        (None, 1100.0, 2, "click"),
+        (None, 10000.0, 3, "error"),
+        (7, 500.0, 4, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, tsd double, event_id long, event_type string")
+    df = df.select("user_id", F.timestamp_seconds("tsd").alias("ts"), "event_id", "event_type")
+    out = {r.landing: r for r in session_stats(df).collect()}
+    assert out["view"].n_sessions == 2  # NULL-user view session + user 7
+    assert out["error"].n_sessions == 1
