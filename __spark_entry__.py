@@ -51,6 +51,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: window.  Self-retiring: once every name here has a real record the
 #: set is inert.
 _DEFER_PAST_R9 = {
+    "doc_token_entropy",
+    "corpus_dsir_weights",
+    "token_zipf_fit",
     "doc_quality_gopher_rules",
     "docs_paragraph_dedup",
     "corpus_contamination_ngram_overlap",

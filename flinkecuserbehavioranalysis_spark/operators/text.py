@@ -747,3 +747,160 @@ def bigram_surprisal(
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
     )
+
+
+# --- exact information-theoretic scoring (round 9, second wave) -------
+# All three reuse the Q12 fixed-point log2 (functions/fixedpoint.py) so
+# entropy / importance / power-law numbers are bit-identical across
+# engines — the property that makes them oracle-pairable at all.
+
+
+def token_entropy(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document unigram entropy in bits (plus type-token ratio) —
+    the classic repetitiveness/compressibility quality signal.
+
+    H = log2(n) - (Σ k·log2(k)) / n over the doc's token counts,
+    computed entirely in Q12 fixed point: the numerator
+    n·log2q(n) - Σ k·log2q(k) is an exact integer, the final division
+    is one deterministic IEEE op.  Bound: exact while
+    n·log2q(n) < 2^63 — n < 2^45 tokens per document, far past any
+    real document.  ONE explode → (doc, word) count shuffle; the log2
+    chains are pure codegen integer arithmetic on the count relations."""
+    from ..functions.fixedpoint import ONE_Q12, with_log2_q12
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda w: w != "")).alias("w"),
+    )
+    per_word = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    per_word = with_log2_q12(per_word, "k", "lgk")
+    per_doc = per_word.groupBy(id_col).agg(
+        F.sum("k").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("k") * F.col("lgk")).cast("long").alias("sk"),
+    )
+    per_doc = with_log2_q12(per_doc, "n_tokens", "lgn")
+    h = (
+        (F.col("n_tokens") * F.col("lgn") - F.col("sk")).cast("double")
+        / F.col("n_tokens")
+        / F.lit(float(ONE_Q12))
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_types",
+        F.round(h, 6).alias("entropy_bits"),
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public): score
+    every document by how much more likely its hashed-unigram bag is
+    under the TARGET distribution (docs passing *target_pred*) than
+    under the RAW corpus distribution.
+
+    log2-weight = Σ_tokens [log2 p̂_t(b) - log2 p̂_r(b)] with add-one
+    smoothing over *n_buckets* hashed features, computed in Q12 fixed
+    point so the weights are engine-exact; keep = weight > 1 (positive
+    log).  The feature-count relation is *n_buckets*-bounded — the log2
+    chains and the totals run on ≤1024 rows; the token stream is
+    scored by one bucket-keyed join (broadcast-sized by construction)."""
+    from ..functions.fixedpoint import ONE_Q12, with_log2_q12
+
+    toks = docs.select(
+        F.col(id_col),
+        target_pred.alias("__is_t"),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda w: w != "")).alias("w"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long"), F.lit(n_buckets)
+    )
+    db = toks.select(F.col(id_col), F.col("__is_t"), bucket.alias("b")).groupBy(
+        id_col, "__is_t", "b"
+    ).agg(F.count(F.lit(1)).cast("long").alias("k"))
+    feats = db.groupBy("b").agg(
+        F.sum(F.when(F.col("__is_t"), F.col("k")).otherwise(0)).cast("long").alias("c_t"),
+        F.sum("k").cast("long").alias("c_r"),
+    )
+    totals = feats.agg(
+        (F.sum("c_t") + n_buckets).cast("long").alias("den_t"),
+        (F.sum("c_r") + n_buckets).cast("long").alias("den_r"),
+    )
+    m = feats.withColumn("num_t", F.col("c_t") + 1).withColumn("num_r", F.col("c_r") + 1)
+    m = with_log2_q12(m, "num_t", "lg_t")
+    m = with_log2_q12(m, "num_r", "lg_r")
+    m = m.select("b", (F.col("lg_t") - F.col("lg_r")).alias("w_part"))
+    t = totals
+    t = with_log2_q12(t, "den_t", "lg_dt")
+    t = with_log2_q12(t, "den_r", "lg_dr")
+    t = t.select((F.col("lg_dt") - F.col("lg_dr")).alias("w_den"))
+    scored = (
+        db.groupBy(id_col, "b")
+        .agg(F.sum("k").cast("long").alias("k"))
+        .join(F.broadcast(m), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(F.col("k") * F.col("w_part")).cast("long").alias("s_q12"),
+        )
+        .crossJoin(F.broadcast(t))
+    )
+    lw = (
+        (F.col("s_q12") - F.col("n_tokens") * F.col("w_den")).cast("double")
+        / F.lit(float(ONE_Q12))
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(lw, 6).alias("log2_weight_bits"),
+        (lw > 0.0).alias("resample_keep"),
+    )
+
+
+def zipf_fit(
+    docs: DataFrame, max_terms: int = 1000, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Zipf power-law fit over the top-*max_terms* vocabulary: OLS of
+    log2(freq) on log2(rank) — slope ≈ -1 on natural language, and a
+    drifting slope is a cheap corpus-shift alarm.
+
+    x = log2q(rank), y = log2q(cnt) in Q12; the OLS sums are exact
+    int64 (bounds: n ≤ 1000, x < 2^16, y < 2^18 ⇒ n·Σxy < 2^55), so
+    slope = (nΣxy − ΣxΣy)/(nΣxx − Σx²) is one deterministic double
+    division.  Runs on the vocab relation (post-LIMIT ≤ max_terms
+    rows); the corpus-scale work is the one token-count shuffle
+    inside ``build_vocab``."""
+    from ..functions.fixedpoint import ONE_Q12, with_log2_q12
+
+    vocab = build_vocab(docs, text_col=text_col, max_size=max_terms)
+    v = with_log2_q12(vocab.select("vocab_id", "cnt"), "vocab_id", "x")
+    v = with_log2_q12(v, "cnt", "y")
+    s = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    intercept_bits = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n")
+        / F.lit(float(ONE_Q12))
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept_bits, 6).alias("intercept_bits"),
+    )

@@ -10626,3 +10626,156 @@ FROM __ps GROUP BY landing
 )
 def events_sessionized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(load_table(spark, sf_dir, "events"))
+
+
+# --- round-9 second wave: exact information-theoretic scoring ---------
+
+from ..operators.text import dsir_weights, token_entropy, zipf_fit  # noqa: E402
+
+
+def _token_entropy_oracle() -> str:
+    from ..functions.fixedpoint import ONE_Q12, log2_q12_sql_ctes
+
+    k_chain = log2_q12_sql_ctes("__pw", ["doc_id", "k"], "k", "lgk", "__ek")
+    n_chain = log2_q12_sql_ctes("__pd", ["doc_id", "n_tokens", "n_types", "sk"], "n_tokens", "lgn", "__en")
+    return f"""
+WITH __w AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+  FROM documents WHERE text IS NOT NULL),
+__pw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS k FROM __w GROUP BY doc_id, w),
+{k_chain},
+__pd AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+                CAST(count(*) AS BIGINT) AS n_types,
+                CAST(sum(k * lgk) AS BIGINT) AS sk
+         FROM __ekf GROUP BY doc_id),
+{n_chain}
+SELECT doc_id, n_tokens, n_types,
+       round(CAST(n_tokens * lgn - sk AS DOUBLE) / n_tokens / {float(ONE_Q12)!r}, 6) AS entropy_bits,
+       round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS type_token_ratio
+FROM __enf
+"""
+
+
+@_q(
+    "doc_token_entropy",
+    _token_entropy_oracle(),
+    "Extension (round 9, quality scoring): per-doc unigram entropy in bits + type-token "
+    "ratio — the repetitiveness/compressibility signal — computed ENTIRELY in Q12 "
+    "fixed-point integer arithmetic (H = log2(n) - Σk·log2(k)/n; numerator exact int64 "
+    "for any document under 2^45 tokens), so the entropy is bit-identical across "
+    "engines.  One (doc,word) count shuffle; log2 chains are codegen integer ops "
+    "(operators/text.token_entropy).",
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+_QUALITY_OK_SQL = (
+    "(len(string_split(text, ' ')) >= 5 AND len(string_split(text, ' ')) <= 1000"
+    f" AND len(list_filter(string_split(text, ' '), w -> w IN ({_GOPHER_STOP_SQL})))"
+    " * 1.0 / len(string_split(text, ' ')) <= 0.5"
+    " AND (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0"
+    " / len(string_split(text, ' ')) >= 2.0"
+    " AND (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0"
+    " / len(string_split(text, ' ')) <= 12.0)"
+)
+
+
+def _dsir_oracle(n_buckets: int = 1024) -> str:
+    from ..functions.fixedpoint import ONE_Q12, log2_q12_sql_ctes
+
+    t_chain = log2_q12_sql_ctes("__m0", ["b", "num_r", "w_keep"], "num_t", "lg_t", "__dt")
+    r_chain = log2_q12_sql_ctes("__dtf", ["b", "lg_t"], "num_r", "lg_r", "__dr")
+    dt_chain = log2_q12_sql_ctes("__t0", ["den_r"], "den_t", "lg_dt", "__tt")
+    dr_chain = log2_q12_sql_ctes("__ttf", ["lg_dt"], "den_r", "lg_dr", "__tr")
+    return f"""
+WITH __tok AS (
+  SELECT doc_id, {_QUALITY_OK_SQL} AS is_t,
+         ('0x' || substring(md5(unnest(list_filter(string_split(text, ' '), w -> w <> ''))), 1, 8))::VARCHAR::UBIGINT % {n_buckets} AS b
+  FROM documents WHERE text IS NOT NULL),
+__db AS (SELECT doc_id, is_t, CAST(b AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS k
+         FROM __tok GROUP BY 1, 2, 3),
+__f AS (SELECT b,
+               CAST(sum(CASE WHEN is_t THEN k ELSE 0 END) AS BIGINT) AS c_t,
+               CAST(sum(k) AS BIGINT) AS c_r
+        FROM __db GROUP BY b),
+__m0 AS (SELECT b, c_t + 1 AS num_t, c_r + 1 AS num_r, 0 AS w_keep FROM __f),
+{t_chain},
+{r_chain},
+__m AS (SELECT b, lg_t - lg_r AS w_part FROM __drf),
+__t0 AS (SELECT CAST(sum(c_t) + {n_buckets} AS BIGINT) AS den_t,
+                CAST(sum(c_r) + {n_buckets} AS BIGINT) AS den_r FROM __f),
+{dt_chain},
+{dr_chain},
+__wd AS (SELECT lg_dt - lg_dr AS w_den FROM __trf),
+__sc AS (SELECT d.doc_id, CAST(sum(d.k) AS BIGINT) AS n_tokens,
+                CAST(sum(d.k * m.w_part) AS BIGINT) AS s_q12
+         FROM (SELECT doc_id, b, CAST(sum(k) AS BIGINT) AS k FROM __db GROUP BY 1, 2) d
+         JOIN __m m USING (b) GROUP BY 1)
+SELECT s.doc_id, s.n_tokens,
+       round(CAST(s.s_q12 - s.n_tokens * w.w_den AS DOUBLE) / {float(ONE_Q12)!r}, 6) AS log2_weight_bits,
+       CAST(s.s_q12 - s.n_tokens * w.w_den AS DOUBLE) / {float(ONE_Q12)!r} > 0.0 AS resample_keep
+FROM __sc s CROSS JOIN __wd w
+"""
+
+
+@_q(
+    "corpus_dsir_weights",
+    _dsir_oracle(),
+    "Extension (round 9, data selection): DSIR-style importance weights (Xie et al. "
+    "2023, public) — per-doc log2 likelihood ratio of the hashed-unigram bag under the "
+    "TARGET distribution (docs passing the quality gate) vs the RAW corpus, add-one "
+    "smoothed over 1024 hashed features, in Q12 fixed point (engine-exact).  The "
+    "feature relation is 1024-bounded, so the log2 chains and totals are tiny and the "
+    "token stream is scored by one broadcast bucket join "
+    "(operators/text.dsir_weights).",
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_ok
+
+    return dsir_weights(load_table(spark, sf_dir, "documents"), quality_ok("text"))
+
+
+def _zipf_oracle(max_terms: int = 1000) -> str:
+    from ..functions.fixedpoint import ONE_Q12, log2_q12_sql_ctes
+
+    x_chain = log2_q12_sql_ctes("__v", ["cnt"], "vocab_id", "x", "__zx")
+    y_chain = log2_q12_sql_ctes("__zxf", ["x"], "cnt", "y", "__zy")
+    return f"""
+WITH __tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+__c AS (
+  SELECT token, count(*) AS cnt FROM __tok GROUP BY token
+  ORDER BY cnt DESC, token LIMIT {max_terms}),
+__v AS (
+  SELECT CAST(cnt AS BIGINT) AS cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS vocab_id
+  FROM __c),
+{x_chain},
+{y_chain},
+__s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM __zyf)
+SELECT n AS n_terms,
+       round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       round((CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(sx AS DOUBLE)) / n / {float(ONE_Q12)!r}, 6) AS intercept_bits
+FROM __s
+"""
+
+
+@_q(
+    "token_zipf_fit",
+    _zipf_oracle(),
+    "Extension (round 9, corpus monitoring): Zipf power-law fit — OLS of log2(freq) on "
+    "log2(rank) over the top-1000 vocabulary (slope ≈ -1 on natural language; drift is "
+    "a cheap corpus-shift alarm).  x/y in Q12 fixed point, OLS sums exact int64 "
+    "(n·Σxy < 2^55 at these bounds), ONE deterministic double division at the end.  "
+    "Runs on the post-LIMIT vocab relation; the corpus-scale work is build_vocab's "
+    "token-count shuffle (operators/text.zipf_fit).",
+)
+def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zipf_fit(load_table(spark, sf_dir, "documents"))

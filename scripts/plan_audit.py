@@ -38,6 +38,7 @@ KEYLESS_WINDOW_EXEMPT = {
     "vocab_growth_curve": "decile spine over the 1000-term capped vocab (≤10 rows)",
     "text_vocab": "post-LIMIT max_size=1000 survivors (build_vocab single-stage path; above single_stage_cap it auto-shards via global_rank)",
     "reservoir_sample_documents": "rank window runs AFTER the k=100 LIMIT (TakeOrderedAndProject merges per-task k-row heaps first; operators/sampling.reservoir_sample)",
+    "token_zipf_fit": "build_vocab's post-LIMIT max_size=1000 id window (same bound as text_vocab); the OLS runs on that ≤1000-row relation",
 }
 # (the former pq_fit seed window — ann_pq_topk's 3 runtime warns — was
 # ELIMINATED in round 7: seed codes now enumerate driver-side over the
