@@ -65,6 +65,7 @@ CORPORA = [
 ]
 
 
+@pytest.mark.soak
 @pytest.mark.parametrize("word_freqs", CORPORA)
 def test_bpe_matches_classic(spark, word_freqs):
     rounds = 5
@@ -129,6 +130,7 @@ def test_apply_merges_reproduces_training_segmentation(spark):
     assert len(trained) > 0 and encoded == trained
 
 
+@pytest.mark.soak
 def test_streaming_tokenize_matches_batch(spark):
     """Bounded replay of the frozen-merges tokenizer equals the batch
     fertility totals per (lang, source) — final state per key."""
@@ -173,6 +175,7 @@ _WORD = st.text(alphabet="abc", min_size=1, max_size=5)
                     min_size=1, max_size=6),
     st.integers(min_value=1, max_value=4),
 )
+@pytest.mark.soak
 @settings(max_examples=8, deadline=None)
 def test_bpe_fuzz_matches_classic(spark, word_freqs, rounds):
     exp_merges, _ = _classic_bpe(word_freqs, rounds)

@@ -71,6 +71,7 @@ def _oracle_con(sf_dir: str):
     return con
 
 
+@pytest.mark.soak
 @pytest.mark.parametrize("name", NULL_SWEEP_QUERIES)
 def test_null_injected_matches_oracle(spark, degen_dirs, name):
     sf = os.path.join(degen_dirs, "nulls")
@@ -156,6 +157,7 @@ NULL2_SWEEP_QUERIES = [
 ]
 
 
+@pytest.mark.soak
 @pytest.mark.parametrize("name", NULL2_SWEEP_QUERIES)
 def test_null2_injected_matches_oracle(spark, degen_dirs, name):
     sf = os.path.join(degen_dirs, "nulls2")
@@ -203,6 +205,7 @@ def test_empty_tables_return_cleanly(spark, degen_dirs, name, n_rows):
     assert out.count() == n_rows
 
 
+@pytest.mark.soak
 def test_streaming_twins_drop_null_event_times(spark, degen_dirs):
     """Structured Streaming generates no window for a NULL event time
     (the watermark node passes the row, the window generator emits
@@ -266,6 +269,7 @@ UNICODE_SWEEP_QUERIES = [
 ]
 
 
+@pytest.mark.soak
 @pytest.mark.parametrize("name", UNICODE_SWEEP_QUERIES)
 def test_unicode_text_matches_oracle(spark, degen_dirs, name):
     """CJK / astral-plane emoji / RTL / accent splices: Spark and DuckDB
@@ -304,6 +308,7 @@ SPECIALS_SWEEP_QUERIES = [
 ]
 
 
+@pytest.mark.soak
 @pytest.mark.parametrize("name", SPECIALS_SWEEP_QUERIES)
 def test_special_floats_match_oracle(spark, degen_dirs, name):
     """Corrupt numeric features (NaN / ±Inf / -0.0 measures, NaN / 1e308
@@ -460,6 +465,7 @@ TIMES_SWEEP_QUERIES = [
 ]
 
 
+@pytest.mark.soak
 @pytest.mark.parametrize("name", TIMES_SWEEP_QUERIES)
 def test_extreme_timestamps_match_oracle(spark, degen_dirs, name):
     """Extreme-but-valid timestamps (epoch 0, pre-1970 NEGATIVE epochs
@@ -507,6 +513,7 @@ def test_floor_division_contract_on_negatives(spark):
         assert got[v] == (math.floor(v), math.floor(v / 86400)), v
 
 
+@pytest.mark.soak
 def test_spine_recursion_fallback_paths(spark, degen_dirs):
     """daily_purchase_spine keeps the WITH RECURSIVE surface for sane
     spans (UnionLoop in the plan) and falls back to the distributed
@@ -546,6 +553,7 @@ SKEW_SWEEP_QUERIES = [
 ]
 
 
+@pytest.mark.soak
 @pytest.mark.parametrize("name", SKEW_SWEEP_QUERIES)
 def test_hot_keys_and_duplicate_floods_match_oracle(spark, degen_dirs, name):
     """Pathological skew must not change ANSWERS: identical-vector k-NN
@@ -603,6 +611,7 @@ def test_clock_audit_classification(spark):
     assert pre["pre_epoch"] == -1
 
 
+@pytest.mark.soak
 def test_dedup_edges_equal_pairlist_components(spark, degen_dirs):
     """The 100 TB-safe connectivity-edge inputs (rep pairs + member→rep
     edges, linear in duplicates) must produce EXACTLY the canonical map
@@ -641,6 +650,7 @@ def test_dedup_edges_equal_pairlist_components(spark, degen_dirs):
     assert n_edges < n_pairs  # the flood tier guarantees a gap
 
 
+@pytest.mark.soak
 def test_streaming_kernels_floor_pre_epoch_emissions(spark, degen_dirs):
     """Bounded replay of a stateful kernel over the extreme-timestamp
     tier: emitted epoch-second longs must FLOOR (the batch contract) —
@@ -704,6 +714,7 @@ STREAMING_REPLAY_QUERIES = [
 ]
 
 
+@pytest.mark.soak
 @pytest.mark.parametrize("tier", ["nulls", "nulls2", "times"])
 @pytest.mark.parametrize("name", STREAMING_REPLAY_QUERIES)
 def test_streaming_replays_match_oracle_on_degenerate_tiers(

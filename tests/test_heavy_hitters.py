@@ -34,6 +34,7 @@ _STREAM = st.lists(
 )
 
 
+@pytest.mark.soak
 @given(_STREAM, st.sampled_from([0.05, 0.1, 0.3]), st.integers(2, 8))
 @settings(max_examples=12, deadline=None)
 def test_two_pass_equals_naive_under_any_partitioning(spark, vals, threshold, parts):
@@ -47,6 +48,7 @@ def test_two_pass_equals_naive_under_any_partitioning(spark, vals, threshold, pa
     assert got == _naive(vals, threshold)
 
 
+@pytest.mark.soak
 @given(_STREAM, st.integers(2, 8))
 @settings(max_examples=12, deadline=None)
 def test_candidates_superset_of_theta_heavy_hitters(spark, vals, parts):

@@ -30,6 +30,7 @@ def _docs(spark):
     )
 
 
+@pytest.mark.soak
 def test_decode_meta_is_deterministic_function_of_payload(spark):
     rows = {r.doc_id: r for r in decode_meta(attach_binary(_docs(spark))).collect()}
     assert rows[1].n_bytes == 11 and rows[1].width == 12 and rows[1].height == 78
@@ -115,6 +116,7 @@ def test_decode_image_rejects_corrupt_bytes():
             decode_image(bad)
 
 
+@pytest.mark.soak
 def test_real_decode_meta_on_spark_matches_construction(spark):
     docs = spark.createDataFrame(
         [(0, "hello world", 11), (1, "a", 1), (2, "xyzw", 4), (3, None, None)],

@@ -391,6 +391,7 @@ def test_frequent_pairs_and_pagerank_edge_cases(spark):
     assert pagerank(empty).collect() == []
 
 
+@pytest.mark.soak
 def test_triangle_stats_known_graph(spark):
     """K4 minus one edge: 5 edges, 2 triangles, wedges from degrees
     (two deg-3 + two deg-2 -> 3+3+1+1 = 8), clustering 3*2/8."""
@@ -411,6 +412,7 @@ def test_triangle_stats_known_graph(spark):
     assert r0.global_clustering is None
 
 
+@pytest.mark.soak
 def test_pagerank_convergence_mode_matches_long_unroll(spark):
     """pagerank(tol=0) must early-stop at the 6dp fixed point and equal
     a much longer fixed-round unroll exactly (round-4 verdict ask #4)."""
@@ -427,6 +429,7 @@ def test_pagerank_convergence_mode_matches_long_unroll(spark):
     assert conv == u40
 
 
+@pytest.mark.soak
 def test_kmeans_convergence_mode_matches_long_unroll(spark):
     """kmeans_fit(tol=0) early-stops at the Lloyd fixed point and
     equals the long fixed-round unroll exactly."""

@@ -7,7 +7,12 @@ plan+collect round-trip."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings, strategies as st
+
+# round-9 verdict #3: the hypothesis naive-parity sweeps are the exhaustive
+# tier — fixture-based semantics stay in tests/test_operator_semantics.py
+pytestmark = pytest.mark.soak
 from pyspark.sql import functions as F
 
 from flinkecuserbehavioranalysis_spark.operators.joins import as_of_join, interval_join

@@ -284,6 +284,7 @@ def test_bucketed_neardup_cap_bounds_fat_bucket(spark):
     assert fat_pairs < len(uncapped) - 3
 
 
+@pytest.mark.soak
 def test_ivf_recall_at_10_floor(spark):
     """An approximate index without a measured recall is unfinished:
     recall@10 of ivf_topk (n_cells=8, nprobe=3, 2 Lloyd training
@@ -395,6 +396,7 @@ def test_percentile_approx_tracks_exact_quantiles(spark):
     assert n_exact == n_approx
 
 
+@pytest.mark.soak
 def test_results_invariant_under_partitioning(spark):
     """Distributed determinism: the same query must produce identical
     rows at different shuffle-partition counts — catches order-dependent
@@ -428,6 +430,7 @@ def test_results_invariant_under_partitioning(spark):
         spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
+@pytest.mark.soak
 def test_bench_contract_single_json_line():
     """bench.py must print exactly one parseable JSON line with the
     driver-contract keys, exercised at the smoke scale factor."""
@@ -535,6 +538,7 @@ def test_duplicate_components_transitive_chain(spark):
     assert canon == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 10: 10, 11: 10, 99: 99}
 
 
+@pytest.mark.soak
 def test_star_components_match_hashmin_on_fixtures(spark):
     """deep=True (large-star/small-star) must produce EXACTLY the same
     (v, label) mapping as hash-min on shallow fixtures: the chain+
@@ -565,6 +569,7 @@ def test_star_components_match_hashmin_on_fixtures(spark):
     assert deep_r == shallow_r
 
 
+@pytest.mark.soak
 def test_star_components_converge_on_deep_path_graph(spark):
     """A 1,000-node path needs ~999 hash-min rounds (diameter-bound);
     large-star/small-star must collapse it to the single component
@@ -586,6 +591,7 @@ def test_star_components_converge_on_deep_path_graph(spark):
     assert set(labels.values()) == {0}
 
 
+@pytest.mark.soak
 def test_stratified_sample_two_phase_equals_direct_rank(spark):
     """The md5-prefix pre-filter must not change WHICH rows are chosen:
     on a skewed corpus (one 400-row stratum, one 6-row stratum) the
@@ -644,6 +650,7 @@ def test_canonicalize_duplicates_empty_pairs(spark):
     assert got == {i: i for i in range(5)}
 
 
+@pytest.mark.soak
 def test_cosine_lsh_recall_on_planted_neardups(spark):
     """SRP-LSH is a near-dup detector: its guarantee is high recall at
     HIGH cosine (P[candidate] ≈ 1-(1-(1-θ/π)^r)^b → 0.97 at cos 0.9 for
@@ -843,6 +850,7 @@ def test_retention_cohorts_triangle(spark):
     }
 
 
+@pytest.mark.soak
 def test_kmeans_cluster_stats_matches_naive_lloyd(spark):
     """kmeans_cluster_stats against a naive numpy replay of the same
     deterministic algorithm (smallest-id seeds, 6dp-rounded cosine
@@ -1013,6 +1021,7 @@ def test_pq_topk_recall_floor(spark):
     assert sum(recalls) / len(recalls) >= 0.6, recalls
 
 
+@pytest.mark.soak
 def test_ivf_pq_recall_floor(spark):
     """The composed IVF+PQ index keeps recall@10 >= 0.5 vs the float
     brute force (coarse-probe loss compounds with PQ reconstruction) —
@@ -1037,6 +1046,7 @@ def test_ivf_pq_recall_floor(spark):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+@pytest.mark.soak
 def test_pq_encode_reconstruction_properties(spark):
     """PQ encode invariants on a tiny hand corpus: codes are 1-based
     dense ranks bounded by k', xn2 equals the integer sum of the chosen
@@ -1152,6 +1162,7 @@ def test_weighted_hash_sample_degenerate_weights(spark):
     assert kept and all(r.w > 0 for r in kept)
 
 
+@pytest.mark.soak
 def test_build_vocab_sharded_path_matches_single_stage(spark):
     """Forcing the auto-shard global-rank path (single_stage_cap below
     max_size) must reproduce the single-stage path's (token, cnt,
@@ -1625,6 +1636,7 @@ def test_weekly_uv_sketch_within_tolerance_of_exact_twin(spark):
         assert abs(est[wk] - ex) <= max(3, 0.05 * ex), (wk, ex, est[wk])
 
 
+@pytest.mark.soak
 def test_aqe_skew_join_split_triggers_and_its_limits(spark):
     """The 100 TB skew insurance policy, pinned at bench scale:
 

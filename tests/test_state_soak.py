@@ -25,12 +25,15 @@ checkpoint across the three segment runs = 2 genuine restarts.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.soak  # round-9 verdict #3: state-soak family is the soak tier
+
 import json
 import os
 
 import numpy as np
 import pandas as pd
-import pytest
 from pyspark.sql import functions as F
 
 from flinkecuserbehavioranalysis_spark.streaming.stateful import (
