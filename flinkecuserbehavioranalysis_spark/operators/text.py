@@ -826,6 +826,19 @@ def dsir_weights(
     db = toks.select(F.col(id_col), F.col("__is_t"), bucket.alias("b")).groupBy(
         id_col, "__is_t", "b"
     ).agg(F.count(F.lit(1)).cast("long").alias("k"))
+    # db feeds BOTH the bucket model and the per-doc scoring — without a
+    # persist the token explode + count shuffle runs twice.  Registered
+    # in the session frame cache (semantic-hash key) so repeats are memo
+    # hits and LRU eviction releases the blocks (the graph.py/prefix-
+    # filter discipline).  Size bound: ≤ min(doc_tokens, n_buckets) rows
+    # per document, three int columns — the bucketing compresses the
+    # token stream by construction.
+    from .. import cache as _frame_cache
+
+    app = docs.sparkSession.sparkContext.applicationId
+    db = _frame_cache.pin(
+        (app, "dsir_doc_buckets", db.semanticHash()), lambda db=db: db.persist()
+    )
     feats = db.groupBy("b").agg(
         F.sum(F.when(F.col("__is_t"), F.col("k")).otherwise(0)).cast("long").alias("c_t"),
         F.sum("k").cast("long").alias("c_r"),
@@ -842,10 +855,10 @@ def dsir_weights(
     t = with_log2_q12(t, "den_t", "lg_dt")
     t = with_log2_q12(t, "den_r", "lg_dr")
     t = t.select((F.col("lg_dt") - F.col("lg_dr")).alias("w_den"))
+    # join db directly — a doc's __is_t is constant, so grouping by the
+    # id alone already sums its (b, k) rows exactly once
     scored = (
-        db.groupBy(id_col, "b")
-        .agg(F.sum("k").cast("long").alias("k"))
-        .join(F.broadcast(m), "b")
+        db.join(F.broadcast(m), "b")
         .groupBy(id_col)
         .agg(
             F.sum("k").cast("long").alias("n_tokens"),
