@@ -64,6 +64,20 @@ _DEFER_PAST_R9 = {
     "events_sessionized_stats",
 }
 
+#: Same pattern, round 10 (round-9 verdict #1 + ledger discipline): the
+#: r10 driver window must be the 11 round-9 registrations above (now
+#: genuinely never-checked) plus 39 LRU re-hashes — a round-10
+#: registration would displace an LRU slot.  While no CORRECTNESS_r10
+#: record exists these names sort as if checked in round 10 (the very
+#: back); the moment the r10 record lands they lead the r11 window.
+_DEFER_PAST_R10 = {
+    "streaming_sessionized_stats_replay",
+    "streaming_url_dedup_replay",
+    "token_kn_perplexity",
+    "corpus_source_overlap",
+    "dataset_split_stratified_quota",
+}
+
 
 _DRIVER_PRIORITY = {
     "streaming_login_fail_replay",
@@ -111,6 +125,10 @@ def _rotation_order() -> list[str]:
         # registrations behind everything already checked
         for name in _DEFER_PAST_R9:
             last_checked.setdefault(name, 9)
+    if max(last_checked.values(), default=0) < 10:
+        # round-10 window protection (see _DEFER_PAST_R10)
+        for name in _DEFER_PAST_R10:
+            last_checked.setdefault(name, 10)
     reg_pos = {name: i for i, name in enumerate(QUERIES)}
     return sorted(
         QUERIES,

@@ -1265,3 +1265,77 @@ def contamination_report(
         F.round(share, 6).alias("hit_share"),
         (share > min_hit_share).alias("contaminated"),
     )
+
+
+# --- cross-source overlap matrix (round 10) -----------------------------
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    n: int = 8,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise n-gram overlap between corpus SOURCES — the forensics
+    report that tells a mix curator which feeds duplicate each other
+    (mirror sites, syndicated wires, re-crawls) before the per-document
+    dedup even runs.
+
+    For every unordered source pair (a < b lexicographically): the
+    count of distinct word *n*-grams they share, each side's distinct
+    total, both containments and the Jaccard.  NULL sources form a real
+    group (both engines agree on NULL grouping; the pair key uses a ''
+    sentinel so ordering is total).
+
+    Shape: ONE explode builds the distinct (source, gram) relation —
+    group-keyed, so it is |sources|× smaller than the per-doc gram
+    relations the dedup family shuffles; the self-join is gram-keyed
+    (key-parallel — a gram shared by k sources emits C(k,2) pair rows,
+    bounded by the source count, single-digit at any SF); the final
+    aggregate is pair-keyed, output ≤ C(|sources|,2) rows.  Never
+    all-pairs on documents."""
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    sg = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.coalesce(F.col(group_col), F.lit("")).alias("src"), ws.alias("ws"))
+        .where(F.size("ws") >= n)
+        .select(
+            "src",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {n} + 1), "
+                    f"i -> array_join(slice(ws, i, {n}), ' '))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    totals = sg.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    a = sg.select(F.col("src").alias("src_a"), "g")
+    b = sg.select(F.col("src").alias("src_b"), "g")
+    shared = (
+        # merge hint: BOTH sides of the gram self-join are corpus-scale
+        # — a broadcast here can never be right at 100 TB, and Catalyst's
+        # post-distinct size estimate undershoots badly enough to pick
+        # one (caught by the sf1 live-oracle gate: broadcast OOM)
+        a.hint("merge")
+        .join(b.hint("merge"), "g")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    ta = totals.select(F.col("src").alias("src_a"), F.col("n_grams").alias("n_a"))
+    tb = totals.select(F.col("src").alias("src_b"), F.col("n_grams").alias("n_b"))
+    j = shared.join(ta, "src_a").join(tb, "src_b")
+    return j.select(
+        "src_a",
+        "src_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_shared") / F.col("n_a"), 6).alias("containment_a"),
+        F.round(F.col("n_shared") / F.col("n_b"), 6).alias("containment_b"),
+        F.round(
+            F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6
+        ).alias("jaccard"),
+    )

@@ -383,3 +383,58 @@ def reservoir_sample(
     )
     w = Window.orderBy("priority", key)  # ≤k rows — bounded single partition
     return kept.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+def stratified_quota(
+    df: DataFrame,
+    frac_num: int = 1,
+    frac_den: int = 10,
+    group_col: str = "source",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an EXACT global
+    split quota across strata: with target fraction p/q, the global
+    quota is T = floor(N·p/q) and every stratum gets base_i =
+    floor(n_i·p/q) plus one extra for the ``T − Σ base_i`` largest
+    remainders (ties by stratum name ascending — deterministic).  This
+    is what ``hash_split``-style Bernoulli splitting cannot give you: a
+    validation set that is EXACTLY 10.000% overall while staying as
+    proportional as integer rounding allows per stratum.
+
+    All arithmetic is int64 (n_i·p < 2^63 for any real corpus with
+    single-digit p), so both engines agree bit-for-bit.  Shape: ONE
+    group-by shuffle to the per-stratum counts; everything after runs
+    on the strata-sized relation — the remainder-rank window is keyless
+    by construction and plan-audit-exempt with that bound (one row per
+    stratum, single-digit-to-hundreds at any SF); the global totals are
+    a broadcast single-row aggregate."""
+    from pyspark.sql import Window
+
+    per = (
+        df.groupBy(F.coalesce(F.col(group_col), F.lit("")).alias("stratum"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .withColumn(
+            # integer div, NOT floor(double division): a double quotient
+            # can land one ulp under an exact integer at large n
+            "base_q",
+            F.expr(f"(n_rows * {frac_num}) div {frac_den}").cast("long"),
+        )
+        .withColumn(
+            "rem", (F.col("n_rows") * frac_num - F.col("base_q") * frac_den).cast("long")
+        )
+    )
+    tot = per.agg(
+        F.expr(f"(sum(n_rows) * {frac_num}) div {frac_den}").cast("long").alias("t_total"),
+        F.sum("base_q").cast("long").alias("base_total"),
+    )
+    w = Window.orderBy(F.col("rem").desc(), F.col("stratum").asc())
+    ranked = per.withColumn("rnk", F.row_number().over(w).cast("long"))
+    out = ranked.crossJoin(F.broadcast(tot))
+    quota = F.col("base_q") + F.when(
+        F.col("rnk") <= F.col("t_total") - F.col("base_total"), 1
+    ).otherwise(0)
+    return out.select(
+        "stratum",
+        "n_rows",
+        quota.cast("long").alias("quota"),
+        F.round(quota / F.col("n_rows"), 6).alias("realized_frac"),
+    )

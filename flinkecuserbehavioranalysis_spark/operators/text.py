@@ -684,33 +684,43 @@ def gopher_rules(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 # --- bigram-LM surprisal (round 9) ------------------------------------
 
 
-def bigram_surprisal(
+def _remapped_doc_bigrams(
     docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    id_col: str,
+    text_col: str,
+    min_count: int,
+    unk: str,
 ) -> DataFrame:
-    """Per-document add-one-smoothed bigram-LM surprisal (CCNet-style
-    perplexity quality signal) with EXACT cross-engine arithmetic.
+    """Shared doc-bigram relation for the bigram-LM scorers: (id, prev,
+    cur, k) counts with the *min_count* vocabulary cut applied (tokens
+    below the cut remap to *unk*; ``min_count <= 1`` disables it).
 
-    Model: p(cur|prev) = (c(prev,cur) + 1) / (c(prev) + V) trained on
-    the corpus itself (V = successor vocabulary size).  Per-token
-    surprisal in bits is log2(den) - log2(num) computed by the Q12
-    fixed-point integer log2 (functions/fixedpoint.py) — Spark, DuckDB,
-    and the Python model produce the same integer, so the per-doc
-    average is hash-exact without any libm call.
-
-    Shape: the doc→bigram explode feeds ONE (prev,cur) count shuffle;
-    context counts and the two log2 chains run on the MODEL relation
-    (distinct-bigram-sized, vocab²-bounded), never the token stream;
-    one (prev,cur)-keyed join scores the stream.  Output: doc_id,
-    n_bigrams, avg_surprisal_bits (round 6), ppl_bucket
-    head/middle/tail at 6/9 bits."""
-    from ..functions.fixedpoint import ONE_Q12, with_log2_q12
+    Shape: the doc→bigram explode feeds ONE (prev,cur,id) count shuffle;
+    the raw relation is PINNED in the session frame cache (it feeds the
+    rare-vocab derivation, the model build and the per-doc scoring —
+    without the persist the corpus-scale explode+shuffle runs once per
+    branch; ReusedExchange does not fire across the remap join's
+    subtrees, measured).  Unigram counts for the cut come WITHOUT a
+    second corpus pass: a token at position i of an n-token doc appears
+    as `prev` iff i < n and is the doc-final token iff i = n, so
+    c(w) = Σ k over rows with prev = w  +  #docs ending in w — one
+    model-sized aggregate plus a one-row-per-doc finals scan.  The RARE
+    set (the minimal carrier: only tokens the remap touches) is
+    left-joined twice against the doc-distinct-bigram relation, never
+    the raw token stream, with NO re-aggregation — downstream groupBys
+    absorb collapsed duplicates exactly (sums over remapped keys are
+    invariant to pre-grouping).  The remapped relation is pinned too
+    (read by model build + scoring).  Size bound for both pins: ≤ one
+    row per distinct (doc, prev, cur) triple, four narrow columns; the
+    count shuffle compresses the bigram stream by construction, and
+    persist spills to disk past the memory fraction.  Neither vocab
+    relation is forced broadcast: on a raw crawl the hapax tail can
+    exceed the broadcast budget, and AQE picks broadcast when it fits."""
+    from .. import cache as _frame_cache
 
     ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    d = docs.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col), ws.alias("ws")
-    ).where(F.size("ws") >= 2)
+    nn = docs.where(F.col(text_col).isNotNull()).select(F.col(id_col), ws.alias("ws"))
+    d = nn.where(F.size("ws") >= 2)
     bg = d.select(
         F.col(id_col),
         F.explode(
@@ -718,6 +728,93 @@ def bigram_surprisal(
         ).alias("b"),
     ).select(id_col, F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
     doc_bg = bg.groupBy(id_col, "prev", "cur").agg(F.count(F.lit(1)).alias("k"))
+    app = docs.sparkSession.sparkContext.applicationId
+    doc_bg = _frame_cache.pin(
+        (app, "bigram_doc_bg", doc_bg.semanticHash()), lambda d=doc_bg: d.persist()
+    )
+    if min_count <= 1:
+        return doc_bg
+    # vocab over ALL non-null docs (single-token docs included — the
+    # vocabulary is a corpus property, not a bigram-stream one)
+    prevs = doc_bg.groupBy(F.col("prev").alias("w")).agg(
+        F.sum("k").cast("long").alias("c")
+    )
+    finals = (
+        nn.select(F.element_at("ws", -1).alias("w"))
+        .where(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rare = (
+        prevs.unionByName(finals)
+        .groupBy("w")
+        .agg(F.sum("c").alias("c"))
+        .where(F.col("c") < min_count)
+        .select("w")
+    )
+    rp = rare.select(F.col("w").alias("prev"), F.lit(True).alias("__rp"))
+    rc = rare.select(F.col("w").alias("cur"), F.lit(True).alias("__rc"))
+    remapped = (
+        doc_bg.join(rp, "prev", "left")
+        .join(rc, "cur", "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__rp"), F.lit(unk)).otherwise(F.col("prev")).alias("prev"),
+            F.when(F.col("__rc"), F.lit(unk)).otherwise(F.col("cur")).alias("cur"),
+            F.col("k"),
+        )
+    )
+    return _frame_cache.pin(
+        (app, "bigram_doc_bg_remapped", remapped.semanticHash()),
+        lambda d=remapped: d.persist(),
+    )
+
+
+def bigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    unk: str = "<unk>",
+) -> DataFrame:
+    """Per-document add-one-smoothed bigram-LM surprisal (CCNet-style
+    perplexity quality signal) with EXACT cross-engine arithmetic.
+
+    Model: p(cur|prev) = (c(prev,cur) + 1) / (c(prev) + V) trained on
+    the corpus itself (V = successor vocabulary size) AFTER remapping
+    every token whose corpus unigram count is below *min_count* to the
+    *unk* symbol — the standard LM vocabulary cut.  Per-token surprisal
+    in bits is log2(den) - log2(num) computed by the Q12 fixed-point
+    integer log2 (functions/fixedpoint.py) — Spark, DuckDB, and the
+    Python model produce the same integer, so the per-doc average is
+    hash-exact without any libm call.
+
+    The *min_count* remap is what BOUNDS the model relation on a real
+    crawl (round-9 verdict #2: unpruned, distinct (prev,cur) grows with
+    the live vocabulary — the steepest slope in the registry at 2.8×
+    per 10× rows).  By Heaps'/Zipf's law the hapax tail is the majority
+    of distinct types, so collapsing count-1 tokens to ``<unk>``
+    collapses most distinct bigrams; vocabulary kept at count ≥ c is
+    ≤ N/c types, so the model is min(N_bigrams, (N/c)²+…)-bounded and
+    its growth decelerates as the corpus grows.  ``min_count <= 1``
+    disables the remap (the round-9 unbounded semantics).
+
+    Shape: one unigram-count shuffle builds the RARE relation (tokens
+    below the cut — the minimal carrier: the join's build side holds
+    only tokens the remap touches, so a clean corpus pays ~nothing);
+    the doc→bigram explode feeds ONE (prev,cur) count shuffle, remapped
+    by two left joins on the doc-distinct-bigram relation (never the
+    raw token stream) with NO re-aggregation — the downstream
+    groupBy(prev,cur) model build and the final per-doc sum absorb
+    collapsed duplicates exactly (sums over remapped keys are invariant
+    to pre-grouping); context counts and the two log2 chains run on the
+    MODEL relation (distinct-remapped-bigram-sized), never the token
+    stream; one (prev,cur)-keyed join scores the stream.  Output:
+    doc_id, n_bigrams, avg_surprisal_bits (round 6), ppl_bucket
+    head/middle/tail at 6/9 bits."""
+    from ..functions.fixedpoint import ONE_Q12, with_log2_q12
+
+    doc_bg = _remapped_doc_bigrams(docs, id_col, text_col, min_count, unk)
     model = doc_bg.groupBy("prev", "cur").agg(F.sum("k").cast("long").alias("c_bg"))
     ctx = model.groupBy("prev").agg(F.sum("c_bg").cast("long").alias("c_ctx"))
     vdf = model.select("cur").distinct().agg(F.count(F.lit(1)).cast("long").alias("v"))
@@ -746,6 +843,83 @@ def bigram_surprisal(
         .when(avg_bits < 9.0, F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
+    )
+
+
+def kneser_ney_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    unk: str = "<unk>",
+) -> DataFrame:
+    """Per-document interpolated Kneser-Ney bigram surprisal (Kneser &
+    Ney 1995; the KenLM-default smoothing) with EXACT cross-engine
+    arithmetic — the add-one sibling is ``bigram_surprisal``; KN is the
+    signal practitioners actually rank corpora with, because add-one
+    drastically over-smooths frequent contexts.
+
+    Model (discount D = 3/4, the Chen-Goodman fixed discount):
+      p(cur|prev) = max(c(prev,cur) − D, 0)/c(prev)
+                    + (D·n1p(prev)/c(prev)) · n1pl(cur)/B
+    where n1p(prev) = #distinct successors of prev, n1pl(cur) =
+    #distinct predecessors of cur (the continuation count), B = total
+    distinct bigrams.  With D = 3/4 the probability is the exact
+    rational (max(4c−3,0)·B + 3·n1p·n1pl) / (4·B·c_ctx), so per-token
+    surprisal is log2q(den) − log2q(num) in Q12 fixed point — both
+    engines produce the same integer.  Σ_cur p = 1 exactly (the
+    discount mass D·n1p re-enters through the continuation term).
+
+    int64 validity bound, stated per the token_entropy convention: den
+    = 4·B·c_ctx is exact while B·c_ctx < 2^61 (num ≤ den since p ≤ 1);
+    at B = 2^30 distinct bigrams that allows the hottest context 2^31
+    occurrences — safe for any sub-trillion-token corpus, while a
+    full web-scale crawl needs the DECIMAL(38) variant of the chain.
+    The *min_count* cut (shared with bigram_surprisal via
+    ``_remapped_doc_bigrams``, same pinned relations) keeps B itself
+    sub-linear in corpus size.
+
+    Shape: identical to bigram_surprisal — every KN statistic (c_ctx,
+    n1p, n1pl, B) is one aggregate of the MODEL relation; the log2
+    chains run on the model; one (prev,cur)-keyed join scores the
+    stream."""
+    from ..functions.fixedpoint import ONE_Q12, with_log2_q12
+
+    doc_bg = _remapped_doc_bigrams(docs, id_col, text_col, min_count, unk)
+    model = doc_bg.groupBy("prev", "cur").agg(F.sum("k").cast("long").alias("c_bg"))
+    ctx = model.groupBy("prev").agg(
+        F.sum("c_bg").cast("long").alias("c_ctx"),
+        F.count(F.lit(1)).cast("long").alias("n1p"),
+    )
+    cont = model.groupBy("cur").agg(F.count(F.lit(1)).cast("long").alias("n1pl"))
+    btot = model.agg(F.count(F.lit(1)).cast("long").alias("b"))
+    disc = F.greatest(4 * F.col("c_bg") - 3, F.lit(0).cast("long"))
+    m = (
+        model.join(ctx, "prev")
+        .join(cont, "cur")
+        .crossJoin(F.broadcast(btot))
+        .withColumn("num", disc * F.col("b") + 3 * F.col("n1p") * F.col("n1pl"))
+        .withColumn("den", 4 * F.col("b") * F.col("c_ctx"))
+    )
+    m = with_log2_q12(m, "num", "lg_num")
+    m = with_log2_q12(m, "den", "lg_den")
+    m = m.select("prev", "cur", (F.col("lg_den") - F.col("lg_num")).alias("surprisal_q12"))
+    scored = doc_bg.join(m, ["prev", "cur"])
+    out = scored.groupBy(id_col).agg(
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.sum(F.col("k") * F.col("surprisal_q12")).cast("long").alias("s_q12"),
+    )
+    avg_bits = F.round(
+        F.col("s_q12").cast("double") / F.col("n_bigrams") / F.lit(float(ONE_Q12)), 6
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        avg_bits.alias("avg_kn_bits"),
+        F.when(avg_bits < 6.0, F.lit("head"))
+        .when(avg_bits < 9.0, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("kn_bucket"),
     )
 
 

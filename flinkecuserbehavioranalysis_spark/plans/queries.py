@@ -10446,21 +10446,39 @@ def domain_quality_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared DuckDB CTE block for the bigram-LM scorers: tokenized docs,
+#: the min-count vocabulary remap (tokens with corpus count < 2 collapse
+#: to '<unk>' — the model bound, round-9 verdict #2), the remapped
+#: doc-bigram counts (__dbg) and the model relation (__m).  Twin of
+#: operators/text._remapped_doc_bigrams + the model groupBy.
+_BIGRAM_MODEL_CTES = """
+WITH __d AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+             FROM documents WHERE text IS NOT NULL),
+__kv AS (SELECT w FROM (SELECT w, count(*) AS c FROM __d, unnest(ws) AS t(w) GROUP BY 1)
+         WHERE c >= 2),
+__bg AS (SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur
+         FROM __d, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+__dbg0 AS (SELECT doc_id, prev, cur, count(*) AS k FROM __bg GROUP BY 1, 2, 3),
+__dbg AS (SELECT doc_id,
+                 CASE WHEN kp.w IS NOT NULL THEN d.prev ELSE '<unk>' END AS prev,
+                 CASE WHEN kc.w IS NOT NULL THEN d.cur ELSE '<unk>' END AS cur,
+                 CAST(sum(k) AS BIGINT) AS k
+          FROM __dbg0 d LEFT JOIN __kv kp ON d.prev = kp.w
+                        LEFT JOIN __kv kc ON d.cur = kc.w
+          GROUP BY 1, 2, 3),
+__m AS (SELECT prev, cur, CAST(sum(k) AS BIGINT) AS c_bg FROM __dbg GROUP BY 1, 2)"""
+
+
 def _ngram_perplexity_oracle() -> str:
-    """DuckDB twin of bigram_surprisal: the bigram/context/vocab model
-    CTEs, then TWO generated Q12 fixed-point log2 chains over the
-    model relation (functions/fixedpoint.log2_q12_sql_ctes)."""
+    """DuckDB twin of bigram_surprisal: the shared remapped model CTEs,
+    then TWO generated Q12 fixed-point log2 chains over the model
+    relation (functions/fixedpoint.log2_q12_sql_ctes)."""
     from ..functions.fixedpoint import ONE_Q12, log2_q12_sql_ctes
 
     num_chain = log2_q12_sql_ctes("__mn", ["prev", "cur", "den", "num"], "num", "lg_num", "__ln")
     den_chain = log2_q12_sql_ctes("__lnf", ["prev", "cur", "lg_num"], "den", "lg_den", "__ld")
     return f"""
-WITH __d AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
-             FROM documents WHERE text IS NOT NULL),
-__bg AS (SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur
-         FROM __d, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
-__dbg AS (SELECT doc_id, prev, cur, count(*) AS k FROM __bg GROUP BY 1, 2, 3),
-__m AS (SELECT prev, cur, CAST(sum(k) AS BIGINT) AS c_bg FROM __dbg GROUP BY 1, 2),
+{_BIGRAM_MODEL_CTES},
 __cx AS (SELECT prev, CAST(sum(c_bg) AS BIGINT) AS c_ctx FROM __m GROUP BY 1),
 __v AS (SELECT CAST(count(DISTINCT cur) AS BIGINT) AS v FROM __m),
 __mn AS (SELECT m.prev, m.cur, m.c_bg + 1 AS num, c.c_ctx + v.v AS den
@@ -10487,9 +10505,14 @@ FROM __sc
     "surprisal (the CCNet perplexity-bucketing signal) with EXACT cross-engine "
     "arithmetic — log2 computed in Q28→Q12 fixed-point integer square-and-shift "
     "(functions/fixedpoint.py; DuckDB ln/exp are NOT bit-identical to JVM libm, "
-    "measured 218/5000 ULP mismatches, so transcendentals stay banned).  The log2 "
-    "chains and context counts run on the MODEL relation (distinct-bigram-sized), "
-    "never the token stream; one (prev,cur)-keyed join scores the stream "
+    "measured 218/5000 ULP mismatches, so transcendentals stay banned).  Round 10 "
+    "(round-9 verdict #2): tokens below min_count=2 corpus occurrences remap to "
+    "<unk> before the model is built — the standard LM vocabulary cut that BOUNDS "
+    "the (prev,cur) model relation on a hapax-heavy crawl; unigram counts derive "
+    "from the already-shuffled doc-bigram relation plus a one-row-per-doc finals "
+    "scan, never a second corpus explode.  The log2 chains and context counts run "
+    "on the MODEL relation (distinct-remapped-bigram-sized), never the token "
+    "stream; one (prev,cur)-keyed join scores the stream "
     "(operators/text.bigram_surprisal).",
 )
 def token_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10779,3 +10802,279 @@ FROM __s
 )
 def token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+# --- round-10 additions: streaming twins for the round-9 batch wave ---
+
+
+@_q(
+    "streaming_sessionized_stats_replay",
+    """
+WITH __e0 AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE ts IS NOT NULL AND event_id IS NOT NULL
+    AND epoch(ts) > 0 AND epoch(ts) < 9200000000),
+__wm AS (SELECT max(epoch(ts)) AS wm FROM __e0),
+__d AS (
+  -- duplicate collapse: see events_sessionized_stats (tie-order
+  -- hazard); the native session_window aggregation is value-based, so
+  -- duplicates share one session and one landing on BOTH sides
+  SELECT user_id, ts, event_id, event_type, count(*) AS c
+  FROM __e0 GROUP BY 1, 2, 3, 4),
+__f AS (
+  SELECT user_id, ts, event_id, event_type, c,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS is_start
+  FROM __d
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, coalesce(event_type, ''))),
+__g AS (
+  SELECT user_id, ts, event_id, event_type, c,
+         sum(is_start) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id, coalesce(event_type, '')
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM __f),
+__s AS (SELECT user_id, sid,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+               CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
+               max(epoch(ts)) AS last_e,
+               CAST(sum(c) AS BIGINT) AS n_events,
+               CAST(floor(epoch(max(ts))) AS BIGINT)
+                 - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+        FROM __g GROUP BY 1, 2),
+__l AS (SELECT user_id, sid, event_type AS landing
+        FROM (SELECT user_id, sid, event_type,
+                     row_number() OVER (PARTITION BY user_id, sid
+                                        ORDER BY ts, event_id, coalesce(event_type, '')) AS rn
+              FROM __g) WHERE rn = 1)
+SELECT s.user_id, s.session_start, s.session_end, l.landing, s.n_events, s.duration_sec
+FROM __s s
+JOIN __l l ON s.user_id IS NOT DISTINCT FROM l.user_id AND s.sid = l.sid
+CROSS JOIN __wm
+WHERE s.last_e + 1800.0 <= wm AND s.last_e + 1800.0 > 0
+""",
+    "Extension (round 10, round-9 verdict #5): bounded availableNow replay of "
+    "streaming/jobs.streaming_session_stats — native merging session windows (30-min "
+    "gap) carrying a value-ordered landing pick (min_by over the (ts, event_id, "
+    "coalesce(type,'')) tuple) plus count and floor-second duration, per-session grain "
+    "(a landing-keyed report needs a second stateful agg, which append mode forbids).  "
+    "Append mode emits a session once the watermark (max event time, 0 s delay) reaches "
+    "its window end = last event + gap, so the oracle is the batch gaps-and-islands "
+    "sessionization with landing RESTRICTED to closed sessions (last_ts + gap <= wm, "
+    "inclusive) and non-late ones (window end past the initial watermark of 0); the "
+    "trailing open session per key stays in the state store.  Domain: event_id IS NOT "
+    "NULL on BOTH sides — a NULL tiebreak orders NULLS FIRST in Spark windows but "
+    "NULLS LAST in SQL engines (the sessionize lesson); NULL user_id and NULL "
+    "event_type stay IN (real session group / real landing value on both engines).",
+)
+def streaming_sessionized_stats_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import (
+        read_events_stream,
+        run_bounded_df,
+        streaming_session_stats,
+    )
+
+    def build() -> DataFrame:
+        stream = (
+            read_events_stream(spark, sf_dir)
+            .where(F.col("event_id").isNotNull() & _replay_ts_ok())
+            .select("user_id", "ts", "event_id", "event_type")
+        )
+        return run_bounded_df(streaming_session_stats(stream, gap="30 minutes"))
+
+    return _cached_canon(spark, sf_dir, "streaming_sessionized_stats_replay", build)
+
+
+@_q(
+    "streaming_url_dedup_replay",
+    f"""
+WITH __u AS (
+  SELECT doc_id,
+         {_URL_SYNTH_SQL.format(k='doc_id', d4='doc_id // 4', str_t='VARCHAR')} AS url
+  FROM documents WHERE doc_id IS NOT NULL),
+__c AS (
+  SELECT lower(regexp_replace(regexp_extract(regexp_replace(regexp_replace(url, '#.*$', ''),
+               '^[Hh][Tt][Tt][Pp][Ss]?://', ''), '^([^/?]+)', 1), ':(80|443)$', ''))
+         ||
+         regexp_replace(regexp_replace(regexp_replace(
+               regexp_extract(regexp_replace(regexp_replace(regexp_replace(url, '#.*$', ''),
+                 '^[Hh][Tt][Tt][Pp][Ss]?://', ''), '^[^/?]+', ''), '^([^?]*)', 1),
+               '/{{2,}}', '/', 'g'), '/$', ''), '', '')
+         ||
+         CASE WHEN array_to_string(list_sort(list_filter(string_split(
+                  regexp_extract(regexp_replace(regexp_replace(regexp_replace(url, '#.*$', ''),
+                    '^[Hh][Tt][Tt][Pp][Ss]?://', ''), '^[^/?]+', ''), '\\?(.*)$', 1), '&'),
+                  p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') <> ''
+              THEN '?' || array_to_string(list_sort(list_filter(string_split(
+                  regexp_extract(regexp_replace(regexp_replace(regexp_replace(url, '#.*$', ''),
+                    '^[Hh][Tt][Tt][Pp][Ss]?://', ''), '^[^/?]+', ''), '\\?(.*)$', 1), '&'),
+                  p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&')
+              ELSE '' END AS canon
+  FROM __u)
+SELECT DISTINCT canon FROM __c
+""",
+    "Extension (round 10, round-9 verdict #5): streaming twin of dedup_url_canonical — "
+    "bounded availableNow replay of crawl-ingest URL dedup: the map-side Column "
+    "canonicalizer (operators/dedup.canonical_url) followed by "
+    "dropDuplicatesWithinWatermark on the canonical key, so ingest state holds one "
+    "entry per canonical URL inside the watermark horizon and evicts past it (the "
+    "bounded-state property crawl-scale ingest needs).  Event time is synthesized "
+    "deterministically from doc_id (documents carry no timestamp — FIXTURES.md "
+    "surrogate convention); with the horizon (90 d) wider than the synthetic span no "
+    "key re-emits, so the emitted key set IS the batch DISTINCT canonical set; the "
+    "survivor ROW per key is arrival-order-dependent, so only the canonical key is "
+    "projected (the streaming_dedup_replay discipline).",
+)
+def streaming_url_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import canonical_url
+    from ..streaming.jobs import read_events_stream, run_bounded_df, streaming_dedup
+
+    def build() -> DataFrame:
+        stream = (
+            read_events_stream(spark, sf_dir, "documents")
+            .where(F.col("doc_id").isNotNull())
+            .select(
+                F.expr(
+                    _URL_SYNTH_SQL.format(k="doc_id", d4="doc_id div 4", str_t="STRING")
+                ).alias("url"),
+                F.timestamp_seconds(F.col("doc_id") + 1).alias("ts"),
+            )
+            .select(canonical_url("url").alias("canon"), F.col("ts"))
+        )
+        return run_bounded_df(
+            streaming_dedup(stream, ["canon"], watermark="90 days")
+        ).select("canon")
+
+    return _cached_canon(spark, sf_dir, "streaming_url_dedup_replay", build)
+
+
+from ..operators.text import kneser_ney_surprisal  # noqa: E402
+
+
+def _kn_perplexity_oracle() -> str:
+    """DuckDB twin of kneser_ney_surprisal: the shared remapped model
+    CTEs, the KN statistics (context totals + continuation counts +
+    distinct-bigram total) as exact-integer num/den at discount D = 3/4,
+    then the two generated Q12 log2 chains."""
+    from ..functions.fixedpoint import ONE_Q12, log2_q12_sql_ctes
+
+    num_chain = log2_q12_sql_ctes("__mn", ["prev", "cur", "den", "num"], "num", "lg_num", "__ln")
+    den_chain = log2_q12_sql_ctes("__lnf", ["prev", "cur", "lg_num"], "den", "lg_den", "__ld")
+    return f"""
+{_BIGRAM_MODEL_CTES},
+__cx AS (SELECT prev, CAST(sum(c_bg) AS BIGINT) AS c_ctx,
+                CAST(count(*) AS BIGINT) AS n1p
+         FROM __m GROUP BY 1),
+__cn AS (SELECT cur, CAST(count(*) AS BIGINT) AS n1pl FROM __m GROUP BY 1),
+__bt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM __m),
+__mn AS (SELECT m.prev, m.cur,
+                CAST(greatest(4 * m.c_bg - 3, 0) * bt.b
+                     + 3 * cx.n1p * cn.n1pl AS BIGINT) AS num,
+                CAST(4 * bt.b * cx.c_ctx AS BIGINT) AS den
+         FROM __m m JOIN __cx cx USING (prev) JOIN __cn cn USING (cur)
+         CROSS JOIN __bt bt),
+{num_chain},
+{den_chain},
+__sp AS (SELECT prev, cur, lg_den - lg_num AS surprisal_q12 FROM __ldf),
+__sc AS (SELECT d.doc_id, CAST(sum(d.k) AS BIGINT) AS n_bigrams,
+                CAST(sum(d.k * s.surprisal_q12) AS BIGINT) AS s_q12
+         FROM __dbg d JOIN __sp s USING (prev, cur) GROUP BY 1)
+SELECT doc_id, n_bigrams,
+       round(CAST(s_q12 AS DOUBLE) / n_bigrams / {float(ONE_Q12)!r}, 6) AS avg_kn_bits,
+       CASE WHEN round(CAST(s_q12 AS DOUBLE) / n_bigrams / {float(ONE_Q12)!r}, 6) < 6.0 THEN 'head'
+            WHEN round(CAST(s_q12 AS DOUBLE) / n_bigrams / {float(ONE_Q12)!r}, 6) < 9.0 THEN 'middle'
+            ELSE 'tail' END AS kn_bucket
+FROM __sc
+"""
+
+
+@_q(
+    "token_kn_perplexity",
+    _kn_perplexity_oracle(),
+    "Extension (round 10, LM quality scoring): per-doc interpolated Kneser-Ney bigram "
+    "surprisal (Kneser & Ney 1995, the KenLM-default smoothing; discount D=3/4 per "
+    "Chen-Goodman) — the signal practitioners rank corpora with, since add-one "
+    "over-smooths frequent contexts.  With D=3/4 every probability is the exact "
+    "rational (max(4c-3,0)·B + 3·n1p·n1pl)/(4·B·c_ctx), so surprisal stays in the Q12 "
+    "fixed-point integer log2 and hash-matches DuckDB; exact while B·c_ctx < 2^61 "
+    "(stated bound, safe for any sub-trillion-token corpus).  Shares the pinned "
+    "min-count-cut doc-bigram relations with token_ngram_perplexity "
+    "(operators/text.kneser_ney_surprisal); every KN statistic is one aggregate of "
+    "the MODEL relation, never the token stream.",
+)
+def token_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kneser_ney_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+from ..operators.dedup import source_overlap_matrix  # noqa: E402
+
+
+@_q(
+    "corpus_source_overlap",
+    """
+WITH __sg AS (
+  SELECT DISTINCT coalesce(source, '') AS src,
+         array_to_string(ws[i:i+7], ' ') AS g
+  FROM (SELECT source, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM documents WHERE text IS NOT NULL),
+       unnest(range(1, len(ws) - 6)) AS t(i)
+  WHERE len(ws) >= 8),
+__t AS (SELECT src, CAST(count(*) AS BIGINT) AS n_grams FROM __sg GROUP BY 1),
+__p AS (SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+        FROM __sg a JOIN __sg b ON a.g = b.g AND a.src < b.src
+        GROUP BY 1, 2)
+SELECT p.src_a, p.src_b, p.n_shared,
+       ta.n_grams AS n_a, tb.n_grams AS n_b,
+       round(CAST(p.n_shared AS DOUBLE) / ta.n_grams, 6) AS containment_a,
+       round(CAST(p.n_shared AS DOUBLE) / tb.n_grams, 6) AS containment_b,
+       round(CAST(p.n_shared AS DOUBLE) / (ta.n_grams + tb.n_grams - p.n_shared), 6) AS jaccard
+FROM __p p
+JOIN __t ta ON p.src_a = ta.src
+JOIN __t tb ON p.src_b = tb.src
+""",
+    "Extension (round 10, corpus forensics): pairwise 8-gram overlap between corpus "
+    "SOURCES — shared distinct grams, per-side totals, containments and Jaccard per "
+    "unordered source pair; the report that exposes mirror/syndication/re-crawl feeds "
+    "before per-document dedup runs.  ONE explode builds the distinct (source, gram) "
+    "relation (|sources|× smaller than the dedup family's per-doc gram relations); the "
+    "self-join is gram-keyed and key-parallel (a gram shared by k sources emits C(k,2) "
+    "rows, source count single-digit at any SF); output ≤ C(|sources|,2) rows "
+    "(operators/dedup.source_overlap_matrix).",
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_overlap_matrix(load_table(spark, sf_dir, "documents"))
+
+
+from ..operators.sampling import stratified_quota  # noqa: E402
+
+
+@_q(
+    "dataset_split_stratified_quota",
+    """
+WITH __p AS (
+  SELECT coalesce(source, '') AS stratum,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) // 10 AS BIGINT) AS base_q,
+         CAST(count(*) - (count(*) // 10) * 10 AS BIGINT) AS rem
+  FROM documents GROUP BY 1),
+__t AS (SELECT CAST(sum(n_rows) // 10 AS BIGINT) AS t_total,
+               CAST(sum(base_q) AS BIGINT) AS base_total
+        FROM __p),
+__r AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, stratum ASC) AS BIGINT) AS rnk
+        FROM __p)
+SELECT stratum, n_rows,
+       CAST(base_q + CASE WHEN rnk <= t.t_total - t.base_total THEN 1 ELSE 0 END AS BIGINT) AS quota,
+       round(CAST(base_q + CASE WHEN rnk <= t.t_total - t.base_total THEN 1 ELSE 0 END AS DOUBLE)
+             / n_rows, 6) AS realized_frac
+FROM __r CROSS JOIN __t t
+""",
+    "Extension (round 10, split curation): largest-remainder (Hamilton) apportionment "
+    "of an EXACT global 10% validation quota across sources — floor(n_i/10) per "
+    "stratum plus one for the T - Σbase largest remainders (ties by stratum name; all "
+    "int64 `div` arithmetic, engine-exact) — the exact-total guarantee Bernoulli "
+    "hash_split cannot give.  ONE group-by shuffle; the remainder-rank window is "
+    "keyless on the per-stratum relation (plan-audit-exempt, one row per source) and "
+    "the totals are a broadcast single-row aggregate "
+    "(operators/sampling.stratified_quota).",
+)
+def dataset_split_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_quota(load_table(spark, sf_dir, "documents"))

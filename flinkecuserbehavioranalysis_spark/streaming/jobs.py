@@ -132,6 +132,59 @@ def streaming_session_window(
     )
 
 
+def streaming_session_stats(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Native merging session windows carrying per-session LANDING-event
+    stats — the streaming twin of ``operators.sessions.session_stats``
+    at the per-session grain (round-9 verdict #5: the one stateful shape
+    no prior replay covered — session_window merge state plus a
+    value-ordered landing pick inside the same aggregation).
+
+    The landing event is the session's first row by the full ordering
+    tuple (ts, tiebreak, coalesce(type, '')) — ``min_by`` over a struct,
+    decided by VALUES alone, so byte-identical duplicates and fully-tied
+    boundaries agree with the batch oracle (the sessionize/session_stats
+    determinism discipline).  The landing-keyed REPORT grain needs a
+    second stateful aggregation, which append mode forbids — that roll-up
+    is one ordinary batch groupBy downstream of the sink.
+
+    State per (key, open session) is O(1): count, min/max event time,
+    and the current landing candidate — merges are associative, so the
+    session-window store stays bounded by OPEN sessions per key, the
+    property that keeps it feasible on an unbounded stream."""
+    wm = stream.withWatermark(ts_col, watermark)
+    type_ord = F.coalesce(F.col(type_col), F.lit(""))
+    return (
+        wm.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(
+            F.min_by(
+                F.col(type_col),
+                F.struct(F.col(ts_col), F.col(tiebreak_col), type_ord.alias("__t")),
+            ).alias("landing"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("first_ts").cast("long").alias("session_start"),
+            F.col("last_ts").cast("long").alias("session_end"),
+            F.col("landing"),
+            F.col("n_events"),
+            (F.col("last_ts").cast("long") - F.col("first_ts").cast("long")).alias(
+                "duration_sec"
+            ),
+        )
+    )
+
+
 def streaming_interval_join(
     left: DataFrame,
     right: DataFrame,

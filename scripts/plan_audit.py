@@ -39,6 +39,7 @@ KEYLESS_WINDOW_EXEMPT = {
     "text_vocab": "post-LIMIT max_size=1000 survivors (build_vocab single-stage path; above single_stage_cap it auto-shards via global_rank)",
     "reservoir_sample_documents": "rank window runs AFTER the k=100 LIMIT (TakeOrderedAndProject merges per-task k-row heaps first; operators/sampling.reservoir_sample)",
     "token_zipf_fit": "build_vocab's post-LIMIT max_size=1000 id window (same bound as text_vocab); the OLS runs on that ≤1000-row relation",
+    "dataset_split_stratified_quota": "remainder-rank window runs on the per-stratum aggregate (one row per source — single-digit-to-hundreds at any SF; operators/sampling.stratified_quota)",
 }
 # (the former pq_fit seed window — ann_pq_topk's 3 runtime warns — was
 # ELIMINATED in round 7: seed codes now enumerate driver-side over the

@@ -76,6 +76,67 @@ def test_bigram_surprisal_matches_hand_model(spark):
     assert 3 not in out and 4 not in out  # NULL text / <2 words: no row
 
 
+def test_bigram_surprisal_min_count_remaps_hapax_to_unk(spark):
+    # round-9 verdict #2: tokens below min_count collapse to <unk>
+    # BEFORE the model is built.  'qqq' is a hapax; a/b/c survive.
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b c"), (5, "a qqq b")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_surprisal(docs, min_count=2).collect()}
+    # remapped bigrams: d1 (a,b)x2 (b,a) (b,c); d2 (a,b) (b,c);
+    # d5 (a,<unk>) (<unk>,b).  model: c(a,b)=3 c(b,a)=1 c(b,c)=2
+    # c(a,<unk>)=1 c(<unk>,b)=1; ctx: a=4 b=3 <unk>=1; V=|{a,b,c,<unk>}|=4
+    def s(num, den):
+        return log2_q12_py(den) - log2_q12_py(num)
+
+    d1 = 2 * s(4, 8) + s(2, 7) + s(3, 7)
+    d5 = s(2, 8) + s(2, 5)
+    assert out[1].n_bigrams == 4 and out[5].n_bigrams == 2
+    assert out[1].avg_surprisal_bits == round(d1 / 4 / float(ONE_Q12), 6)
+    assert out[5].avg_surprisal_bits == round(d5 / 2 / float(ONE_Q12), 6)
+    # min_count=1 disables the remap: 'qqq' stays a first-class token
+    raw = {r.doc_id: r for r in bigram_surprisal(docs, min_count=1).collect()}
+    # raw model: c(a,qqq)=1 c(qqq,b)=1 instead of the <unk> rows;
+    # ctx a=4 b=3 qqq=1; V=|{a,b,c,qqq}|=4 — same arithmetic, no collapse
+    assert raw[5].avg_surprisal_bits == out[5].avg_surprisal_bits
+    # but a corpus with TWO distinct hapaxes separates the variants:
+    docs2 = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b c"), (5, "a qqq b"), (6, "a zzz b")],
+        "doc_id long, text string",
+    )
+    pruned = {r.doc_id: r for r in bigram_surprisal(docs2, min_count=2).collect()}
+    raw2 = {r.doc_id: r for r in bigram_surprisal(docs2, min_count=1).collect()}
+    # pruned: qqq and zzz SHARE the <unk> rows (c(a,<unk>)=2, c(<unk>,b)=2)
+    # raw: four distinct hapax bigram rows — different probabilities
+    assert pruned[5].avg_surprisal_bits == pruned[6].avg_surprisal_bits
+    assert pruned[5].avg_surprisal_bits != raw2[5].avg_surprisal_bits
+
+
+def test_kneser_ney_surprisal_matches_hand_model(spark):
+    from flinkecuserbehavioranalysis_spark.operators.text import kneser_ney_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in kneser_ney_surprisal(docs, min_count=1).collect()}
+    # model: c(a,b)=3 c(b,a)=1 c(b,c)=2; B=3; ctx a=(3,n1p 1) b=(3,n1p 2);
+    # cont n1pl(a)=n1pl(b)=n1pl(c)=1; D=3/4 rationals over den=4·B·c_ctx=36:
+    #   p(b|a)=30/36, p(a|b)=9/36, p(c|b)=21/36  (each checked by hand
+    #   against max(c-D,0)/ctx + D·n1p/ctx · n1pl/B; Σ_cur p = 1)
+    def s(num, den):
+        return log2_q12_py(den) - log2_q12_py(num)
+
+    d1 = 2 * s(30, 36) + s(9, 36) + s(21, 36)
+    d2 = s(30, 36) + s(21, 36)
+    assert out[1].n_bigrams == 4 and out[2].n_bigrams == 2
+    assert out[1].avg_kn_bits == round(d1 / 4 / float(ONE_Q12), 6)
+    assert out[2].avg_kn_bits == round(d2 / 2 / float(ONE_Q12), 6)
+    # KN under-smooths vs add-one on frequent pairs: p_KN(b|a)=30/36 vs
+    # add-one (3+1)/(3+3)=4/6 — lower surprisal for the frequent bigram
+    assert s(30, 36) < s(4, 6)
+
+
 # --- Gopher rules ------------------------------------------------------
 
 _50_WORDS = "the quick brown fox jumps over lazy dogs near riverbank " * 5
@@ -310,3 +371,82 @@ def test_zipf_fit_exact_power_law(spark):
     out = zipf_fit(docs, max_terms=16).collect()[0]
     assert out.n_terms == 16
     assert -1.2 < out.zipf_slope < -0.8
+
+
+# --- cross-source overlap / stratified quota (round 10) ----------------
+
+
+def test_source_overlap_matrix_hand_corpus(spark):
+    from flinkecuserbehavioranalysis_spark.operators.dedup import source_overlap_matrix
+
+    blk = " ".join(f"w{i}" for i in range(9))  # 9 words -> two 8-grams
+    other = " ".join(f"x{i}" for i in range(8))  # disjoint single 8-gram
+    docs = spark.createDataFrame(
+        [
+            (1, "A", blk),            # A: grams {g1, g2}
+            (2, "B", blk + " tail"),  # B: grams {g1, g2, g3} (g3 ends in 'tail')
+            (3, "C", other),          # C: disjoint {h1}
+            (4, "A", "short doc"),    # < 8 words: no grams
+            (5, None, blk),           # NULL source -> '' group, grams {g1, g2}
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {(r.src_a, r.src_b): r for r in source_overlap_matrix(docs).collect()}
+    ab = out[("A", "B")]
+    assert (ab.n_shared, ab.n_a, ab.n_b) == (2, 2, 3)
+    assert ab.containment_a == 1.0 and ab.containment_b == round(2 / 3, 6)
+    assert ab.jaccard == round(2 / 3, 6)
+    # NULL-source group pairs with both A and B on the shared block
+    assert out[("", "A")].n_shared == 2 and out[("", "B")].n_shared == 2
+    # disjoint sources emit NO row (inner pair join)
+    assert ("A", "C") not in out and ("B", "C") not in out
+
+
+def test_stratified_quota_largest_remainder_exact_total(spark):
+    from flinkecuserbehavioranalysis_spark.operators.sampling import stratified_quota
+
+    # strata sizes chosen so remainders force the correction: N = 97,
+    # T = 9; bases 2+3+0+2 = 7, deficit 2 -> the two largest remainders
+    # (9 for 'a', 8 for 'd'; 'c' rem 7, 'b' rem 3) get +1
+    rows = [("a", 29), ("b", 33), ("c", 7), ("d", 28)]
+    data = [(s, i) for s, n in rows for i in range(n)]
+    df = spark.createDataFrame(data, "source string, doc_id long")
+    out = {r.stratum: r for r in stratified_quota(df).collect()}
+    assert {s: r.quota for s, r in out.items()} == {"a": 3, "b": 3, "c": 0, "d": 3}
+    assert sum(r.quota for r in out.values()) == 97 // 10
+    # proportionality: every quota within 1 of the exact share
+    for s, n in rows:
+        assert abs(out[s].quota - n / 10) < 1
+
+
+import pytest  # noqa: E402
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@pytest.mark.soak
+@given(st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=9))
+@settings(max_examples=8, deadline=None)
+def test_stratified_quota_invariants_property(spark, sizes):
+    """Hamilton-apportionment invariants on randomized strata (pure-
+    Python model vs the Spark operator): Σ quota == floor(N/10) exactly,
+    every quota within 1 of its exact share (no-paradox bound for fixed
+    fraction), and quotas match the reference apportionment."""
+    from flinkecuserbehavioranalysis_spark.operators.sampling import stratified_quota
+
+    strata = [f"s{i:02d}" for i in range(len(sizes))]
+    data = [(s, j) for s, n in zip(strata, sizes) for j in range(n)]
+    df = spark.createDataFrame(data, "source string, doc_id long")
+    got = {r.stratum: r.quota for r in stratified_quota(df).collect()}
+    n_total = sum(sizes)
+    t = n_total // 10
+    base = {s: n // 10 for s, n in zip(strata, sizes)}
+    rem = {s: n % 10 for s, n in zip(strata, sizes)}
+    order = sorted(strata, key=lambda s: (-rem[s], s))
+    expect = dict(base)
+    for s in order[: t - sum(base.values())]:
+        expect[s] += 1
+    assert got == expect
+    assert sum(got.values()) == t
+    for s, n in zip(strata, sizes):
+        assert abs(got[s] - n / 10) < 1

@@ -711,6 +711,11 @@ STREAMING_REPLAY_QUERIES = [
     "streaming_cep_negation_replay",
     "streaming_last_touch_replay",
     "streaming_asof_replay",
+    # round 10 (round-9 verdict #5): session_window + landing state, and
+    # canonicalize-then-dedup ingest; same domain discipline (event_id /
+    # doc_id IS NOT NULL on both sides)
+    "streaming_sessionized_stats_replay",
+    "streaming_url_dedup_replay",
 ]
 
 

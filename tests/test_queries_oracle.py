@@ -124,15 +124,16 @@ def test_rotation_orders_never_checked_first_with_priority():
             continue
         for n in names:
             last[n] = max(last.get(n, 0), rnd)
-    # _DEFER_PAST_R9 names sort as if checked in round 9 while no r9+
-    # record exists (round-8 verdict #2: new registrations must not
-    # displace the r9 window's 22-never-checked + 28-LRU composition);
-    # they are "never-checked" only once a round-9 record lands
-    deferred = (
-        e._DEFER_PAST_R9
-        if max(last.values(), default=0) < 9
-        else set()
-    )
+    # _DEFER_PAST_R9 / _DEFER_PAST_R10 names sort as if checked in
+    # their round while no record of that round exists (round-8 verdict
+    # #2 / round-9 verdict #1: new registrations must not displace the
+    # next window's never-checked + LRU composition); each set becomes
+    # "never-checked" only once its round's record lands
+    deferred: set[str] = set()
+    if max(last.values(), default=0) < 9:
+        deferred |= e._DEFER_PAST_R9
+    if max(last.values(), default=0) < 10:
+        deferred |= e._DEFER_PAST_R10
     never = [n for n in order if n not in last and n not in deferred]
     if never:
         # every never-checked name precedes every checked name

@@ -112,6 +112,47 @@ def test_streaming_session_window_matches_batch(spark):
     assert len(got_closed) > 0
 
 
+def test_streaming_session_stats_landing_and_closure(spark, tmp_path):
+    """Hand-built corpus with known sessions: the landing pick is decided
+    by the (ts, event_id, coalesce(type,'')) VALUE tuple (not arrival
+    order), durations are floor-second, and only sessions whose
+    end + gap the closing watermark passed are emitted."""
+    import os
+
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import streaming_session_stats
+
+    rows = [
+        # user A, session 1: two events 100 s apart — landing 'view'
+        ("A", 1000, 1, "view"),
+        ("A", 1100, 2, "click"),
+        # user A, session 2: singleton (bounce), landing 'buy'
+        ("A", 5000, 3, "buy"),
+        # user C: fully tied timestamps — event_id tiebreak decides
+        ("C", 2000, 11, "zzz"),
+        ("C", 2000, 10, "aaa"),
+        # user B: far-future event pushes the closing watermark so A/C
+        # sessions close; B's own session stays open (not emitted)
+        ("B", 100000, 99, "view"),
+    ]
+    src = str(tmp_path / "sess_sf")
+    spark.createDataFrame(
+        [(u, float(t), e, ty) for u, t, e, ty in rows],
+        "user_id string, tsd double, event_id long, event_type string",
+    ).withColumn("ts", F.col("tsd").cast("timestamp")).drop("tsd").repartition(
+        2
+    ).write.parquet(os.path.join(src, "events.parquet"))
+    stream = read_events_stream(spark, src)
+    got = _rows(
+        run_bounded(streaming_session_stats(stream, gap="30 minutes")),
+        ["user_id", "session_start", "session_end", "landing", "n_events", "duration_sec"],
+    )
+    assert got == [
+        ("A", 1000, 1100, "view", 2, 100),
+        ("A", 5000, 5000, "buy", 1, 0),
+        ("C", 2000, 2000, "aaa", 2, 0),
+    ]
+
+
 def test_streaming_topn_foreach_batch(spark):
     stream = read_events_stream(spark, SF_DIR).filter(F.col("event_type") == "view")
     stream = stream.withColumn("item_id", F.pmod("event_id", F.lit(50)))
