@@ -76,6 +76,7 @@ _DEFER_PAST_R10 = {
     "token_kn_perplexity",
     "corpus_source_overlap",
     "dataset_split_stratified_quota",
+    "corpus_source_kl",
 }
 
 

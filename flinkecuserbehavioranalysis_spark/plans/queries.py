@@ -11078,3 +11078,76 @@ FROM __r CROSS JOIN __t t
 )
 def dataset_split_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_quota(load_table(spark, sf_dir, "documents"))
+
+
+from ..operators.text import source_unigram_kl  # noqa: E402
+
+
+def _source_kl_oracle() -> str:
+    """DuckDB twin of source_unigram_kl: (source, word) counts, corpus
+    counts derived from them, FOUR generated Q12 log2 chains (corpus
+    word counts, per-source word counts, the two smoothing denominators)
+    and the closed-form absent-word regrouping."""
+    from ..functions.fixedpoint import ONE_Q12, log2_q12_sql_ctes
+
+    cw_chain = log2_q12_sql_ctes("__cw1", ["w", "c_w", "c_w1"], "c_w1", "lg_cw", "__kc")
+    sw_chain = log2_q12_sql_ctes(
+        "__sw1", ["src", "w", "c_sw", "c_sw1"], "c_sw1", "lg_csw", "__ks"
+    )
+    pr_carry = [
+        "src", "n_s", "v_s", "a_self", "c1_sum", "a_corpus",
+        "lg_cw_present", "v", "n_total", "s_all", "ns_v", "n_v",
+    ]
+    nsv_chain = log2_q12_sql_ctes("__pr2", pr_carry, "ns_v", "lg_nsv", "__kn")
+    nv_chain = log2_q12_sql_ctes("__knf", pr_carry + ["lg_nsv"], "n_v", "lg_nv", "__kv")
+    return f"""
+WITH __wd AS (
+  SELECT coalesce(source, '') AS src,
+         unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+  FROM documents WHERE text IS NOT NULL),
+__sw0 AS (SELECT src, w, CAST(count(*) AS BIGINT) AS c_sw FROM __wd GROUP BY 1, 2),
+__cw0 AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM __sw0 GROUP BY 1),
+__cw1 AS (SELECT w, c_w, c_w + 1 AS c_w1 FROM __cw0),
+{cw_chain},
+__sc AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(c_w) AS BIGINT) AS n_total,
+                CAST(sum(lg_cw) AS BIGINT) AS s_all
+         FROM __kcf),
+__sw1 AS (SELECT src, w, c_sw, c_sw + 1 AS c_sw1 FROM __sw0),
+{sw_chain},
+__pr AS (SELECT s.src,
+                CAST(sum(s.c_sw) AS BIGINT) AS n_s,
+                CAST(count(*) AS BIGINT) AS v_s,
+                CAST(sum(s.c_sw1 * s.lg_csw) AS BIGINT) AS a_self,
+                CAST(sum(s.c_sw1) AS BIGINT) AS c1_sum,
+                CAST(sum(s.c_sw1 * c.lg_cw) AS BIGINT) AS a_corpus,
+                CAST(sum(c.lg_cw) AS BIGINT) AS lg_cw_present
+         FROM __ksf s JOIN __kcf c USING (w) GROUP BY 1),
+__pr2 AS (SELECT p.*, sc.v, sc.n_total, sc.s_all,
+                 p.n_s + sc.v AS ns_v, sc.n_total + sc.v AS n_v
+          FROM __pr p CROSS JOIN __sc sc),
+{nsv_chain},
+{nv_chain}
+SELECT src AS source, n_s AS n_tokens, v_s AS n_types,
+       round(CAST(a_self + c1_sum * (lg_nv - lg_nsv) - a_corpus
+                  + (v - v_s) * (lg_nv - lg_nsv)
+                  - (s_all - lg_cw_present) AS DOUBLE)
+             / ns_v / {float(ONE_Q12)!r}, 6) AS kl_bits
+FROM __kvf
+"""
+
+
+@_q(
+    "corpus_source_kl",
+    _source_kl_oracle(),
+    "Extension (round 10, corpus monitoring): per-source KL divergence in bits of the "
+    "source's add-one-smoothed unigram distribution from the corpus distribution — the "
+    "information-theoretic upgrade of token_drift_chisq, possible only since the Q12 "
+    "fixed-point log2 (functions/fixedpoint.py) made logarithms oracle-pairable.  "
+    "Absent-vocabulary mass enters through a closed form ((V−V_s)·gap − (S_all − "
+    "Σ_present lg(c_w+1))) so nothing beyond the present (source, word) relation "
+    "materializes; all sums exact int64 Q12 products, one double division at the end.  "
+    "ONE (source, word) count shuffle; corpus counts derive from it; log2 chains on "
+    "model relations only (operators/text.source_unigram_kl).",
+)
+def corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_unigram_kl(load_table(spark, sf_dir, "documents"))

@@ -450,3 +450,45 @@ def test_stratified_quota_invariants_property(spark, sizes):
     assert sum(got.values()) == t
     for s, n in zip(strata, sizes):
         assert abs(got[s] - n / 10) < 1
+
+
+def test_source_unigram_kl_matches_direct_sum(spark):
+    """The operator's closed-form absent-word regrouping must equal the
+    DIRECT full-vocab Q12 sum (pure-Python reference), and order sources
+    by genuine divergence."""
+    from flinkecuserbehavioranalysis_spark.operators.text import source_unigram_kl
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A", "x x y"),
+            (2, "B", "x z"),
+            (3, None, "x y"),   # NULL source -> '' group
+            (4, "A", None),     # NULL text excluded
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r.source: r for r in source_unigram_kl(docs).collect()}
+
+    corpus = {"x": 4, "y": 2, "z": 1}
+    n_total, v = 7, 3
+    per_src = {"A": {"x": 2, "y": 1}, "B": {"x": 1, "z": 1}, "": {"x": 1, "y": 1}}
+
+    def direct_kl(cs):
+        n_s = sum(cs.values())
+        acc = 0
+        for w, c_w in corpus.items():
+            c_sw = cs.get(w, 0)
+            acc += (c_sw + 1) * (
+                log2_q12_py(c_sw + 1)
+                + log2_q12_py(n_total + v)
+                - log2_q12_py(n_s + v)
+                - log2_q12_py(c_w + 1)
+            )
+        return round(acc / (n_s + v) / float(ONE_Q12), 6)
+
+    for s, cs in per_src.items():
+        assert got[s].kl_bits == direct_kl(cs), s
+        assert got[s].n_tokens == sum(cs.values())
+        assert got[s].n_types == len(cs)
+    # B is the diverger (z is B-only, y unseen): strictly larger KL
+    assert got["B"].kl_bits > got["A"].kl_bits
