@@ -47,6 +47,8 @@ SUITE = [
     "ann_pq_topk",
     "embedding_principal_component",
     # text family
+    "token_kn_perplexity",  # round 10: costliest LM-scorer (shares pins with ngram)
+    "corpus_source_overlap",  # round 10: gram self-join forensics
     "text_topic_clusters",
     "text_top_bigrams",
     "text_vocab",
