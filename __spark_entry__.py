@@ -77,6 +77,8 @@ _DEFER_PAST_R10 = {
     "corpus_source_overlap",
     "dataset_split_stratified_quota",
     "corpus_source_kl",
+    "corpus_source_mi",
+    "corpus_heaps_fit",
 }
 
 

@@ -1169,3 +1169,127 @@ def source_unigram_kl(
         F.col("v_s").alias("n_types"),
         F.round(kl, 6).alias("kl_bits"),
     )
+
+
+def source_vocab_mi(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mutual information between SOURCE and VOCABULARY in exact Q12
+    bits, via the entropy decomposition MI = H(S) + H(W) − H(S,W) —
+    one number for "how source-specific is the language", the
+    companion diagnostic to the per-source KL (high MI = sources speak
+    different vocabularies; MI ≈ 0 = the mix is homogeneous and
+    per-source curation buys little).
+
+    The decomposition makes every term a SUM OVER ITS OWN RELATION —
+    A = Σ c_sw·lg(c_sw) on the (source, word) counts, B = Σ n_s·lg(n_s)
+    on the per-source totals, C = Σ c_w·lg(c_w) on the per-word totals,
+    D = N·lg(N) on the scalar — so NO chain output ever joins another
+    relation: MI·N·2^12 = A − B − C + D exactly, H(source)·N·2^12 =
+    D − B, and the uncertainty coefficient U = MI/H(source) is one
+    double division (NULL for a single-source corpus).  All products
+    int64-exact past 2^45 tokens (the token_entropy bound).
+
+    Shape: ONE (source, word) count shuffle; the three marginal
+    relations derive from it; log2 chains run on count relations only;
+    output is a single row."""
+    from ..functions.fixedpoint import ONE_Q12, with_log2_q12
+
+    words = docs.where(F.col(text_col).isNotNull()).select(
+        F.coalesce(F.col(group_col), F.lit("")).alias("src"),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda w: w != "")).alias("w"),
+    )
+    sw = words.groupBy("src", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = with_log2_q12(sw, "c", "lg").agg(
+        F.sum(F.col("c") * F.col("lg")).cast("long").alias("a"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    per_s = sw.groupBy("src").agg(F.sum("c").cast("long").alias("n_s"))
+    b = with_log2_q12(per_s, "n_s", "lg").agg(
+        F.sum(F.col("n_s") * F.col("lg")).cast("long").alias("b"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    per_w = sw.groupBy("w").agg(F.sum("c").cast("long").alias("c_w"))
+    c = with_log2_q12(per_w, "c_w", "lg").agg(
+        F.sum(F.col("c_w") * F.col("lg")).cast("long").alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c_w").cast("long").alias("n_tokens"),
+    )
+    j = a.crossJoin(F.broadcast(b)).crossJoin(F.broadcast(c))
+    j = with_log2_q12(j, "n_tokens", "lg_n")
+    d = F.col("n_tokens") * F.col("lg_n")
+    mi = (F.col("a") - F.col("b") - F.col("c") + d).cast("double") / F.col(
+        "n_tokens"
+    ) / F.lit(float(ONE_Q12))
+    h_s = (d - F.col("b")).cast("double") / F.col("n_tokens") / F.lit(float(ONE_Q12))
+    return j.select(
+        "n_sources",
+        "n_types",
+        "n_tokens",
+        F.round(mi, 6).alias("mi_bits"),
+        F.round(h_s, 6).alias("h_source_bits"),
+        F.when(
+            (d - F.col("b")) > 0, F.round(mi / h_s, 6)
+        ).alias("uncertainty_coef"),
+    )
+
+
+def heaps_law_fit(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law fit ACROSS sources: OLS of log2(distinct types) on
+    log2(tokens), one (n_s, v_s) point per source — estimates the
+    vocabulary-growth exponent β in V ≈ K·N^β (≈0.4–0.6 on natural
+    text).  β is the measured input to the bigram-model bound (SCALE.md
+    "Bigram-LM model bound"): sub-linear vocabulary growth is WHY the
+    min-count cut keeps the LM model relation sub-linear in corpus
+    size; a drifting β is also a synthetic-data / template-flood alarm.
+
+    x = lg_q12(n_s), y = lg_q12(v_s); OLS sums exact int64 (points =
+    sources, x,y < 2^18 ⇒ n·Σxy ≪ 2^63); slope and the K intercept
+    are two deterministic double divisions (NULL when fewer than two
+    distinct x — the zipf_fit degenerate-guard convention).  ONE
+    (source, word) count shuffle; everything else runs on the
+    strata-sized relation."""
+    from ..functions.fixedpoint import ONE_Q12, with_log2_q12
+
+    words = docs.where(F.col(text_col).isNotNull()).select(
+        F.coalesce(F.col(group_col), F.lit("")).alias("src"),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda w: w != "")).alias("w"),
+    )
+    per_s = (
+        words.groupBy("src", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("src")
+        .agg(
+            F.sum("c").cast("long").alias("n_s"),
+            F.count(F.lit(1)).cast("long").alias("v_s"),
+        )
+    )
+    p = with_log2_q12(per_s, "n_s", "x")
+    p = with_log2_q12(p, "v_s", "y")
+    s = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    det = F.col("n_points") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n_points") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / det.cast("double")
+    intercept_bits = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("n_points")
+        / F.lit(float(ONE_Q12))
+    )
+    return s.select(
+        "n_points",
+        F.when(det > 0, F.round(slope, 6)).alias("heaps_beta"),
+        F.when(det > 0, F.round(intercept_bits, 6)).alias("intercept_bits"),
+    )

@@ -11151,3 +11151,115 @@ FROM __kvf
 )
 def corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_unigram_kl(load_table(spark, sf_dir, "documents"))
+
+
+from ..operators.text import heaps_law_fit, source_vocab_mi  # noqa: E402
+
+
+def _source_mi_oracle() -> str:
+    """DuckDB twin of source_vocab_mi: the entropy-decomposition terms
+    A/B/C/D each summed over its OWN relation (no cross-chain joins),
+    four generated Q12 log2 chains."""
+    from ..functions.fixedpoint import ONE_Q12, log2_q12_sql_ctes
+
+    a_chain = log2_q12_sql_ctes("__sw", ["src", "w", "c"], "c", "lg", "__ma")
+    b_chain = log2_q12_sql_ctes("__ps", ["src", "n_s"], "n_s", "lg", "__mb")
+    c_chain = log2_q12_sql_ctes("__pw", ["w", "c_w"], "c_w", "lg", "__mc")
+    d_chain = log2_q12_sql_ctes(
+        "__j", ["a", "n_pairs", "b", "n_sources", "c", "n_types", "n_tokens"],
+        "n_tokens", "lg_n", "__md",
+    )
+    return f"""
+WITH __wd AS (
+  SELECT coalesce(source, '') AS src,
+         unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+  FROM documents WHERE text IS NOT NULL),
+__sw AS (SELECT src, w, CAST(count(*) AS BIGINT) AS c FROM __wd GROUP BY 1, 2),
+{a_chain},
+__a AS (SELECT CAST(sum(c * lg) AS BIGINT) AS a, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM __maf),
+__ps AS (SELECT src, CAST(sum(c) AS BIGINT) AS n_s FROM __sw GROUP BY 1),
+{b_chain},
+__b AS (SELECT CAST(sum(n_s * lg) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS n_sources
+        FROM __mbf),
+__pw AS (SELECT w, CAST(sum(c) AS BIGINT) AS c_w FROM __sw GROUP BY 1),
+{c_chain},
+__c AS (SELECT CAST(sum(c_w * lg) AS BIGINT) AS c, CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(c_w) AS BIGINT) AS n_tokens
+        FROM __mcf),
+__j AS (SELECT * FROM __a CROSS JOIN __b CROSS JOIN __c),
+{d_chain}
+SELECT n_sources, n_types, n_tokens,
+       round(CAST(a - b - c + n_tokens * lg_n AS DOUBLE) / n_tokens / {float(ONE_Q12)!r}, 6) AS mi_bits,
+       round(CAST(n_tokens * lg_n - b AS DOUBLE) / n_tokens / {float(ONE_Q12)!r}, 6) AS h_source_bits,
+       CASE WHEN n_tokens * lg_n - b > 0
+            THEN round(CAST(a - b - c + n_tokens * lg_n AS DOUBLE)
+                       / CAST(n_tokens * lg_n - b AS DOUBLE), 6) END AS uncertainty_coef
+FROM __mdf
+"""
+
+
+@_q(
+    "corpus_source_mi",
+    _source_mi_oracle(),
+    "Extension (round 10, corpus monitoring): mutual information between SOURCE and "
+    "VOCABULARY in exact Q12 bits via the entropy decomposition MI = H(S)+H(W)-H(S,W) "
+    "— each term sums over its OWN count relation (A on (source,word), B on sources, "
+    "C on words, D scalar), so no log2 chain ever joins another relation.  High MI = "
+    "sources speak different vocabularies (per-source curation pays); the uncertainty "
+    "coefficient MI/H(source) normalizes it to [0,1].  ONE (source, word) count "
+    "shuffle; single-row output (operators/text.source_vocab_mi).",
+)
+def corpus_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_vocab_mi(load_table(spark, sf_dir, "documents"))
+
+
+def _heaps_oracle() -> str:
+    """DuckDB twin of heaps_law_fit: per-source (tokens, types) points,
+    two Q12 log2 chains, exact-int64 OLS, NULL-guarded degenerate fit."""
+    from ..functions.fixedpoint import ONE_Q12, log2_q12_sql_ctes
+
+    x_chain = log2_q12_sql_ctes("__ps", ["src", "n_s", "v_s"], "n_s", "x", "__hx")
+    y_chain = log2_q12_sql_ctes("__hxf", ["src", "x"], "v_s", "y", "__hy")
+    return f"""
+WITH __wd AS (
+  SELECT coalesce(source, '') AS src,
+         unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+  FROM documents WHERE text IS NOT NULL),
+__ps AS (SELECT src, CAST(count(*) AS BIGINT) AS n_s,
+                CAST(count(DISTINCT w) AS BIGINT) AS v_s
+         FROM __wd GROUP BY 1),
+{x_chain},
+{y_chain},
+__s AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM __hyf)
+SELECT n_points,
+       CASE WHEN n_points * sxx - sx * sx > 0
+            THEN round(CAST(n_points * sxy - sx * sy AS DOUBLE)
+                       / CAST(n_points * sxx - sx * sx AS DOUBLE), 6) END AS heaps_beta,
+       CASE WHEN n_points * sxx - sx * sx > 0
+            THEN round((CAST(sy AS DOUBLE)
+                        - CAST(n_points * sxy - sx * sy AS DOUBLE)
+                          / CAST(n_points * sxx - sx * sx AS DOUBLE)
+                          * CAST(sx AS DOUBLE)) / n_points / {float(ONE_Q12)!r}, 6)
+       END AS intercept_bits
+FROM __s
+"""
+
+
+@_q(
+    "corpus_heaps_fit",
+    _heaps_oracle(),
+    "Extension (round 10, corpus monitoring): Heaps'-law vocabulary-growth fit across "
+    "sources — OLS of log2(types) on log2(tokens), one (n_s, v_s) point per source; "
+    "the exponent beta (~0.4-0.6 on natural text) is the MEASURED premise behind the "
+    "bigram-model bound (SCALE.md: sub-linear vocabulary growth is why the min-count "
+    "cut keeps the LM model sub-linear), and beta drift is a template-flood / "
+    "synthetic-data alarm.  x/y in Q12, exact-int64 OLS, NULL-guarded when fewer than "
+    "two distinct points; ONE (source, word) count shuffle "
+    "(operators/text.heaps_law_fit).",
+)
+def corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heaps_law_fit(load_table(spark, sf_dir, "documents"))

@@ -492,3 +492,62 @@ def test_source_unigram_kl_matches_direct_sum(spark):
         assert got[s].n_types == len(cs)
     # B is the diverger (z is B-only, y unseen): strictly larger KL
     assert got["B"].kl_bits > got["A"].kl_bits
+
+
+def test_source_vocab_mi_matches_direct_decomposition(spark):
+    """MI via A−B−C+D must equal the direct Σ p(s,w)·lg(p(s,w)/(p(s)p(w)))
+    Q12 reference, and the degenerate single-source corpus must report
+    MI = 0 with a NULL uncertainty coefficient."""
+    from flinkecuserbehavioranalysis_spark.operators.text import source_vocab_mi
+
+    docs = spark.createDataFrame(
+        [(1, "A", "x x y"), (2, "B", "x z"), (3, None, "x y")],
+        "doc_id long, source string, text string",
+    )
+    row = source_vocab_mi(docs).collect()[0]
+    per = {"A": {"x": 2, "y": 1}, "B": {"x": 1, "z": 1}, "": {"x": 1, "y": 1}}
+    n_s = {s: sum(c.values()) for s, c in per.items()}
+    c_w = {}
+    for c in per.values():
+        for w, k in c.items():
+            c_w[w] = c_w.get(w, 0) + k
+    n = sum(n_s.values())
+    acc = 0
+    for s, cs in per.items():
+        for w, k in cs.items():
+            acc += k * (
+                log2_q12_py(k) + log2_q12_py(n) - log2_q12_py(n_s[s]) - log2_q12_py(c_w[w])
+            )
+    h_s_num = n * log2_q12_py(n) - sum(k * log2_q12_py(k) for k in n_s.values())
+    assert row.mi_bits == round(acc / n / float(ONE_Q12), 6)
+    assert row.h_source_bits == round(h_s_num / n / float(ONE_Q12), 6)
+    assert row.uncertainty_coef == round(acc / h_s_num, 6)
+    assert (row.n_sources, row.n_types, row.n_tokens) == (3, 3, 7)
+    one = source_vocab_mi(
+        spark.createDataFrame([(1, "A", "x y x")], "doc_id long, source string, text string")
+    ).collect()[0]
+    assert one.mi_bits == 0.0 and one.uncertainty_coef is None
+
+
+def test_heaps_law_fit_recovers_planted_exponent(spark):
+    """Strata planted on an exact power law V = N^0.5 (perfect squares)
+    must fit beta ≈ 0.5; a single-stratum corpus reports NULLs."""
+    from flinkecuserbehavioranalysis_spark.operators.text import heaps_law_fit
+
+    rows = []
+    did = 0
+    # source s_k has n = 4^k tokens over v = 2^k distinct types —
+    # EXACT on the Q12 log grid (powers of two), so OLS recovers 0.5
+    for k in (2, 3, 4, 5):
+        n, v = 4 ** k, 2 ** k
+        toks = [f"w{i % v}" for i in range(n)]
+        did += 1
+        rows.append((did, f"s{k}", " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    row = heaps_law_fit(docs).collect()[0]
+    assert row.n_points == 4
+    assert row.heaps_beta == 0.5  # exact: x = 2k·4096, y = k·4096
+    one = heaps_law_fit(
+        spark.createDataFrame([(1, "A", "x y")], "doc_id long, source string, text string")
+    ).collect()[0]
+    assert one.heaps_beta is None and one.intercept_bits is None
