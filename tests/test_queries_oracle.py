@@ -157,3 +157,50 @@ def test_rotation_orders_never_checked_first_with_priority():
     checked_in_order = [n for n in order if n in last]
     rounds = [last[n] for n in checked_in_order]
     assert rounds == sorted(rounds)
+
+
+def test_rotation_deferral_self_retires_once_r10_record_lands(tmp_path):
+    """The _DEFER_PAST_R10 names must sort LAST while no round-10 record
+    exists, then jump to the FRONT of the r11 window the moment a
+    CORRECTNESS_r10.json lands — the self-retirement the whole deferral
+    ledger depends on.  Simulated in a scratch directory: the real
+    entry module + real records, plus a synthetic r10 record holding
+    exactly the current window's first 50 names."""
+    import importlib.util
+    import json
+    import shutil
+    from pathlib import Path
+
+    import __spark_entry__ as e
+
+    repo = Path(e.__file__).resolve().parent
+    shutil.copy(repo / "__spark_entry__.py", tmp_path / "__spark_entry__.py")
+    for rec in repo.glob("CORRECTNESS_r*.json"):
+        shutil.copy(rec, tmp_path / rec.name)
+
+    def load_order(d):
+        spec = importlib.util.spec_from_file_location(
+            "entry_scratch", d / "__spark_entry__.py"
+        )
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        return m, m._rotation_order()
+
+    m1, before = load_order(tmp_path)
+    n_defer = len(m1._DEFER_PAST_R10)
+    # pre-record: every deferred name sits at the very back
+    assert set(before[-n_defer:]) == m1._DEFER_PAST_R10
+    # land a synthetic r10 record = the current window (first 50)
+    (tmp_path / "CORRECTNESS_r10.json").write_text(
+        json.dumps({n: {"hash_match": True} for n in before[:50]})
+    )
+    m2, after = load_order(tmp_path)
+    # post-record: the deferred names are genuinely never-checked again —
+    # every one sorts ahead of every name that carries ANY record from
+    # ANY round (i.e. they lead the r11 window)
+    recorded: set[str] = set()
+    for rec in Path(tmp_path).glob("CORRECTNESS_r*.json"):
+        recorded |= set(json.loads(rec.read_text()))
+    first_checked = min(after.index(n) for n in after if n in recorded)
+    for n in m2._DEFER_PAST_R10:
+        assert after.index(n) < first_checked, n
