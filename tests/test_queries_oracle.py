@@ -159,24 +159,39 @@ def test_rotation_orders_never_checked_first_with_priority():
     assert rounds == sorted(rounds)
 
 
-def test_rotation_deferral_self_retires_once_r10_record_lands(tmp_path):
-    """The _DEFER_PAST_R10 names must sort LAST while no round-10 record
-    exists, then jump to the FRONT of the r11 window the moment a
-    CORRECTNESS_r10.json lands — the self-retirement the whole deferral
-    ledger depends on.  Simulated in a scratch directory: the real
-    entry module + real records, plus a synthetic r10 record holding
-    exactly the current window's first 50 names."""
+def test_rotation_deferral_self_retires_once_its_record_lands(tmp_path):
+    """For the HIGHEST deferral round N (the active ``_DEFER_PAST_RN``
+    set), the deferred names must sort LAST while no round-N record
+    exists, then jump to the FRONT of the next window the moment a
+    CORRECTNESS_rN.json lands — the self-retirement the whole deferral
+    ledger depends on.  The pre-record phase is CONSTRUCTED, not
+    assumed from repo state: only records for rounds < N are copied
+    into the scratch dir, so the test stays green after the driver's
+    real round-N record lands in the repo root (round-10 verdict #1)."""
     import importlib.util
     import json
+    import re
     import shutil
     from pathlib import Path
 
     import __spark_entry__ as e
 
+    defer_sets = {
+        int(m.group(1)): getattr(e, a)
+        for a in dir(e)
+        for m in [re.fullmatch(r"_DEFER_PAST_R(\d+)", a)]
+        if m is not None
+    }
+    assert defer_sets, "deferral ledger disappeared — update this test"
+    active_round = max(defer_sets)
+    deferred = defer_sets[active_round]
+
     repo = Path(e.__file__).resolve().parent
     shutil.copy(repo / "__spark_entry__.py", tmp_path / "__spark_entry__.py")
     for rec in repo.glob("CORRECTNESS_r*.json"):
-        shutil.copy(rec, tmp_path / rec.name)
+        rnd = int("".join(ch for ch in rec.stem if ch.isdigit()) or 0)
+        if rnd < active_round:
+            shutil.copy(rec, tmp_path / rec.name)
 
     def load_order(d):
         spec = importlib.util.spec_from_file_location(
@@ -187,20 +202,20 @@ def test_rotation_deferral_self_retires_once_r10_record_lands(tmp_path):
         return m, m._rotation_order()
 
     m1, before = load_order(tmp_path)
-    n_defer = len(m1._DEFER_PAST_R10)
+    n_defer = len(deferred)
     # pre-record: every deferred name sits at the very back
-    assert set(before[-n_defer:]) == m1._DEFER_PAST_R10
-    # land a synthetic r10 record = the current window (first 50)
-    (tmp_path / "CORRECTNESS_r10.json").write_text(
+    assert set(before[-n_defer:]) == deferred
+    # land a synthetic round-N record = the current window (first 50)
+    (tmp_path / f"CORRECTNESS_r{active_round}.json").write_text(
         json.dumps({n: {"hash_match": True} for n in before[:50]})
     )
     m2, after = load_order(tmp_path)
     # post-record: the deferred names are genuinely never-checked again —
     # every one sorts ahead of every name that carries ANY record from
-    # ANY round (i.e. they lead the r11 window)
+    # ANY round (i.e. they lead the next driver window)
     recorded: set[str] = set()
     for rec in Path(tmp_path).glob("CORRECTNESS_r*.json"):
         recorded |= set(json.loads(rec.read_text()))
     first_checked = min(after.index(n) for n in after if n in recorded)
-    for n in m2._DEFER_PAST_R10:
+    for n in deferred:
         assert after.index(n) < first_checked, n
