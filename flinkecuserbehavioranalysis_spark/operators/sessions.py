@@ -126,10 +126,17 @@ def session_stats(
         .groupBy(key_col, ts_col, tiebreak_col, type_col)
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    # NULL types order via coalesce('') — Spark windows sort NULLS FIRST,
-    # SQL engines default NULLS LAST; the sentinel pins one order in both
+    # NULL types order via an explicit (IS NULL) flag ahead of the
+    # coalesced value — Spark windows sort NULLS FIRST, SQL engines
+    # default NULLS LAST, and coalesce('') alone would leave a NULL and
+    # a real empty string TIED (landing then depends on arrival order;
+    # round-10 advice).  Flag 0 = non-null first, matching the oracle's
+    # `(type IS NULL)` term (false < true in both engines).
+    type_null = F.col(type_col).isNull().cast("int")
     type_ord = F.coalesce(F.col(type_col), F.lit(""))
-    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col), type_ord)
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col), F.col(tiebreak_col), type_null, type_ord
+    )
     ts = F.col(ts_col).cast("double")
     prev = F.lag(ts).over(w)
     is_start = F.when(prev.isNull() | (ts - prev > F.lit(float(gap_seconds))), 1).otherwise(0)
@@ -143,7 +150,8 @@ def session_stats(
             F.struct(
                 F.col(ts_col),
                 F.col(tiebreak_col),
-                F.coalesce(F.col(type_col), F.lit("")).alias("__t"),
+                type_null.alias("__tn"),
+                type_ord.alias("__t"),
             ),
         ).alias("landing"),
         F.sum("__c").cast("long").alias("n_events"),

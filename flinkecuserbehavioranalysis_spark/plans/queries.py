@@ -10607,11 +10607,11 @@ __f AS (
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS is_start
   FROM __d
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, coalesce(event_type, ''))),
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, (event_type IS NULL), coalesce(event_type, ''))),
 __g AS (
   SELECT user_id, ts, event_id, event_type, c,
          sum(is_start) OVER (PARTITION BY user_id
-                             ORDER BY ts, event_id, coalesce(event_type, '')
+                             ORDER BY ts, event_id, (event_type IS NULL), coalesce(event_type, '')
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM __f),
 __s AS (SELECT user_id, sid, CAST(sum(c) AS BIGINT) AS n_events,
@@ -10621,7 +10621,7 @@ __s AS (SELECT user_id, sid, CAST(sum(c) AS BIGINT) AS n_events,
 __l AS (SELECT user_id, sid, event_type AS landing
         FROM (SELECT user_id, sid, event_type,
                      row_number() OVER (PARTITION BY user_id, sid
-                                        ORDER BY ts, event_id, coalesce(event_type, '')) AS rn
+                                        ORDER BY ts, event_id, (event_type IS NULL), coalesce(event_type, '')) AS rn
               FROM __g) WHERE rn = 1),
 __ps AS (SELECT l.landing, s.n_events, s.dur
          -- NULL-safe key: a NULL user_id is a real session group (both
@@ -10643,8 +10643,9 @@ FROM __ps GROUP BY landing
     "type — session count, bounce rate (single-event sessions), mean/max duration, "
     "mean events per session.  Same gaps-and-islands core and determinism discipline "
     "as sessionize_users (byte-identical tuples collapsed pre-window; event_type joins "
-    "the ordering tuple via coalesce so a fully-tied boundary's landing is decided by "
-    "values, not shuffle order).  All windows user-partitioned; durations floor-second "
+    "the ordering tuple as (type IS NULL, coalesce(type,'')) so a fully-tied boundary's "
+    "landing is decided by values, not shuffle order — the null flag keeps NULL vs '' "
+    "un-tied).  All windows user-partitioned; durations floor-second "
     "integers; means exact rationals (operators/sessions.session_stats).",
 )
 def events_sessionized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10826,11 +10827,11 @@ __f AS (
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0 THEN 1 ELSE 0 END AS is_start
   FROM __d
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, coalesce(event_type, ''))),
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, (event_type IS NULL), coalesce(event_type, ''))),
 __g AS (
   SELECT user_id, ts, event_id, event_type, c,
          sum(is_start) OVER (PARTITION BY user_id
-                             ORDER BY ts, event_id, coalesce(event_type, '')
+                             ORDER BY ts, event_id, (event_type IS NULL), coalesce(event_type, '')
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM __f),
 __s AS (SELECT user_id, sid,
@@ -10844,7 +10845,7 @@ __s AS (SELECT user_id, sid,
 __l AS (SELECT user_id, sid, event_type AS landing
         FROM (SELECT user_id, sid, event_type,
                      row_number() OVER (PARTITION BY user_id, sid
-                                        ORDER BY ts, event_id, coalesce(event_type, '')) AS rn
+                                        ORDER BY ts, event_id, (event_type IS NULL), coalesce(event_type, '')) AS rn
               FROM __g) WHERE rn = 1)
 SELECT s.user_id, s.session_start, s.session_end, l.landing, s.n_events, s.duration_sec
 FROM __s s
@@ -10855,7 +10856,8 @@ WHERE s.last_e + 1800.0 <= wm AND s.last_e + 1800.0 > 0
     "Extension (round 10, round-9 verdict #5): bounded availableNow replay of "
     "streaming/jobs.streaming_session_stats — native merging session windows (30-min "
     "gap) carrying a value-ordered landing pick (min_by over the (ts, event_id, "
-    "coalesce(type,'')) tuple) plus count and floor-second duration, per-session grain "
+    "type IS NULL, coalesce(type,'')) tuple — the null flag keeps NULL vs '' types "
+    "un-tied) plus count and floor-second duration, per-session grain "
     "(a landing-keyed report needs a second stateful agg, which append mode forbids).  "
     "Append mode emits a session once the watermark (max event time, 0 s delay) reaches "
     "its window end = last event + gap, so the oracle is the batch gaps-and-islands "

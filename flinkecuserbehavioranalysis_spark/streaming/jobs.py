@@ -148,7 +148,8 @@ def streaming_session_stats(
     value-ordered landing pick inside the same aggregation).
 
     The landing event is the session's first row by the full ordering
-    tuple (ts, tiebreak, coalesce(type, '')) — ``min_by`` over a struct,
+    tuple (ts, tiebreak, type IS NULL, coalesce(type, '')) — ``min_by``
+    over a struct,
     decided by VALUES alone, so byte-identical duplicates and fully-tied
     boundaries agree with the batch oracle (the sessionize/session_stats
     determinism discipline).  The landing-keyed REPORT grain needs a
@@ -160,13 +161,23 @@ def streaming_session_stats(
     session-window store stays bounded by OPEN sessions per key, the
     property that keeps it feasible on an unbounded stream."""
     wm = stream.withWatermark(ts_col, watermark)
+    # (IS NULL) flag ahead of the coalesced value: coalesce('') alone
+    # leaves a NULL type and a real '' TIED when (ts, tiebreak) also tie,
+    # making the landing arrival-order-dependent (round-10 advice); the
+    # flag matches the oracle's `(type IS NULL)` ORDER BY term.
+    type_null = F.col(type_col).isNull().cast("int")
     type_ord = F.coalesce(F.col(type_col), F.lit(""))
     return (
         wm.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
         .agg(
             F.min_by(
                 F.col(type_col),
-                F.struct(F.col(ts_col), F.col(tiebreak_col), type_ord.alias("__t")),
+                F.struct(
+                    F.col(ts_col),
+                    F.col(tiebreak_col),
+                    type_null.alias("__tn"),
+                    type_ord.alias("__t"),
+                ),
             ).alias("landing"),
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.min(ts_col).alias("first_ts"),

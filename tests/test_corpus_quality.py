@@ -280,6 +280,23 @@ def test_session_stats_tied_boundary_landing_is_value_determined(spark):
         assert len(out) == 1 and out[0].landing == "click" and out[0].avg_events == 3.0
 
 
+def test_session_stats_null_vs_empty_type_tie_is_value_determined(spark):
+    # round-10 advice: with coalesce('') alone, a NULL type and a real
+    # empty string at the SAME (ts, event_id) tie in the ordering tuple
+    # and the landing becomes arrival-order-dependent.  The (type IS
+    # NULL) flag ahead of the coalesced value breaks the tie: the
+    # non-null '' wins in every run/partitioning (and in the oracle).
+    rows = [(1, 1000.0, 7, None), (1, 1000.0, 7, "")]
+    df = spark.createDataFrame(rows, "user_id long, tsd double, event_id long, event_type string")
+    df = df.select("user_id", F.timestamp_seconds("tsd").alias("ts"), "event_id", "event_type")
+    for run in range(3):
+        out = session_stats(df.repartition(run + 2)).collect()
+        # one session of two events; the non-null '' row is the landing
+        assert len(out) == 1
+        assert out[0].landing == "" and out[0].n_sessions == 1
+        assert out[0].avg_events == 2.0
+
+
 def test_session_stats_null_key_sessions_survive(spark):
     # round-9 nulls2 tier lesson: NULL user_id is a REAL session group
     # (all NULL-key events sessionize together); the oracle's landing

@@ -153,6 +153,34 @@ def test_streaming_session_stats_landing_and_closure(spark, tmp_path):
     ]
 
 
+def test_streaming_session_stats_null_vs_empty_type_tie(spark, tmp_path):
+    """Round-10 advice: a NULL type and a real '' at the same (ts,
+    event_id) must NOT tie in the landing ordering — the (type IS NULL)
+    flag makes the non-null '' win deterministically."""
+    import os
+
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import streaming_session_stats
+
+    rows = [
+        ("A", 1000.0, 7, None),
+        ("A", 1000.0, 7, ""),
+        # watermark pusher so A's session closes
+        ("B", 100000.0, 99, "view"),
+    ]
+    src = str(tmp_path / "sess_tie_sf")
+    spark.createDataFrame(
+        rows, "user_id string, tsd double, event_id long, event_type string"
+    ).withColumn("ts", F.col("tsd").cast("timestamp")).drop("tsd").repartition(
+        2
+    ).write.parquet(os.path.join(src, "events.parquet"))
+    stream = read_events_stream(spark, src)
+    got = _rows(
+        run_bounded(streaming_session_stats(stream, gap="30 minutes")),
+        ["user_id", "session_start", "session_end", "landing", "n_events", "duration_sec"],
+    )
+    assert got == [("A", 1000, 1000, "", 2, 0)]
+
+
 def test_streaming_topn_foreach_batch(spark):
     stream = read_events_stream(spark, SF_DIR).filter(F.col("event_type") == "view")
     stream = stream.withColumn("item_id", F.pmod("event_id", F.lit(50)))
