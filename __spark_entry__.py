@@ -81,6 +81,15 @@ _DEFER_PAST_R10 = {
     "corpus_heaps_fit",
 }
 
+#: Same pattern, round 11 (round-10 verdict #7): the r11 driver window
+#: must be the 8 round-10 registrations above (now genuinely
+#: never-checked) plus 42 LRU re-hashes — a round-11 registration would
+#: displace an LRU slot.  Self-retiring the moment CORRECTNESS_r11
+#: lands.
+_DEFER_PAST_R11 = {
+    "token_kn_perplexity_wide",
+}
+
 
 _DRIVER_PRIORITY = {
     "streaming_login_fail_replay",
@@ -132,6 +141,10 @@ def _rotation_order() -> list[str]:
         # round-10 window protection (see _DEFER_PAST_R10)
         for name in _DEFER_PAST_R10:
             last_checked.setdefault(name, 10)
+    if max(last_checked.values(), default=0) < 11:
+        # round-11 window protection (see _DEFER_PAST_R11)
+        for name in _DEFER_PAST_R11:
+            last_checked.setdefault(name, 11)
     reg_pos = {name: i for i, name in enumerate(QUERIES)}
     return sorted(
         QUERIES,

@@ -26,6 +26,21 @@ produce the same integer.
 The Spark side materializes one column per step (withColumn chain) so
 the doubled ``m`` reference never blows up the expression tree; the
 DuckDB twin is a generated chain of 12 CTEs.  Both are map-only.
+
+WIDE inputs (round-10 verdict #4): the int64 chain accepts x < 2^63,
+but LM denominators are *products* (e.g. Kneser-Ney den = 4·B·c_ctx)
+that exceed int64 on a full web-scale crawl.  ``wide=True`` runs the
+SAME algorithm on a DECIMAL(38,0) input, valid for 1 <= x < 2^124: the
+input is split ONCE into 62-bit halves (h = x >> 62, l = x mod 2^62 —
+one exact decimal ``div``/``%`` by a string-literal power of two; a
+double-cast divisor is NOT exact past 2^56, measured) and the exponent
+and Q28 mantissa are recovered from the int64 halves, after which the
+12-step chain is byte-identical to the narrow path.  The wide function
+EQUALS the narrow function on their shared domain — same normalization
+truncation, same integer out — so a wide-path query can be oracle-paired
+against the narrow SQL twin at test scale, and a hash mismatch would
+expose any divergence.  The DuckDB wide twin does the same split via
+HUGEINT (int128) ``//`` / ``%``.
 """
 
 from __future__ import annotations
@@ -39,6 +54,10 @@ FRAC_BITS = 12
 #: 2^FRAC_BITS — divide a Q12 value by this to get float bits
 ONE_Q12 = 1 << FRAC_BITS
 _RENORM = 1 << (Q + 1)
+#: wide-path split point: x = h·2^62 + l with both halves in int64
+_SPLIT = 62
+#: wide-path validity ceiling (h must fit int64: x < 2^(62+62))
+WIDE_MAX_BITS = 2 * _SPLIT
 
 
 def log2_q12_py(x: int) -> int:
@@ -57,20 +76,11 @@ def log2_q12_py(x: int) -> int:
     return e * ONE_Q12 + acc
 
 
-def with_log2_q12(df: DataFrame, src: str, out: str) -> DataFrame:
-    """Append Q12 fixed-point log2 of positive BIGINT column *src*.
-
-    Emits a chain of per-step columns (dropped at the end) — all int64
-    arithmetic inside whole-stage codegen; no shuffle, no Python."""
-    e_col, m_col, acc_col, sq_col = f"__{out}_e", f"__{out}_m", f"__{out}_a", f"__{out}_s"
-    df = df.withColumn(e_col, (F.length(F.bin(F.col(src))) - 1).cast("long"))
-    df = df.withColumn(
-        m_col,
-        F.when(
-            F.col(e_col) <= Q,
-            F.col(src) * F.pow(F.lit(2.0), F.lit(Q) - F.col(e_col)).cast("long"),
-        ).otherwise(F.expr(f"{src} div CAST(pow(2.0, {e_col} - {Q}) AS BIGINT)")),
-    ).withColumn(acc_col, F.lit(0).cast("long"))
+def _chain(df: DataFrame, out: str, e_col: str, m_col: str) -> DataFrame:
+    """Shared 12-step square-and-shift chain: consumes exponent/mantissa
+    columns (int64, mantissa in [2^28, 2^29)), emits ``out``."""
+    acc_col, sq_col = f"__{out}_a", f"__{out}_s"
+    df = df.withColumn(acc_col, F.lit(0).cast("long"))
     for _ in range(FRAC_BITS):
         df = df.withColumn(sq_col, F.shiftright(F.col(m_col) * F.col(m_col), Q))
         df = df.withColumn(
@@ -87,19 +97,97 @@ def with_log2_q12(df: DataFrame, src: str, out: str) -> DataFrame:
     )
 
 
-def log2_q12_sql_ctes(src_cte: str, cols: list[str], x: str, out: str, prefix: str) -> str:
+def with_log2_q12(df: DataFrame, src: str, out: str, wide: bool = False) -> DataFrame:
+    """Append Q12 fixed-point log2 of positive column *src*.
+
+    Default path: *src* is BIGINT (x < 2^63).  ``wide=True``: *src* is
+    DECIMAL(38,0) with 1 <= x < 2^124 — one exact decimal split into
+    int64 halves, then the identical int64 chain (module doc).  Emits a
+    chain of per-step columns (dropped at the end) — all arithmetic
+    inside whole-stage codegen; no shuffle, no Python."""
+    e_col, m_col = f"__{out}_e", f"__{out}_m"
+    if not wide:
+        df = df.withColumn(e_col, (F.length(F.bin(F.col(src))) - 1).cast("long"))
+        df = df.withColumn(
+            m_col,
+            F.when(
+                F.col(e_col) <= Q,
+                F.col(src) * F.pow(F.lit(2.0), F.lit(Q) - F.col(e_col)).cast("long"),
+            ).otherwise(F.expr(f"{src} div CAST(pow(2.0, {e_col} - {Q}) AS BIGINT)")),
+        )
+        return _chain(df, out, e_col, m_col)
+    # wide: split on a STRING-literal power of two (exact; a pow(2.0,62)
+    # double-cast divisor is only exact to 17 significant digits)
+    h_col, l_col = f"__{out}_h", f"__{out}_l"
+    p62 = f"CAST('{1 << _SPLIT}' AS DECIMAL(38,0))"
+    df = df.withColumn(h_col, F.expr(f"CAST({src} div {p62} AS BIGINT)"))
+    df = df.withColumn(l_col, F.expr(f"CAST({src} % {p62} AS BIGINT)"))
+    df = df.withColumn(
+        e_col,
+        F.when(
+            F.col(h_col) > 0,
+            (F.length(F.bin(F.col(h_col))) - 1 + _SPLIT).cast("long"),
+        ).otherwise((F.length(F.bin(F.col(l_col))) - 1).cast("long")),
+    )
+    # m = x >> (e-28), recovered from the halves without wide arithmetic:
+    #   e <= 28      : h = 0, m = l << (28-e)                 (exact lift)
+    #   e >= 62+28=90: m = h >> (e-90)    (l's bits all fall below m)
+    #   28 < e < 90  : m = h << (90-e) | l >> (e-28)
+    # every shift is via an exact pow(2,k)-as-BIGINT multiply/div, k <= 62
+    df = df.withColumn(
+        m_col,
+        F.when(
+            F.col(e_col) <= Q,
+            F.col(l_col) * F.pow(F.lit(2.0), F.lit(Q) - F.col(e_col)).cast("long"),
+        )
+        .when(
+            F.col(e_col) >= _SPLIT + Q,
+            F.expr(f"__{out}_h div CAST(pow(2.0, __{out}_e - {_SPLIT + Q}) AS BIGINT)"),
+        )
+        .otherwise(
+            F.col(h_col)
+            * F.pow(F.lit(2.0), F.lit(_SPLIT + Q) - F.col(e_col)).cast("long")
+            + F.expr(f"__{out}_l div CAST(pow(2.0, __{out}_e - {Q}) AS BIGINT)")
+        ),
+    ).drop(h_col, l_col)
+    return _chain(df, out, e_col, m_col)
+
+
+def log2_q12_sql_ctes(
+    src_cte: str, cols: list[str], x: str, out: str, prefix: str, wide: bool = False
+) -> str:
     """DuckDB twin: CTE chain computing ``out`` = log2_q12(``x``) over
     relation *src_cte* carrying *cols* (which must include ``x``).
+    ``wide=True`` mirrors the DECIMAL(38,0) path via a HUGEINT 62-bit
+    split — exact int128 ``//``/``%``, then the identical int64 chain.
     Returns the CTE text fragment; the final CTE is named ``{prefix}f``."""
     keep = ", ".join(cols)
-    e = f"(length(printf('%b', {x})) - 1)"
-    ctes = (
-        f"{prefix}0 AS (SELECT {keep}, "
-        f"CAST({e} AS BIGINT) AS __e, "
-        f"CAST(CASE WHEN {e} <= {Q} THEN {x} * CAST(pow(2.0, {Q} - {e}) AS BIGINT) "
-        f"ELSE {x} // CAST(pow(2.0, {e} - {Q}) AS BIGINT) END AS BIGINT) AS __m, "
-        f"CAST(0 AS BIGINT) AS __a FROM {src_cte})"
-    )
+    if not wide:
+        e = f"(length(printf('%b', {x})) - 1)"
+        ctes = (
+            f"{prefix}0 AS (SELECT {keep}, "
+            f"CAST({e} AS BIGINT) AS __e, "
+            f"CAST(CASE WHEN {e} <= {Q} THEN {x} * CAST(pow(2.0, {Q} - {e}) AS BIGINT) "
+            f"ELSE {x} // CAST(pow(2.0, {e} - {Q}) AS BIGINT) END AS BIGINT) AS __m, "
+            f"CAST(0 AS BIGINT) AS __a FROM {src_cte})"
+        )
+    else:
+        p62 = f"CAST('{1 << _SPLIT}' AS HUGEINT)"
+        hx = f"CAST({x} AS HUGEINT)"
+        ctes = (
+            f"{prefix}p AS (SELECT {keep}, "
+            f"CAST({hx} // {p62} AS BIGINT) AS __h, "
+            f"CAST({hx} % {p62} AS BIGINT) AS __l FROM {src_cte}), "
+            f"{prefix}0 AS (SELECT {keep}, __e, "
+            f"CAST(CASE WHEN __e <= {Q} THEN __l * CAST(pow(2.0, {Q} - __e) AS BIGINT) "
+            f"WHEN __e >= {_SPLIT + Q} THEN __h // CAST(pow(2.0, __e - {_SPLIT + Q}) AS BIGINT) "
+            f"ELSE __h * CAST(pow(2.0, {_SPLIT + Q} - __e) AS BIGINT) "
+            f"     + __l // CAST(pow(2.0, __e - {Q}) AS BIGINT) END AS BIGINT) AS __m, "
+            f"CAST(0 AS BIGINT) AS __a FROM ("
+            f"SELECT {keep}, __h, __l, "
+            f"CAST(CASE WHEN __h > 0 THEN length(printf('%b', __h)) - 1 + {_SPLIT} "
+            f"ELSE length(printf('%b', __l)) - 1 END AS BIGINT) AS __e FROM {prefix}p))"
+        )
     for i in range(1, FRAC_BITS + 1):
         ctes += (
             f", {prefix}{i} AS (SELECT {keep}, __e, "

@@ -846,12 +846,39 @@ def bigram_surprisal(
     )
 
 
+#: int64 ceiling for the exact KN denominator 4·B·c_ctx (text below);
+#: the narrow path raises past it, the wide path shifts to DECIMAL(38)
+_KN_INT64_BOUND = (1 << 61) - 1
+
+
+def _kn_guarded_den(b: F.Column, c_ctx: F.Column) -> F.Column:
+    """den = 4·B·c_ctx with a LOUD int64-overflow guard (round-10
+    verdict #4): with ANSI off Spark wraps silently, so a violated
+    bound would corrupt every surprisal downstream with no signal.
+    Safe iff c_ctx <= (2^61-1) div B (then 4·B·c_ctx <= 4·(2^61-1)
+    < 2^63, and num <= den covers the numerator).  The product lives in
+    the WHEN branch so it is only evaluated once the bound holds — an
+    eager product would hit the ANSI overflow first and lose the
+    actionable message (and with ANSI off would wrap with no error at
+    all)."""
+    ok = c_ctx <= F.expr(f"{_KN_INT64_BOUND} div b")
+    return F.when(ok, 4 * b * c_ctx).otherwise(
+        F.raise_error(
+            F.lit(
+                "kneser_ney_surprisal: B*c_ctx exceeds the exact int64 bound "
+                "(2^61); rerun with wide=True for the DECIMAL(38) chain"
+            )
+        ).cast("long")
+    )
+
+
 def kneser_ney_surprisal(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 2,
     unk: str = "<unk>",
+    wide: bool = False,
 ) -> DataFrame:
     """Per-document interpolated Kneser-Ney bigram surprisal (Kneser &
     Ney 1995; the KenLM-default smoothing) with EXACT cross-engine
@@ -873,11 +900,17 @@ def kneser_ney_surprisal(
     int64 validity bound, stated per the token_entropy convention: den
     = 4·B·c_ctx is exact while B·c_ctx < 2^61 (num ≤ den since p ≤ 1);
     at B = 2^30 distinct bigrams that allows the hottest context 2^31
-    occurrences — safe for any sub-trillion-token corpus, while a
-    full web-scale crawl needs the DECIMAL(38) variant of the chain.
-    The *min_count* cut (shared with bigram_surprisal via
-    ``_remapped_doc_bigrams``, same pinned relations) keeps B itself
-    sub-linear in corpus size.
+    occurrences — safe for any sub-trillion-token corpus.  The bound is
+    now ENFORCED: the narrow path raises through ``assert_true`` the
+    moment any row violates it (silent int64 wrap would corrupt every
+    surprisal downstream), and ``wide=True`` runs num/den through
+    DECIMAL(38,0) and the wide Q12 log2 chain
+    (functions/fixedpoint.with_log2_q12 ``wide=True``) — exact for
+    B·c_ctx < 2^122, i.e. any physically storable crawl.  The wide
+    function equals the narrow one on the shared domain, so both
+    variants hash-match the same oracle at test scale.  The *min_count*
+    cut (shared with bigram_surprisal via ``_remapped_doc_bigrams``,
+    same pinned relations) keeps B itself sub-linear in corpus size.
 
     Shape: identical to bigram_surprisal — every KN statistic (c_ctx,
     n1p, n1pl, B) is one aggregate of the MODEL relation; the log2
@@ -894,15 +927,29 @@ def kneser_ney_surprisal(
     cont = model.groupBy("cur").agg(F.count(F.lit(1)).cast("long").alias("n1pl"))
     btot = model.agg(F.count(F.lit(1)).cast("long").alias("b"))
     disc = F.greatest(4 * F.col("c_bg") - 3, F.lit(0).cast("long"))
-    m = (
-        model.join(ctx, "prev")
-        .join(cont, "cur")
-        .crossJoin(F.broadcast(btot))
-        .withColumn("num", disc * F.col("b") + 3 * F.col("n1p") * F.col("n1pl"))
-        .withColumn("den", 4 * F.col("b") * F.col("c_ctx"))
-    )
-    m = with_log2_q12(m, "num", "lg_num")
-    m = with_log2_q12(m, "den", "lg_den")
+    m = model.join(ctx, "prev").join(cont, "cur").crossJoin(F.broadcast(btot))
+    if wide:
+        # DECIMAL(38,0) num/den: every factor < 2^63 casts exactly to
+        # DECIMAL(19,0); the products stay < 2^124 (wide-chain domain)
+        d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+        m = m.withColumn(
+            "num",
+            (
+                disc.cast("decimal(19,0)") * d19("b")
+                + F.lit(3).cast("decimal(19,0)") * (d19("n1p") * d19("n1pl"))
+            ).cast("decimal(38,0)"),
+        ).withColumn(
+            "den",
+            (F.lit(4).cast("decimal(19,0)") * d19("b") * d19("c_ctx")).cast(
+                "decimal(38,0)"
+            ),
+        )
+    else:
+        m = m.withColumn(
+            "num", disc * F.col("b") + 3 * F.col("n1p") * F.col("n1pl")
+        ).withColumn("den", _kn_guarded_den(F.col("b"), F.col("c_ctx")))
+    m = with_log2_q12(m, "num", "lg_num", wide=wide)
+    m = with_log2_q12(m, "den", "lg_den", wide=wide)
     m = m.select("prev", "cur", (F.col("lg_den") - F.col("lg_num")).alias("surprisal_q12"))
     scored = doc_bg.join(m, ["prev", "cur"])
     out = scored.groupBy(id_col).agg(

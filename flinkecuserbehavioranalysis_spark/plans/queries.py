@@ -10952,15 +10952,24 @@ def streaming_url_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators.text import kneser_ney_surprisal  # noqa: E402
 
 
-def _kn_perplexity_oracle() -> str:
+def _kn_perplexity_oracle(wide: bool = False) -> str:
     """DuckDB twin of kneser_ney_surprisal: the shared remapped model
     CTEs, the KN statistics (context totals + continuation counts +
     distinct-bigram total) as exact-integer num/den at discount D = 3/4,
-    then the two generated Q12 log2 chains."""
+    then the two generated Q12 log2 chains.  ``wide=True`` mirrors the
+    DECIMAL(38) variant: num/den in HUGEINT and the 62-bit-split wide
+    log2 chain — identical integers on the shared domain, so the wide
+    Spark path hashing green against this oracle is a cross-engine
+    proof that both wide implementations agree."""
     from ..functions.fixedpoint import ONE_Q12, log2_q12_sql_ctes
 
-    num_chain = log2_q12_sql_ctes("__mn", ["prev", "cur", "den", "num"], "num", "lg_num", "__ln")
-    den_chain = log2_q12_sql_ctes("__lnf", ["prev", "cur", "lg_num"], "den", "lg_den", "__ld")
+    num_chain = log2_q12_sql_ctes(
+        "__mn", ["prev", "cur", "den", "num"], "num", "lg_num", "__ln", wide=wide
+    )
+    den_chain = log2_q12_sql_ctes(
+        "__lnf", ["prev", "cur", "lg_num"], "den", "lg_den", "__ld", wide=wide
+    )
+    num_t, den_t = ("HUGEINT", "HUGEINT") if wide else ("BIGINT", "BIGINT")
     return f"""
 {_BIGRAM_MODEL_CTES},
 __cx AS (SELECT prev, CAST(sum(c_bg) AS BIGINT) AS c_ctx,
@@ -10969,9 +10978,9 @@ __cx AS (SELECT prev, CAST(sum(c_bg) AS BIGINT) AS c_ctx,
 __cn AS (SELECT cur, CAST(count(*) AS BIGINT) AS n1pl FROM __m GROUP BY 1),
 __bt AS (SELECT CAST(count(*) AS BIGINT) AS b FROM __m),
 __mn AS (SELECT m.prev, m.cur,
-                CAST(greatest(4 * m.c_bg - 3, 0) * bt.b
-                     + 3 * cx.n1p * cn.n1pl AS BIGINT) AS num,
-                CAST(4 * bt.b * cx.c_ctx AS BIGINT) AS den
+                CAST(greatest(4 * CAST(m.c_bg AS {num_t}) - 3, 0) * bt.b
+                     + 3 * CAST(cx.n1p AS {num_t}) * cn.n1pl AS {num_t}) AS num,
+                CAST(4 * CAST(bt.b AS {den_t}) * cx.c_ctx AS {den_t}) AS den
          FROM __m m JOIN __cx cx USING (prev) JOIN __cn cn USING (cur)
          CROSS JOIN __bt bt),
 {num_chain},
@@ -11005,6 +11014,22 @@ FROM __sc
 )
 def token_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kneser_ney_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "token_kn_perplexity_wide",
+    _kn_perplexity_oracle(wide=True),
+    "Extension (round 11, round-10 verdict #4): the DECIMAL(38) escape hatch for the "
+    "exact KN chain, live end-to-end — num/den built in DECIMAL(38,0) and fed through "
+    "the wide Q12 log2 (62-bit split + the identical square-and-shift chain, "
+    "functions/fixedpoint.with_log2_q12 wide=True), valid to B*c_ctx < 2^122 where "
+    "the int64 path's guard raises at 2^61.  The wide function EQUALS the narrow one "
+    "on the shared domain, and the oracle here is the HUGEINT wide twin — a hash "
+    "match is a cross-engine proof both wide implementations agree bit-for-bit "
+    "(operators/text.kneser_ney_surprisal wide=True).",
+)
+def token_kn_perplexity_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kneser_ney_surprisal(load_table(spark, sf_dir, "documents"), wide=True)
 
 
 from ..operators.dedup import source_overlap_matrix  # noqa: E402

@@ -49,6 +49,55 @@ def test_log2_q12_duckdb_matches_python_model():
         assert got[x] == log2_q12_py(x), x
 
 
+#: wide-path probes crossing every branch boundary of the 62-bit split:
+#: e <= 28 (pure lift), 28 < e < 90 (stitched halves), e >= 90 (h-only),
+#: the int64 ceiling, and the 2^124 validity edge
+_LOG2_WIDE_PROBES = [
+    1, 2, 3, 2**28 - 1, 2**28, 2**29 + 7, 2**61 + 11, 2**62 - 1, 2**62,
+    2**62 + 13, 2**63 - 1, 2**63, 2**63 + 17, 2**89 + 5, 2**90 - 1,
+    2**90, 2**90 + 19, 2**100 + 12345, 2**123 + 3**50, 2**124 - 1,
+]
+
+
+def test_log2_q12_wide_spark_matches_python_model(spark):
+    import decimal
+
+    df = spark.createDataFrame(
+        [(decimal.Decimal(x),) for x in _LOG2_WIDE_PROBES], "x decimal(38,0)"
+    )
+    got = {
+        int(r.x): r.lg
+        for r in with_log2_q12(df, "x", "lg", wide=True).select("x", "lg").collect()
+    }
+    for x in _LOG2_WIDE_PROBES:
+        assert got[x] == log2_q12_py(x), x
+
+
+def test_log2_q12_wide_agrees_with_narrow_on_shared_domain(spark):
+    # the wide function must EQUAL the narrow one below 2^63 — that is
+    # what lets a wide-path query reuse the narrow SQL oracle
+    import decimal
+
+    shared = [x for x in _LOG2_PROBES if x < 2**63]
+    dn = spark.createDataFrame([(x,) for x in shared], "x long")
+    narrow = {r.x: r.lg for r in with_log2_q12(dn, "x", "lg").collect()}
+    dw = spark.createDataFrame(
+        [(decimal.Decimal(x),) for x in shared], "x decimal(38,0)"
+    )
+    wide = {int(r.x): r.lg for r in with_log2_q12(dw, "x", "lg", wide=True).collect()}
+    assert narrow == wide
+
+
+def test_log2_q12_wide_duckdb_matches_python_model():
+    rows = ",".join(f"(CAST('{x}' AS DECIMAL(38,0)))" for x in _LOG2_WIDE_PROBES)
+    ctes = log2_q12_sql_ctes(
+        f"(SELECT x FROM (VALUES {rows}) v(x))", ["x"], "x", "lg", "__w", wide=True
+    )
+    got = {int(x): lg for x, lg in duckdb.sql(f"WITH {ctes} SELECT x, lg FROM __wf").fetchall()}
+    for x in _LOG2_WIDE_PROBES:
+        assert got[x] == log2_q12_py(x), x
+
+
 def test_log2_q12_accuracy_bound():
     import math
 
@@ -135,6 +184,39 @@ def test_kneser_ney_surprisal_matches_hand_model(spark):
     # KN under-smooths vs add-one on frequent pairs: p_KN(b|a)=30/36 vs
     # add-one (3+1)/(3+3)=4/6 — lower surprisal for the frequent bigram
     assert s(30, 36) < s(4, 6)
+
+
+def test_kneser_ney_wide_equals_narrow(spark):
+    # the DECIMAL(38) chain must reproduce the int64 chain exactly on
+    # the shared domain — the property that lets token_kn_perplexity_wide
+    # reuse the narrow oracle
+    from flinkecuserbehavioranalysis_spark.operators.text import kneser_ney_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c d e a"), (2, "a b c c c"), (3, "x y x y x")],
+        "doc_id long, text string",
+    )
+    narrow = sorted(map(tuple, kneser_ney_surprisal(docs, min_count=1).collect()))
+    wide = sorted(map(tuple, kneser_ney_surprisal(docs, min_count=1, wide=True).collect()))
+    assert narrow == wide
+
+
+def test_kn_int64_guard_trips_loudly_at_the_bound(spark):
+    # b*c_ctx past 2^61 must RAISE (silent wrap would corrupt every
+    # surprisal downstream); at the bound it must pass
+    from flinkecuserbehavioranalysis_spark.operators.text import (
+        _KN_INT64_BOUND,
+        _kn_guarded_den,
+    )
+
+    b = 1 << 31
+    ok_ctx = _KN_INT64_BOUND // b          # largest safe c_ctx for this b
+    df = spark.createDataFrame([(b, ok_ctx)], "b long, c_ctx long")
+    got = df.select(_kn_guarded_den(F.col("b"), F.col("c_ctx")).alias("den")).collect()
+    assert got[0].den == 4 * b * ok_ctx
+    bad = spark.createDataFrame([(b, ok_ctx + 1)], "b long, c_ctx long")
+    with pytest.raises(Exception, match="wide=True"):
+        bad.select(_kn_guarded_den(F.col("b"), F.col("c_ctx")).alias("den")).collect()
 
 
 # --- Gopher rules ------------------------------------------------------

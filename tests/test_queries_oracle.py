@@ -134,6 +134,8 @@ def test_rotation_orders_never_checked_first_with_priority():
         deferred |= e._DEFER_PAST_R9
     if max(last.values(), default=0) < 10:
         deferred |= e._DEFER_PAST_R10
+    if max(last.values(), default=0) < 11:
+        deferred |= e._DEFER_PAST_R11
     never = [n for n in order if n not in last and n not in deferred]
     if never:
         # every never-checked name precedes every checked name
