@@ -88,6 +88,8 @@ _DEFER_PAST_R10 = {
 #: lands.
 _DEFER_PAST_R11 = {
     "token_kn_perplexity_wide",
+    "docs_winnow_fingerprints",
+    "corpus_winnow_matches",
 }
 
 

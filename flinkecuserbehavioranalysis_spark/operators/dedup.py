@@ -1365,3 +1365,169 @@ def source_overlap_matrix(
             F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6
         ).alias("jaccard"),
     )
+
+
+# --- winnowing fingerprints (round 11) --------------------------------
+
+#: positional bits inside a winnow key: key = gram_hash·2^20 + (2^20−1−i).
+#: Minimizing the key minimizes the 32-bit gram hash and breaks ties by
+#: the RIGHTMOST position — Schleimer et al.'s robust-winnowing tie rule
+#: — as one plain BIGINT min both engines order identically.  Bound:
+#: hash < 2^32, so key < 2^52 — no int64 strain; fingerprinting is
+#: truncated at the first 2^20−1 grams per document so the positional
+#: field never underflows (a >1M-word document keeps a stated, exact
+#: prefix semantics rather than a silent encoding corruption).
+_WINNOW_POS_BITS = 20
+_WINNOW_POS_CAP = (1 << _WINNOW_POS_BITS) - 1
+
+
+def _winnow_selected(
+    docs: DataFrame,
+    k: int,
+    w: int,
+    id_col: str,
+    text_col: str,
+    keep: list[str],
+) -> DataFrame:
+    """Per-document winnowed fingerprint KEY array (Schleimer, Schwartz
+    & Aiken 2003, the MOSS local fingerprinting): hash every word
+    *k*-gram, slide a *w*-window over the hash sequence, record each
+    window's minimum (rightmost on ties), distinct the records.
+
+    Guarantee (the reason winnowing beats uniform sampling): any shared
+    token run of at least w + k − 1 words between two documents shares
+    at least one selected fingerprint, while the expected density is
+    only 2/(w+1) of the gram stream.
+
+    Scale shape: the ENTIRE selection is per-row higher-order-function
+    arithmetic (transform / slice / array_min / array_distinct) on the
+    token array — map-only, whole-stage codegen, ZERO shuffles; the
+    gram hash is the repo's cross-engine md5-prefix idiom.  Emits
+    *keep* + ``n_grams`` (post-cap) + ``fp_keys`` (array<long>)."""
+    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    keep_cols = [F.col(c) if isinstance(c, str) else c for c in keep]
+    d = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(*keep_cols, ws.alias("__ws"))
+        .where(F.size("__ws") >= k)
+    )
+    kept = [c for c in d.columns if c != "__ws"]
+    d = d.withColumn(
+        "n_grams",
+        F.least(
+            (F.size("__ws") - k + 1).cast("long"), F.lit(_WINNOW_POS_CAP).cast("long")
+        ),
+    )
+    gram_hash = (
+        f"CAST(conv(substring(md5(array_join(slice(__ws, i, {k}), ' ')), 1, 8), 16, 10) "
+        f"AS BIGINT)"
+    )
+    keys = (
+        f"transform(sequence(1, CAST(n_grams AS INT)), "
+        f"i -> {gram_hash} * {1 << _WINNOW_POS_BITS} + ({_WINNOW_POS_CAP} - i))"
+    )
+    # explode(array(keys)) is a MATERIALIZATION BARRIER, not a fan-out
+    # (always exactly one row): CollapseProject would otherwise inline
+    # the key array into the per-window lambda below and re-hash all m
+    # grams for EVERY window — O(m²·k) md5 calls per document, measured
+    # as a timeout at 2 000 grams.  A Generate node pins the array to
+    # one evaluation per row and stays map-side: still zero shuffles.
+    d = d.select(
+        *kept,
+        "n_grams",
+        F.explode(F.array(F.expr(keys))).alias("__keys"),
+    )
+    return d.withColumn(
+        "fp_keys",
+        F.expr(
+            f"array_distinct(transform("
+            f"sequence(1, CAST(greatest(1, n_grams - {w} + 1) AS INT)), "
+            f"j -> array_min(slice(__keys, j, {w}))))"
+        ),
+    ).drop("__keys")
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document winnowing report: gram count (capped at 2^20−1),
+    selected fingerprint count, and density (≈ 2/(w+1) on random text —
+    drift is a boilerplate/repetition alarm, since repeated content
+    re-selects the same keys and density falls).  Map-only end to end:
+    no shuffle anywhere in the plan."""
+    d = _winnow_selected(docs, k, w, id_col, text_col, [id_col])
+    return d.select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.size("fp_keys").cast("long").alias("n_fingerprints"),
+        F.round(F.size("fp_keys") / F.col("n_grams"), 6).alias("fp_density"),
+    )
+
+
+def winnow_source_matches(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairwise shared-fingerprint report between SOURCES on the
+    winnowed universe — the guarantee-preserving scale path to
+    ``source_overlap_matrix``: any shared run of >= w + k − 1 words
+    between two sources surfaces at least one shared fingerprint
+    (Schleimer et al. 2003, Thm 1), at an expected 2/(w+1) of the
+    distinct-gram cost that makes the exact report quadratic-prone.
+    Mirrors (syndication rings, re-crawls) therefore CANNOT hide from
+    the sampled report, unlike a high-df gram cap.
+
+    The pair key uses the 32-bit gram hash only (position stripped —
+    matching content at different offsets must match).  Shape: map-only
+    selection, one explode, one distinct on (source, hash) — a
+    2/(w+1)-sampled, |sources|-keyed relation — then the same
+    merge-hinted hash-keyed self-join and pair aggregate as the exact
+    report."""
+    d = _winnow_selected(
+        docs,
+        k,
+        w,
+        id_col,
+        text_col,
+        [F.coalesce(F.col(group_col), F.lit("")).alias("src")],
+    )
+    sg = (
+        d.select("src", F.explode("fp_keys").alias("key"))
+        .select("src", F.shiftright("key", _WINNOW_POS_BITS).alias("h"))
+        .distinct()
+    )
+    totals = sg.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
+    a = sg.select(F.col("src").alias("src_a"), "h")
+    b = sg.select(F.col("src").alias("src_b"), "h")
+    shared = (
+        # merge hint: same rationale as source_overlap_matrix — both
+        # sides are corpus-derived, broadcast is never right at scale
+        a.hint("merge")
+        .join(b.hint("merge"), "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    ta = totals.select(F.col("src").alias("src_a"), F.col("n_fp").alias("n_a"))
+    tb = totals.select(F.col("src").alias("src_b"), F.col("n_fp").alias("n_b"))
+    j = shared.join(ta, "src_a").join(tb, "src_b")
+    return j.select(
+        "src_a",
+        "src_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_shared") / F.col("n_a"), 6).alias("containment_a"),
+        F.round(F.col("n_shared") / F.col("n_b"), 6).alias("containment_b"),
+        F.round(
+            F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6
+        ).alias("jaccard"),
+    )

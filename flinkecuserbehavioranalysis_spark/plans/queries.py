@@ -11290,3 +11290,94 @@ FROM __s
 )
 def corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heaps_law_fit(load_table(spark, sf_dir, "documents"))
+
+
+# --- round-11 wave: winnowing fingerprints (Schleimer/MOSS) -----------
+
+from ..operators.dedup import winnow_fingerprints, winnow_source_matches  # noqa: E402
+
+
+def _winnow_sel_ctes(k: int, w: int, with_src: bool) -> str:
+    """Shared DuckDB CTE chain mirroring operators/dedup._winnow_selected:
+    identical gram hash (md5-prefix idiom), identical key encoding
+    (hash·2^20 + (2^20−1−i), rightmost-tie-by-construction), identical
+    window minima over the key list — the final CTE ``__s`` carries
+    (doc_id[, src], n_grams, sel)."""
+    src_sel = "coalesce(source, '') AS src, " if with_src else ""
+    src_keep = "src, " if with_src else ""
+    cap = (1 << 20) - 1
+    return f"""
+__w AS (
+  SELECT doc_id, {src_sel}list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents WHERE text IS NOT NULL),
+__d AS (
+  SELECT doc_id, {src_keep}ws,
+         least(CAST(len(ws) - {k} + 1 AS BIGINT), {cap}) AS n_grams
+  FROM __w WHERE len(ws) >= {k}),
+__k AS (
+  SELECT doc_id, {src_keep}n_grams,
+         list_transform(range(1, CAST(n_grams AS INT) + 1),
+           i -> CAST(('0x' || substring(md5(array_to_string(ws[i:i+{k - 1}], ' ')), 1, 8))::UBIGINT AS BIGINT)
+                * {1 << 20} + ({cap} - i)) AS keys
+  FROM __d),
+__s AS (
+  SELECT doc_id, {src_keep}n_grams,
+         list_distinct(list_transform(
+           range(1, CAST(greatest(1, n_grams - {w} + 1) AS INT) + 1),
+           j -> list_min(keys[j:j+{w - 1}]))) AS sel
+  FROM __k)"""
+
+
+@_q(
+    "docs_winnow_fingerprints",
+    f"""
+WITH {_winnow_sel_ctes(4, 4, False)}
+SELECT doc_id, n_grams,
+       CAST(len(sel) AS BIGINT) AS n_fingerprints,
+       round(CAST(len(sel) AS DOUBLE) / n_grams, 6) AS fp_density
+FROM __s
+""",
+    "Extension (round 11, contamination/plagiarism forensics): per-document winnowing "
+    "fingerprint report (Schleimer, Schwartz & Aiken 2003 — the MOSS local "
+    "fingerprinting): hash every 4-word gram (cross-engine md5-prefix idiom), slide a "
+    "4-window over the hash stream, record each window's minimum with the rightmost "
+    "tie rule (one BIGINT min over key = hash*2^20 + (2^20-1-pos)), distinct the "
+    "records.  Density ~2/(w+1) on natural text; drift is a repetition alarm.  The "
+    "ENTIRE selection is per-row higher-order-function arithmetic — map-only, zero "
+    "shuffles in the plan (operators/dedup.winnow_fingerprints).",
+)
+def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "corpus_winnow_matches",
+    f"""
+WITH {_winnow_sel_ctes(4, 4, True)},
+__sg AS (SELECT DISTINCT src, fp // {1 << 20} AS h
+         FROM (SELECT src, unnest(sel) AS fp FROM __s)),
+__t AS (SELECT src, CAST(count(*) AS BIGINT) AS n_fp FROM __sg GROUP BY 1),
+__p AS (SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+        FROM __sg a JOIN __sg b ON a.h = b.h AND a.src < b.src
+        GROUP BY 1, 2)
+SELECT p.src_a, p.src_b, p.n_shared,
+       ta.n_fp AS n_a, tb.n_fp AS n_b,
+       round(CAST(p.n_shared AS DOUBLE) / ta.n_fp, 6) AS containment_a,
+       round(CAST(p.n_shared AS DOUBLE) / tb.n_fp, 6) AS containment_b,
+       round(CAST(p.n_shared AS DOUBLE) / (ta.n_fp + tb.n_fp - p.n_shared), 6) AS jaccard
+FROM __p p
+JOIN __t ta ON p.src_a = ta.src
+JOIN __t tb ON p.src_b = tb.src
+""",
+    "Extension (round 11, corpus forensics at scale): pairwise shared-WINNOWED-"
+    "fingerprint report between sources — the guarantee-preserving scale path to "
+    "corpus_source_overlap: any shared run of >= w+k-1 = 7 words between two sources "
+    "shares at least one selected fingerprint (Schleimer et al. 2003, Thm 1), at an "
+    "expected 2/(w+1) = 40% of the distinct-gram universe, with the SAME report "
+    "columns — so mirrors cannot hide from the sampled report the way they can from "
+    "a high-df gram cap.  Map-only selection, one explode + one (source, hash) "
+    "distinct, then the merge-hinted hash-keyed pair join "
+    "(operators/dedup.winnow_source_matches).",
+)
+def corpus_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_source_matches(load_table(spark, sf_dir, "documents"))

@@ -532,6 +532,61 @@ def test_source_overlap_matrix_max_sources_per_gram_cap(spark):
     assert (ab.n_shared, ab.n_a, ab.n_b, ab.jaccard) == (1, 1, 1, 1.0)
 
 
+def _py_winnow_keys(text, k=4, w=4):
+    # reference model mirroring operators/dedup._winnow_selected
+    import hashlib
+
+    ws = [t for t in text.split(" ") if t != ""]
+    m = len(ws) - k + 1
+    if m < 1:
+        return 0, set()
+    keys = []
+    for i in range(1, m + 1):
+        g = " ".join(ws[i - 1 : i - 1 + k])
+        h = int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+        keys.append(h * (1 << 20) + ((1 << 20) - 1 - i))
+    sel = {min(keys[j - 1 : j - 1 + w]) for j in range(1, max(1, m - w + 1) + 1)}
+    return m, sel
+
+
+def test_winnow_fingerprints_matches_python_model(spark):
+    from flinkecuserbehavioranalysis_spark.operators.dedup import winnow_fingerprints
+
+    texts = [
+        "a b c d e f g h i j",
+        "one two three four",            # exactly k words -> one gram
+        "x x x x x x x x",               # all-identical grams
+        "p q r s t u",                   # m=3 < w: single clipped window
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in winnow_fingerprints(docs).collect()}
+    for i, t in enumerate(texts):
+        m, sel = _py_winnow_keys(t)
+        assert (got[i].n_grams, got[i].n_fingerprints) == (m, len(sel)), t
+
+
+def test_winnow_guarantee_shared_run_always_matches(spark):
+    # Schleimer Thm 1: any shared run of >= w+k-1 = 7 words surfaces at
+    # least one shared fingerprint, REGARDLESS of offset — the property
+    # a uniform gram sample does not have
+    from flinkecuserbehavioranalysis_spark.operators.dedup import winnow_source_matches
+
+    run = "alpha beta gamma delta epsilon zeta eta"  # 7 shared words
+    docs = spark.createDataFrame(
+        [
+            (1, "A", "lead1 lead2 " + run + " tailA1 tailA2"),
+            (2, "B", "x1 x2 x3 x4 x5 " + run),      # different offset
+            (3, "C", "c1 c2 c3 c4 c5 c6 c7 c8"),    # disjoint
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {(r.src_a, r.src_b): r for r in winnow_source_matches(docs).collect()}
+    assert ("A", "B") in out and out[("A", "B")].n_shared >= 1
+    assert all("C" not in pair for pair in out)
+
+
 def test_stratified_quota_largest_remainder_exact_total(spark):
     from flinkecuserbehavioranalysis_spark.operators.sampling import stratified_quota
 

@@ -145,6 +145,18 @@ def test_map_only_text_ops_have_zero_exchange(spark):
         assert "Exchange" not in plan, f"{name} gained a shuffle:\n{plan}"
 
 
+def test_winnow_fingerprints_is_map_only_with_generate_barrier(spark):
+    """docs_winnow_fingerprints claims a ZERO-shuffle plan AND linear
+    per-document cost.  The linearity depends on the explode(array(...))
+    Generate node pinning the key array to one evaluation per row —
+    without it CollapseProject inlines the m-element hash transform into
+    the per-window lambda (O(m²·k) md5 calls, measured as a timeout at
+    2 000 grams).  Pin both properties."""
+    plan = _explain(spark, "docs_winnow_fingerprints")
+    assert "Exchange" not in plan, f"winnow gained a shuffle:\n{plan}"
+    assert "Generate" in plan, f"the materialization barrier vanished:\n{plan}"
+
+
 def test_decontaminate_broadcasts_benchmark(spark):
     """The benchmark shingle set must broadcast (never shuffle the
     corpus gram stream against it), and the only SortMergeJoin allowed
