@@ -90,6 +90,7 @@ _DEFER_PAST_R11 = {
     "token_kn_perplexity_wide",
     "docs_winnow_fingerprints",
     "corpus_winnow_matches",
+    "dedup_kcore_members",
 }
 
 

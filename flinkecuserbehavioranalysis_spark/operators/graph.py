@@ -185,3 +185,62 @@ def triangle_stats(
             ).alias("global_clustering"),
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    rounds: int = 4,
+) -> DataFrame:
+    """Iterative k-core peeling over an UNDIRECTED edge set, *rounds*
+    synchronous peels (fixed-round semantics, like ``pagerank``'s fixed
+    3 — each peel drops every node whose current degree is below *k*
+    together with its edges, so a SQL oracle can replay every round).
+
+    Use case in a data pipeline: the 2-core of the near-dup pair graph
+    separates DENSE template families (every member similar to every
+    other — boilerplate factories, mirror rings) from transitive
+    CHAINS (A~B~C where A and C are not acutally alike): chains and
+    pendant trees peel away, cores survive.  Cluster-size histograms
+    cannot make that distinction; the core degree ranks how deep in
+    the template family a document sits.
+
+    Returns (id, core_degree): the nodes that still meet the degree
+    bar after *rounds* peels, with their degree in the peeled subgraph.
+    On a graph whose peeling converges within *rounds* (every LSH
+    cluster is diameter-bounded; a chain of length 2·rounds is the
+    adversarial case) this IS the k-core.
+
+    EAGER BY CONTRACT, like ``duplicate_components``: each round's edge
+    set references the previous round TWICE (degree + filter), so a
+    lazy unroll doubles the logical plan per round — on an LSH-pipeline
+    edge source the 2^rounds plan copies overflow the driver heap just
+    PRINTING the tree (measured).  Per-round ``localCheckpoint``
+    (eager) keeps the lineage flat, exactly the discipline
+    duplicate_components documents; each checkpoint materializes only
+    the edge-sized peeled relation.
+
+    Scale shape: each peel is one degree aggregation plus two
+    node-keyed semi-joins — edge-sized shuffles, node-sized build
+    sides; rounds are fixed, so total cost is rounds·O(E)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = (
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("__deg"))
+        keep = deg.where(F.col("__deg") >= k).select("s")
+        e = (
+            e.join(keep, "s")
+            .join(keep.select(F.col("s").alias("d")), "d")
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+    final_deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    return final_deg.where(F.col("core_degree") >= k).select(
+        F.col("s").alias("id"), "core_degree"
+    )

@@ -11381,3 +11381,59 @@ JOIN __t tb ON p.src_b = tb.src
 )
 def corpus_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_source_matches(load_table(spark, sf_dir, "documents"))
+
+
+# --- round-11: k-core of the near-dup graph ---------------------------
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 4) -> str:
+    """DuckDB twin of operators/graph.kcore over the shared LSH pair
+    set: the same symmetrize-distinct edge build, then each peel round
+    unrolled as (degree, keep, filtered-edges) CTEs — exact integer
+    arithmetic end to end, so every round replays identically."""
+    # every __e{i} is referenced twice per round (degree + filter) and
+    # __pairs twice by the symmetrize UNION: without MATERIALIZED,
+    # DuckDB inlines CTEs and re-executes the LSH pipeline 2^rounds
+    # times (measured: 144 s vs 1 s at sf0.01)
+    ctes = ""
+    for i in range(rounds):
+        ctes += f"""__d{i} AS (SELECT s, count(*) AS deg FROM __e{i} GROUP BY s),
+__k{i} AS (SELECT s FROM __d{i} WHERE deg >= {k}),
+__e{i + 1} AS MATERIALIZED (SELECT e.s, e.d FROM __e{i} e
+               JOIN __k{i} a ON e.s = a.s JOIN __k{i} b ON e.d = b.s),
+"""
+    return f"""
+WITH __pairs AS MATERIALIZED ({_lsh_verified_oracle(0.5)}),
+__e0 AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM __pairs
+         UNION SELECT doc_b, doc_a FROM __pairs),
+{ctes}__fin AS (SELECT s AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+        FROM __e{rounds} GROUP BY s HAVING count(*) >= {k})
+SELECT doc_id, core_degree FROM __fin
+"""
+
+
+@_q(
+    "dedup_kcore_members",
+    _kcore_oracle(2, 4),
+    "Extension (round 11, iterative graph algorithm #3): 2-core of the MinHash-LSH "
+    "verified near-dup graph, 4 synchronous peels unrolled (fixed-round semantics "
+    "like dedup_pagerank's 3) — each peel drops nodes whose degree fell below 2 "
+    "along with their edges.  The 2-core separates DENSE template families (mirror "
+    "rings, boilerplate factories — every member similar to every other) from "
+    "transitive near-dup CHAINS that peel away; core degree ranks how deep in the "
+    "family a document sits, a distinction cluster-size histograms cannot make.  "
+    "Each round is one degree aggregation + two node-keyed semi-joins, per-round "
+    "relations pinned in the session frame cache (operators/graph.kcore).  Reuses "
+    "the session-shared pair set.",
+)
+def dedup_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore
+
+    def build() -> DataFrame:
+        # eager by contract (per-round localCheckpoint) — memoized per
+        # (session, sf_dir) so repeated calls don't re-run the peel
+        return kcore(
+            _doc_lsh_pairs(spark, sf_dir), "doc_a", "doc_b", k=2, rounds=4
+        ).select(F.col("id").alias("doc_id"), "core_degree")
+
+    return _cached_canon(spark, sf_dir, "dedup_kcore_members", build)

@@ -343,6 +343,27 @@ def test_pagerank_path_graph(spark):
     assert out == again
 
 
+def test_kcore_peels_chains_keeps_dense_cores(spark):
+    """2-core semantics on a hand graph: a 5-node chain peels away
+    entirely, a triangle survives with degree 2 everywhere, a K4
+    survives with degree 3 — and a pendant hanging off the triangle is
+    removed while the triangle stays (the chain/core distinction the
+    operator exists for).  Deterministic across runs."""
+    from flinkecuserbehavioranalysis_spark.operators.graph import kcore
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),       # chain
+        ("x", "y"), ("y", "z"), ("z", "x"), ("x", "w"),        # triangle+pendant
+        ("p", "q"), ("p", "r"), ("p", "t"),
+        ("q", "r"), ("q", "t"), ("r", "t"),                    # K4
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.id: r.core_degree for r in kcore(df, k=2, rounds=4).collect()}
+    assert out == {"x": 2, "y": 2, "z": 2, "p": 3, "q": 3, "r": 3, "t": 3}
+    again = {r.id: r.core_degree for r in kcore(df, k=2, rounds=4).collect()}
+    assert out == again
+
+
 def test_pattern_alternation_via_or_predicate(spark):
     """CEP alternation ((view|click) then purchase) needs no new
     operator — a predicate disjunction on the first step IS flink-cep's
