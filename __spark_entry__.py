@@ -91,6 +91,7 @@ _DEFER_PAST_R11 = {
     "docs_winnow_fingerprints",
     "corpus_winnow_matches",
     "dedup_kcore_members",
+    "streaming_winnow_dedup_replay",
 }
 
 

@@ -11297,7 +11297,7 @@ def corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators.dedup import winnow_fingerprints, winnow_source_matches  # noqa: E402
 
 
-def _winnow_sel_ctes(k: int, w: int, with_src: bool) -> str:
+def _winnow_sel_ctes(k: int, w: int, with_src: bool, extra_where: str = "") -> str:
     """Shared DuckDB CTE chain mirroring operators/dedup._winnow_selected:
     identical gram hash (md5-prefix idiom), identical key encoding
     (hash·2^20 + (2^20−1−i), rightmost-tie-by-construction), identical
@@ -11309,7 +11309,7 @@ def _winnow_sel_ctes(k: int, w: int, with_src: bool) -> str:
     return f"""
 __w AS (
   SELECT doc_id, {src_sel}list_filter(string_split(text, ' '), x -> x <> '') AS ws
-  FROM documents WHERE text IS NOT NULL),
+  FROM documents WHERE text IS NOT NULL{extra_where}),
 __d AS (
   SELECT doc_id, {src_keep}ws,
          least(CAST(len(ws) - {k} + 1 AS BIGINT), {cap}) AS n_grams
@@ -11437,3 +11437,49 @@ def dedup_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.col("id").alias("doc_id"), "core_degree")
 
     return _cached_canon(spark, sf_dir, "dedup_kcore_members", build)
+
+
+@_q(
+    "streaming_winnow_dedup_replay",
+    f"""
+WITH {_winnow_sel_ctes(4, 4, False, extra_where=" AND doc_id IS NOT NULL")}
+SELECT DISTINCT fp // {1 << 20} AS h
+FROM (SELECT unnest(sel) AS fp FROM __s)
+""",
+    "Extension (round 11): streaming twin of the winnowing ingest guard — bounded "
+    "availableNow replay of crawl-ingest FINGERPRINT dedup: the map-side winnowing "
+    "selection (operators/dedup._winnow_selected — higher-order functions work "
+    "unchanged inside a streaming plan, including the Generate barrier), one explode "
+    "to per-fingerprint rows, then dropDuplicatesWithinWatermark on the 32-bit "
+    "fingerprint hash, so ingest state holds one entry per DISTINCT fingerprint "
+    "inside the horizon and evicts past it — the content-level first-seen filter a "
+    "crawl pipeline runs next to the URL-level one (streaming_url_dedup_replay).  "
+    "Event time synthesized deterministically from doc_id (FIXTURES.md surrogate "
+    "convention); horizon (90 d) wider than the synthetic span, so no key re-emits "
+    "and the emitted set IS the batch distinct winnowed-fingerprint set; survivor "
+    "rows are arrival-order-dependent, so only the hash is projected (the "
+    "streaming_dedup_replay discipline).",
+)
+def streaming_winnow_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _WINNOW_POS_BITS, _winnow_selected
+    from ..streaming.jobs import read_events_stream, run_bounded_df, streaming_dedup
+
+    def build() -> DataFrame:
+        stream = (
+            read_events_stream(spark, sf_dir, "documents")
+            .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+            .select(
+                "doc_id",
+                "text",
+                F.timestamp_seconds(F.col("doc_id") + 1).alias("ts"),
+            )
+        )
+        fp = _winnow_selected(stream, 4, 4, "doc_id", "text", ["doc_id", "ts"])
+        fp = fp.select(
+            "ts", F.explode("fp_keys").alias("key")
+        ).select("ts", F.shiftright("key", _WINNOW_POS_BITS).alias("h"))
+        return run_bounded_df(
+            streaming_dedup(fp, ["h"], watermark="90 days")
+        ).select("h")
+
+    return _cached_canon(spark, sf_dir, "streaming_winnow_dedup_replay", build)

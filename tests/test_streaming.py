@@ -181,6 +181,49 @@ def test_streaming_session_stats_null_vs_empty_type_tie(spark, tmp_path):
     assert got == [("A", 1000, 1000, "", 2, 0)]
 
 
+def test_streaming_winnow_dedup_emits_each_fingerprint_once(spark, tmp_path):
+    """The winnowing HOF selection runs unchanged inside a streaming
+    plan; dropDuplicatesWithinWatermark on the fingerprint hash emits
+    each distinct hash exactly once inside the horizon — two documents
+    sharing a run therefore contribute the run's fingerprints once."""
+    import os
+
+    from flinkecuserbehavioranalysis_spark.operators.dedup import (
+        _WINNOW_POS_BITS,
+        _winnow_selected,
+    )
+    from flinkecuserbehavioranalysis_spark.streaming.jobs import streaming_dedup
+
+    run = "alpha beta gamma delta epsilon zeta eta"
+    rows = [(1, "x1 x2 " + run), (2, run + " y1 y2"), (3, "q1 q2 q3 q4 q5 q6 q7")]
+    src = str(tmp_path / "winnow_sf")
+    spark.createDataFrame(rows, "doc_id long, text string").repartition(2).write.parquet(
+        os.path.join(src, "documents.parquet")
+    )
+    stream = (
+        read_events_stream(spark, src, "documents")
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", "text", F.timestamp_seconds(F.col("doc_id") + 1).alias("ts"))
+    )
+    fp = _winnow_selected(stream, 4, 4, "doc_id", "text", ["doc_id", "ts"])
+    fp = fp.select("ts", F.explode("fp_keys").alias("key")).select(
+        "ts", F.shiftright("key", _WINNOW_POS_BITS).alias("h")
+    )
+    got = sorted(r.h for r in run_bounded(streaming_dedup(fp, ["h"], watermark="90 days")))
+    # batch truth: distinct hashes over all three docs
+    batch = _winnow_selected(
+        spark.createDataFrame(rows, "doc_id long, text string"), 4, 4, "doc_id", "text", ["doc_id"]
+    )
+    want = sorted(
+        r.h
+        for r in batch.select(F.explode("fp_keys").alias("k"))
+        .select(F.shiftright("k", _WINNOW_POS_BITS).alias("h"))
+        .distinct()
+        .collect()
+    )
+    assert got == want and len(got) == len(set(got))
+
+
 def test_streaming_topn_foreach_batch(spark):
     stream = read_events_stream(spark, SF_DIR).filter(F.col("event_type") == "view")
     stream = stream.withColumn("item_id", F.pmod("event_id", F.lit(50)))
