@@ -92,6 +92,7 @@ _DEFER_PAST_R11 = {
     "corpus_winnow_matches",
     "dedup_kcore_members",
     "streaming_winnow_dedup_replay",
+    "corpus_source_js",
 }
 
 

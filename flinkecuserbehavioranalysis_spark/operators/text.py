@@ -1218,6 +1218,106 @@ def source_unigram_kl(
     )
 
 
+def source_unigram_js(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source Jensen-Shannon divergence from the corpus unigram
+    mix, in exact Q12 bits — the SYMMETRIC, BOUNDED ([0,1] with log2)
+    companion to ``source_unigram_kl``: JS is the divergence curators
+    actually threshold on, because it never explodes on disjoint
+    support and needs NO smoothing (the 0·lg 0 = 0 convention is part
+    of its definition).
+
+    Model: P_s(w) = c_sw/n_s, Q(w) = c_w/N (unsmoothed), M = (P+Q)/2,
+    JS = ½KL(P‖M) + ½KL(Q‖M).  Both KL halves ride the PRESENT
+    (source, word) relation alone:
+      lg P − lg M = lg c_sw + lg 2N  − lg(c_sw·N + c_w·n_s)
+      lg Q − lg M = lg c_w  + lg 2n_s − lg(c_sw·N + c_w·n_s)
+    and for words ABSENT from the source M = Q/2 exactly, so that
+    side's tail is the closed form (N − m_s)/N with m_s = Σ_present
+    c_w — the |V|×|sources| cross product never materializes (the KL
+    discipline).  The mid numerator c_sw·N + c_w·n_s reaches 2^90 on a
+    large corpus, so its log2 runs through the DECIMAL(38) WIDE chain
+    (functions/fixedpoint, round-10 verdict #4) — this operator is the
+    wide path's second production consumer.  Q12 sums are int64-exact
+    while N < 2^43 tokens (stated per the family convention); ONE
+    deterministic double combination at the end.
+
+    Shape: one (source, word) count shuffle; corpus counts derive from
+    it word-keyed; the three log2 chains run on the present relation;
+    N and lg(2N) are broadcast scalars.  Never a token-stream rescan —
+    the (source, word) relation is PINNED in the session frame cache
+    (it feeds the corpus marginal, the per-source marginal, the mid
+    join, and the final report join; without the pin the corpus-scale
+    explode+count re-executes once per reference — the
+    _remapped_doc_bigrams discipline; pin size = the model relation,
+    Σ_s |V_s| rows)."""
+    from .. import cache as _frame_cache
+    from ..functions.fixedpoint import ONE_Q12, with_log2_q12
+
+    words = docs.where(F.col(text_col).isNotNull()).select(
+        F.coalesce(F.col(group_col), F.lit("")).alias("src"),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda w: w != "")).alias("w"),
+    )
+    sw = words.groupBy("src", "w").agg(F.count(F.lit(1)).cast("long").alias("c_sw"))
+    app = docs.sparkSession.sparkContext.applicationId
+    sw = _frame_cache.pin(
+        (app, "source_js_sw", sw.semanticHash()), lambda d=sw: d.persist()
+    )
+    cw = sw.groupBy("w").agg(F.sum("c_sw").cast("long").alias("c_w"))
+    tot = cw.agg(F.sum("c_w").cast("long").alias("n_total"))
+    tot = with_log2_q12(tot.withColumn("n2", 2 * F.col("n_total")), "n2", "lg_2n")
+    ns = sw.groupBy("src").agg(
+        F.sum("c_sw").cast("long").alias("n_s"),
+        F.count(F.lit(1)).cast("long").alias("v_s"),
+    )
+    ns = with_log2_q12(ns.withColumn("ns2", 2 * F.col("n_s")), "ns2", "lg_2ns")
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    rel = (
+        sw.join(cw, "w")
+        .join(ns.select("src", "n_s"), "src")
+        .crossJoin(F.broadcast(tot.select("n_total")))
+        .withColumn(
+            "mid",
+            (d19("c_sw") * d19("n_total") + d19("c_w") * d19("n_s")).cast(
+                "decimal(38,0)"
+            ),
+        )
+    )
+    rel = with_log2_q12(rel, "c_sw", "lg_p")
+    rel = with_log2_q12(rel, "c_w", "lg_q")
+    rel = with_log2_q12(rel, "mid", "lg_mid", wide=True)
+    agg = rel.groupBy("src").agg(
+        F.sum(F.col("c_sw") * (F.col("lg_p") - F.col("lg_mid")))
+        .cast("long")
+        .alias("a_p"),
+        F.sum(F.col("c_w") * (F.col("lg_q") - F.col("lg_mid")))
+        .cast("long")
+        .alias("a_q"),
+        F.sum("c_w").cast("long").alias("m_s"),
+    )
+    out = (
+        agg.join(ns.select("src", "n_s", "v_s", "lg_2ns"), "src")
+        .crossJoin(F.broadcast(tot.select("n_total", "lg_2n")))
+    )
+    kl_p = (F.col("a_p") + F.col("n_s") * F.col("lg_2n")).cast("double") / F.col("n_s")
+    kl_q = (F.col("a_q") + F.col("m_s") * F.col("lg_2ns")).cast("double") / F.col(
+        "n_total"
+    )
+    js = (
+        (kl_p + kl_q) / F.lit(float(ONE_Q12))
+        + (F.col("n_total") - F.col("m_s")).cast("double") / F.col("n_total")
+    ) * F.lit(0.5)
+    return out.select(
+        F.col("src").alias("source"),
+        F.col("n_s").alias("n_tokens"),
+        F.col("v_s").alias("n_types"),
+        F.round(js, 6).alias("js_bits"),
+    )
+
+
 def source_vocab_mi(
     docs: DataFrame,
     group_col: str = "source",

@@ -11483,3 +11483,74 @@ def streaming_winnow_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         ).select("h")
 
     return _cached_canon(spark, sf_dir, "streaming_winnow_dedup_replay", build)
+
+
+# --- round-11: Jensen-Shannon divergence (wide-chain consumer #2) -----
+
+from ..operators.text import source_unigram_js  # noqa: E402
+
+
+def _source_js_oracle() -> str:
+    """DuckDB twin of source_unigram_js: identical present-relation
+    algebra; the mid numerator c_sw·N + c_w·n_s runs in HUGEINT through
+    the WIDE Q12 chain, mirroring the Spark DECIMAL(38) path."""
+    from ..functions.fixedpoint import ONE_Q12, log2_q12_sql_ctes
+
+    keep0 = ["src", "c_sw", "c_w", "n_s", "mid"]
+    p_chain = log2_q12_sql_ctes("__rel0", keep0, "c_sw", "lg_p", "__jp")
+    q_chain = log2_q12_sql_ctes("__jpf", keep0 + ["lg_p"], "c_w", "lg_q", "__jq")
+    m_chain = log2_q12_sql_ctes(
+        "__jqf", keep0 + ["lg_p", "lg_q"], "mid", "lg_mid", "__jm", wide=True
+    )
+    return f"""
+WITH __wd AS (
+  SELECT coalesce(source, '') AS src,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents WHERE text IS NOT NULL),
+__sw AS (SELECT src, w, CAST(count(*) AS BIGINT) AS c_sw FROM __wd GROUP BY 1, 2),
+__cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM __sw GROUP BY 1),
+__tot0 AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_total,
+                  CAST(2 * sum(c_w) AS BIGINT) AS n2 FROM __cw),
+{log2_q12_sql_ctes("__tot0", ["n_total"], "n2", "lg_2n", "__jt")},
+__ns0 AS (SELECT src, CAST(sum(c_sw) AS BIGINT) AS n_s,
+                 CAST(count(*) AS BIGINT) AS v_s,
+                 CAST(2 * sum(c_sw) AS BIGINT) AS ns2 FROM __sw GROUP BY 1),
+{log2_q12_sql_ctes("__ns0", ["src", "n_s", "v_s"], "ns2", "lg_2ns", "__jn")},
+__rel0 AS (SELECT s.src, s.c_sw, c.c_w, n.n_s,
+                  CAST(s.c_sw AS HUGEINT) * t.n_total
+                  + CAST(c.c_w AS HUGEINT) * n.n_s AS mid
+           FROM __sw s JOIN __cw c USING (w) JOIN __jnf n USING (src)
+           CROSS JOIN __jtf t),
+{p_chain},
+{q_chain},
+{m_chain},
+__agg AS (SELECT src,
+                 CAST(sum(c_sw * (lg_p - lg_mid)) AS BIGINT) AS a_p,
+                 CAST(sum(c_w * (lg_q - lg_mid)) AS BIGINT) AS a_q,
+                 CAST(sum(c_w) AS BIGINT) AS m_s
+          FROM __jmf GROUP BY src)
+SELECT n.src AS source, n.n_s AS n_tokens, n.v_s AS n_types,
+       round(((CAST(a.a_p + n.n_s * t.lg_2n AS DOUBLE) / n.n_s
+               + CAST(a.a_q + a.m_s * n.lg_2ns AS DOUBLE) / t.n_total)
+              / {float(ONE_Q12)!r}
+              + CAST(t.n_total - a.m_s AS DOUBLE) / t.n_total) * 0.5, 6) AS js_bits
+FROM __agg a JOIN __jnf n USING (src) CROSS JOIN __jtf t
+"""
+
+
+@_q(
+    "corpus_source_js",
+    _source_js_oracle(),
+    "Extension (round 11, information-theoretic suite): per-source Jensen-Shannon "
+    "divergence from the corpus mix in exact Q12 bits — the symmetric, bounded "
+    "([0,1] with log2) companion to corpus_source_kl; JS needs no smoothing (0*lg0=0 "
+    "is part of its definition), so both KL halves ride the PRESENT (source, word) "
+    "relation and the absent-mass tail is the closed form (N - m_s)/N (M = Q/2 "
+    "there).  The mid numerator c_sw*N + c_w*n_s reaches 2^90 on a web corpus, so "
+    "its log2 runs the DECIMAL(38)/HUGEINT WIDE chain — the wide path's second "
+    "production consumer, int64-exact sums while N < 2^43 tokens.  One (source, "
+    "word) count shuffle; chains on the present relation; broadcast scalars "
+    "(operators/text.source_unigram_js).",
+)
+def corpus_source_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_unigram_js(load_table(spark, sf_dir, "documents"))

@@ -532,6 +532,52 @@ def test_source_overlap_matrix_max_sources_per_gram_cap(spark):
     assert (ab.n_shared, ab.n_a, ab.n_b, ab.jaccard) == (1, 1, 1, 1.0)
 
 
+def test_source_unigram_js_matches_hand_model(spark):
+    # JS from the corpus mix, computed independently with the Q12 model:
+    # identical sums, identical double-combination order
+    from flinkecuserbehavioranalysis_spark.operators.text import source_unigram_js
+
+    corpora = {"A": "a a b c".split(), "B": "a d d".split()}
+    docs = spark.createDataFrame(
+        [(i, s, " ".join(toks)) for i, (s, toks) in enumerate(corpora.items())],
+        "doc_id long, source string, text string",
+    )
+    from collections import Counter
+
+    cw = Counter()
+    sw = {}
+    for s, toks in corpora.items():
+        sw[s] = Counter(toks)
+        cw.update(toks)
+    n_tot = sum(cw.values())
+    lg = log2_q12_py
+
+    def py_js(c):
+        n_s = sum(c.values())
+        a_p = sum(k * (lg(k) - lg(k * n_tot + cw[w] * n_s)) for w, k in c.items())
+        a_q = sum(
+            cw[w] * (lg(cw[w]) - lg(k * n_tot + cw[w] * n_s)) for w, k in c.items()
+        )
+        m_s = sum(cw[w] for w in c)
+        kl_p = (a_p + n_s * lg(2 * n_tot)) / n_s
+        kl_q = (a_q + m_s * lg(2 * n_s)) / n_tot
+        return round(((kl_p + kl_q) / float(ONE_Q12) + (n_tot - m_s) / n_tot) * 0.5, 6)
+
+    out = {r.source: r for r in source_unigram_js(docs).collect()}
+    for s, c in sw.items():
+        assert out[s].js_bits == py_js(c), s
+        assert 0.0 <= out[s].js_bits <= 1.001
+    # identical corpora diverge less than disjoint ones
+    same = {"A": "x y z".split(), "B": "x y z".split()}
+    d2 = spark.createDataFrame(
+        [(i, s, " ".join(t)) for i, (s, t) in enumerate(same.items())],
+        "doc_id long, source string, text string",
+    )
+    js_same = {r.source: r.js_bits for r in source_unigram_js(d2).collect()}
+    assert all(v <= 0.001 for v in js_same.values())
+    assert out["B"].js_bits > 0.05
+
+
 def _py_winnow_keys(text, k=4, w=4):
     # reference model mirroring operators/dedup._winnow_selected
     import hashlib
