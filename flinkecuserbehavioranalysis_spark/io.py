@@ -35,11 +35,34 @@ _NANO_TS_COLS = {
 }
 
 
+#: Reader-PLAN memo: (applicationId, path, mtime_ns, size) → DataFrame.
+#: ``spark.read.parquet`` re-lists the file and re-reads the footer
+#: schema on every call (~80 ms measured) and the registry calls
+#: load_table 1–5× per query — ~45 s of pure driver-side re-listing per
+#: full bench sweep (round-11 optimization).  This memoizes the LOGICAL
+#: PLAN only — DataFrames are immutable plan handles, no data is cached
+#: and every action still scans the parquet; the mtime/size key makes a
+#: rewritten file a fresh entry, and the applicationId key makes a
+#: fresh driver process start clean.  FIFO-capped: entries are plan
+#: references, the cap only guards a pathological many-sf_dir session.
+_TABLE_PLAN_MEMO: dict[tuple, DataFrame] = {}
+_TABLE_PLAN_MEMO_CAP = 256
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one driver testdata table (S1 analog)."""
     apply_runtime_confs(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key: tuple | None
+    try:
+        st = os.stat(path)
+        key = (spark.sparkContext.applicationId, path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None  # globs / non-local paths: fall through, no memo
+    if key is not None and key in _TABLE_PLAN_MEMO:
+        return _TABLE_PLAN_MEMO[key]
+    df = spark.read.parquet(path)
     for c, t in df.dtypes:
         if c in _NANO_TS_COLS.get(name, ()) and t == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
@@ -48,6 +71,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # to UTC); normalize to TimestampType so downstream epoch math
             # (cast to long/double) is legal and engine-consistent
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    if key is not None:
+        while len(_TABLE_PLAN_MEMO) >= _TABLE_PLAN_MEMO_CAP:
+            _TABLE_PLAN_MEMO.pop(next(iter(_TABLE_PLAN_MEMO)))
+        _TABLE_PLAN_MEMO[key] = df
     return df
 
 

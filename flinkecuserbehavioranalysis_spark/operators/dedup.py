@@ -29,18 +29,32 @@ from pyspark.sql import functions as F
 _HEX_ODD = ("1", "3", "5", "7", "9", "b", "d", "f")
 
 
-def _shingle_expr(text_col: str, n: int) -> str:
+def _shingle_expr(text_col: str, n: int, pre_split: bool = False) -> str:
     """Word n-gram shingles as a SQL expression (empty array if < n words).
+
+    ``pre_split=True`` treats *text_col* as an ALREADY-SPLIT token-array
+    column.  Callers should project ``split(text, ' ')`` to a column
+    first and pass that: with the split inline, the ``slice`` inside the
+    transform lambda re-evaluates it once per POSITION per doc — O(n²)
+    tokenization (round-11 optimization; the repetition_stats lesson).
+    The inline form remains for single-use sites that never reach a
+    lambda.
 
     The DuckDB oracle uses the equivalent
     ``list_transform(range(1, len(ws)-(n-2)), i -> ws[i] || ' ' || ...)``.
     """
-    ws = f"split({text_col}, ' ')"
+    ws = text_col if pre_split else f"split({text_col}, ' ')"
     return (
         f"CASE WHEN size({ws}) >= {n} THEN "
         f"transform(sequence(0, size({ws}) - {n}), i -> concat_ws(' ', slice({ws}, i+1, {n}))) "
         f"ELSE array() END"
     )
+
+
+def _split_col(text_col: str):
+    """``split(text, ' ')`` as a Column — the pre-projection companion
+    to ``_shingle_expr(..., pre_split=True)``."""
+    return F.split(F.col(text_col), " ")
 
 
 def shingles(
@@ -54,7 +68,9 @@ def shingles(
     Jaccard.  *distinct* costs a shuffle; pass False for consumers that
     are duplicate-insensitive (min-hash: min over a multiset equals min
     over its set), keeping shingling map-side only."""
-    out = docs.select(F.col(id_col), F.explode(F.expr(_shingle_expr(text_col, n))).alias("sh"))
+    out = docs.select(F.col(id_col), _split_col(text_col).alias("__ws")).select(
+        F.col(id_col), F.explode(F.expr(_shingle_expr("__ws", n, pre_split=True))).alias("sh")
+    )
     return out.distinct() if distinct else out
 
 
@@ -634,19 +650,21 @@ def ngram_contamination(
     pitfall.  If the benchmark ever outgrows broadcast range, swap the
     broadcast join for a bloom-filter pre-filter plus a shuffle
     semi-join; the rest of the plan is unchanged."""
-    arr = F.array_distinct(F.expr(_shingle_expr(text_col, n)))
+    arr = F.array_distinct(F.expr(_shingle_expr("__ws", n, pre_split=True)))
     bench = (
-        benchmark.select(F.explode(F.array_distinct(F.expr(_shingle_expr(text_col, n)))).alias("sh"))
+        benchmark.select(_split_col(text_col).alias("__ws"))
+        .select(F.explode(F.array_distinct(F.expr(_shingle_expr("__ws", n, pre_split=True)))).alias("sh"))
         .distinct()
     )
+    corpus_ws = corpus.select(F.col(id_col), _split_col(text_col).alias("__ws"))
     hits = (
-        corpus.select(F.col(id_col), F.explode(arr).alias("sh"))
+        corpus_ws.select(F.col(id_col), F.explode(arr).alias("sh"))
         .join(F.broadcast(bench), "sh")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
     )
-    totals = corpus.select(F.col(id_col), F.size(arr).cast("long").alias("n_grams"))
+    totals = corpus_ws.select(F.col(id_col), F.size(arr).cast("long").alias("n_grams"))
     return hits.join(totals, id_col).select(
         F.col(id_col),
         "n_overlap",

@@ -472,17 +472,23 @@ def top_ngrams(
     once on the gram (map-side combined), and the cut is a
     TakeOrderedAndProject.  Docs shorter than *n* words contribute
     nothing (guarded — F.sequence would otherwise count DOWN for a
-    negative span).  Returns (gram, cnt) ranked desc, gram-tiebroken."""
+    negative span).  The token array is PROJECTED AS A COLUMN before the
+    per-position transform: an array expression referenced inside a
+    lambda re-evaluates per ELEMENT (the split ran once per POSITION
+    per doc — O(n²) tokenization, the repetition_stats lesson; the
+    projected column splits once per doc).  Returns (gram, cnt) ranked
+    desc, gram-tiebroken."""
     ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     grams = F.when(
-        F.size(ws) >= n,
+        F.size(F.col("ws")) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(ws, i, n), " "),
+            F.sequence(F.lit(1), F.size(F.col("ws")) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(F.col("ws"), i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.explode(grams).alias("gram"))
+        docs.select(ws.alias("ws"))
+        .select(F.explode(grams).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("gram").asc())
@@ -718,55 +724,77 @@ def _remapped_doc_bigrams(
     exceed the broadcast budget, and AQE picks broadcast when it fits."""
     from .. import cache as _frame_cache
 
-    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    nn = docs.where(F.col(text_col).isNotNull()).select(F.col(id_col), ws.alias("ws"))
-    d = nn.where(F.size("ws") >= 2)
-    bg = d.select(
-        F.col(id_col),
-        F.explode(
-            F.expr("transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS prev, ws[i] AS cur))")
-        ).alias("b"),
-    ).select(id_col, F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
-    doc_bg = bg.groupBy(id_col, "prev", "cur").agg(F.count(F.lit(1)).alias("k"))
+    # pin keys carry the INPUT plan's semantic hash (docs is a cheap
+    # scan-shaped plan) plus every parameter that shapes the result —
+    # hashing the OUTPUT plan meant rebuilding the whole bigram/remap
+    # graph on every cache HIT just to compute the key (measured
+    # ~0.35 s of driver time per warm perplexity query, round-11
+    # optimization); construction now happens inside the build lambdas,
+    # only on a miss.
     app = docs.sparkSession.sparkContext.applicationId
-    doc_bg = _frame_cache.pin(
-        (app, "bigram_doc_bg", doc_bg.semanticHash()), lambda d=doc_bg: d.persist()
-    )
+    in_key = (docs.semanticHash(), id_col, text_col)
+
+    def build_doc_bg() -> DataFrame:
+        ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        nn = docs.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col), ws.alias("ws")
+        )
+        d = nn.where(F.size("ws") >= 2)
+        bg = d.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS prev, ws[i] AS cur))"
+                )
+            ).alias("b"),
+        ).select(id_col, F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
+        return (
+            bg.groupBy(id_col, "prev", "cur").agg(F.count(F.lit(1)).alias("k")).persist()
+        )
+
+    doc_bg = _frame_cache.pin((app, "bigram_doc_bg", in_key), build_doc_bg)
     if min_count <= 1:
         return doc_bg
-    # vocab over ALL non-null docs (single-token docs included — the
-    # vocabulary is a corpus property, not a bigram-stream one)
-    prevs = doc_bg.groupBy(F.col("prev").alias("w")).agg(
-        F.sum("k").cast("long").alias("c")
-    )
-    finals = (
-        nn.select(F.element_at("ws", -1).alias("w"))
-        .where(F.col("w").isNotNull())
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    rare = (
-        prevs.unionByName(finals)
-        .groupBy("w")
-        .agg(F.sum("c").alias("c"))
-        .where(F.col("c") < min_count)
-        .select("w")
-    )
-    rp = rare.select(F.col("w").alias("prev"), F.lit(True).alias("__rp"))
-    rc = rare.select(F.col("w").alias("cur"), F.lit(True).alias("__rc"))
-    remapped = (
-        doc_bg.join(rp, "prev", "left")
-        .join(rc, "cur", "left")
-        .select(
-            F.col(id_col),
-            F.when(F.col("__rp"), F.lit(unk)).otherwise(F.col("prev")).alias("prev"),
-            F.when(F.col("__rc"), F.lit(unk)).otherwise(F.col("cur")).alias("cur"),
-            F.col("k"),
+
+    def build_remapped() -> DataFrame:
+        ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        nn = docs.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col), ws.alias("ws")
         )
-    )
+        # vocab over ALL non-null docs (single-token docs included — the
+        # vocabulary is a corpus property, not a bigram-stream one)
+        prevs = doc_bg.groupBy(F.col("prev").alias("w")).agg(
+            F.sum("k").cast("long").alias("c")
+        )
+        finals = (
+            nn.select(F.element_at("ws", -1).alias("w"))
+            .where(F.col("w").isNotNull())
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        rare = (
+            prevs.unionByName(finals)
+            .groupBy("w")
+            .agg(F.sum("c").alias("c"))
+            .where(F.col("c") < min_count)
+            .select("w")
+        )
+        rp = rare.select(F.col("w").alias("prev"), F.lit(True).alias("__rp"))
+        rc = rare.select(F.col("w").alias("cur"), F.lit(True).alias("__rc"))
+        remapped = (
+            doc_bg.join(rp, "prev", "left")
+            .join(rc, "cur", "left")
+            .select(
+                F.col(id_col),
+                F.when(F.col("__rp"), F.lit(unk)).otherwise(F.col("prev")).alias("prev"),
+                F.when(F.col("__rc"), F.lit(unk)).otherwise(F.col("cur")).alias("cur"),
+                F.col("k"),
+            )
+        )
+        return remapped.persist()
+
     return _frame_cache.pin(
-        (app, "bigram_doc_bg_remapped", remapped.semanticHash()),
-        lambda d=remapped: d.persist(),
+        (app, "bigram_doc_bg_remapped", in_key, min_count, unk), build_remapped
     )
 
 
@@ -1036,29 +1064,49 @@ def dsir_weights(
     scored by one bucket-keyed join (broadcast-sized by construction)."""
     from ..functions.fixedpoint import ONE_Q12, with_log2_q12
 
-    toks = docs.select(
-        F.col(id_col),
-        target_pred.alias("__is_t"),
-        F.explode(F.filter(F.split(F.col(text_col), " "), lambda w: w != "")).alias("w"),
-    )
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long"), F.lit(n_buckets)
-    )
-    db = toks.select(F.col(id_col), F.col("__is_t"), bucket.alias("b")).groupBy(
-        id_col, "__is_t", "b"
-    ).agg(F.count(F.lit(1)).cast("long").alias("k"))
     # db feeds BOTH the bucket model and the per-doc scoring — without a
     # persist the token explode + count shuffle runs twice.  Registered
-    # in the session frame cache (semantic-hash key) so repeats are memo
-    # hits and LRU eviction releases the blocks (the graph.py/prefix-
-    # filter discipline).  Size bound: ≤ min(doc_tokens, n_buckets) rows
-    # per document, three int columns — the bucketing compresses the
-    # token stream by construction.
+    # in the session frame cache so repeats are memo hits and LRU
+    # eviction releases the blocks (the graph.py/prefix-filter
+    # discipline).  Size bound: ≤ min(doc_tokens, n_buckets) rows per
+    # document, three int columns — the bucketing compresses the token
+    # stream by construction.  Keyed on the INPUT plan hash + the
+    # predicate's expression string + params (the _remapped_doc_bigrams
+    # discipline): the explode/count graph is built only on a miss.
     from .. import cache as _frame_cache
 
     app = docs.sparkSession.sparkContext.applicationId
+
+    def build_db() -> DataFrame:
+        toks = docs.select(
+            F.col(id_col),
+            target_pred.alias("__is_t"),
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+            ).alias("w"),
+        )
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        )
+        return (
+            toks.select(F.col(id_col), F.col("__is_t"), bucket.alias("b"))
+            .groupBy(id_col, "__is_t", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("k"))
+            .persist()
+        )
+
     db = _frame_cache.pin(
-        (app, "dsir_doc_buckets", db.semanticHash()), lambda db=db: db.persist()
+        (
+            app,
+            "dsir_doc_buckets",
+            docs.semanticHash(),
+            str(target_pred),
+            n_buckets,
+            id_col,
+            text_col,
+        ),
+        build_db,
     )
     feats = db.groupBy("b").agg(
         F.sum(F.when(F.col("__is_t"), F.col("k")).otherwise(0)).cast("long").alias("c_t"),
@@ -1140,6 +1188,41 @@ def zipf_fit(
     )
 
 
+def _source_word_counts(
+    docs: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Shared (src, w, c_sw) model relation for the per-source
+    information-theoretic family (KL / JS / MI / Heaps): ONE corpus
+    token explode + (source, word) count shuffle, pinned in the session
+    frame cache so (a) a query's own multi-consumer branches read the
+    materialized blocks instead of re-running the explode (measured 3×
+    re-execution in the JS query before its round-11 pin), and (b) all
+    four family members share the build within a session.  Size bound:
+    Σ_s |V_s| rows — vocabulary-bounded, ≪ corpus scale.  Keyed on the
+    INPUT plan hash + params (the _remapped_doc_bigrams discipline):
+    construction happens inside the build lambda, only on a miss."""
+    from .. import cache as _frame_cache
+
+    app = docs.sparkSession.sparkContext.applicationId
+
+    def build() -> DataFrame:
+        words = docs.where(F.col(text_col).isNotNull()).select(
+            F.coalesce(F.col(group_col), F.lit("")).alias("src"),
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+            ).alias("w"),
+        )
+        return (
+            words.groupBy("src", "w")
+            .agg(F.count(F.lit(1)).cast("long").alias("c_sw"))
+            .persist()
+        )
+
+    return _frame_cache.pin(
+        (app, "source_sw", docs.semanticHash(), group_col, text_col), build
+    )
+
+
 def source_unigram_kl(
     docs: DataFrame,
     group_col: str = "source",
@@ -1169,11 +1252,7 @@ def source_unigram_kl(
     rescan."""
     from ..functions.fixedpoint import ONE_Q12, with_log2_q12
 
-    words = docs.where(F.col(text_col).isNotNull()).select(
-        F.coalesce(F.col(group_col), F.lit("")).alias("src"),
-        F.explode(F.filter(F.split(F.col(text_col), " "), lambda w: w != "")).alias("w"),
-    )
-    sw = words.groupBy("src", "w").agg(F.count(F.lit(1)).cast("long").alias("c_sw"))
+    sw = _source_word_counts(docs, group_col, text_col)
     cw = sw.groupBy("w").agg(F.sum("c_sw").cast("long").alias("c_w"))
     cw = with_log2_q12(cw.withColumn("c_w1", F.col("c_w") + 1), "c_w1", "lg_cw")
     scalars = cw.agg(
@@ -1254,18 +1333,9 @@ def source_unigram_js(
     explode+count re-executes once per reference — the
     _remapped_doc_bigrams discipline; pin size = the model relation,
     Σ_s |V_s| rows)."""
-    from .. import cache as _frame_cache
     from ..functions.fixedpoint import ONE_Q12, with_log2_q12
 
-    words = docs.where(F.col(text_col).isNotNull()).select(
-        F.coalesce(F.col(group_col), F.lit("")).alias("src"),
-        F.explode(F.filter(F.split(F.col(text_col), " "), lambda w: w != "")).alias("w"),
-    )
-    sw = words.groupBy("src", "w").agg(F.count(F.lit(1)).cast("long").alias("c_sw"))
-    app = docs.sparkSession.sparkContext.applicationId
-    sw = _frame_cache.pin(
-        (app, "source_js_sw", sw.semanticHash()), lambda d=sw: d.persist()
-    )
+    sw = _source_word_counts(docs, group_col, text_col)
     cw = sw.groupBy("w").agg(F.sum("c_sw").cast("long").alias("c_w"))
     tot = cw.agg(F.sum("c_w").cast("long").alias("n_total"))
     tot = with_log2_q12(tot.withColumn("n2", 2 * F.col("n_total")), "n2", "lg_2n")
@@ -1344,11 +1414,7 @@ def source_vocab_mi(
     output is a single row."""
     from ..functions.fixedpoint import ONE_Q12, with_log2_q12
 
-    words = docs.where(F.col(text_col).isNotNull()).select(
-        F.coalesce(F.col(group_col), F.lit("")).alias("src"),
-        F.explode(F.filter(F.split(F.col(text_col), " "), lambda w: w != "")).alias("w"),
-    )
-    sw = words.groupBy("src", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    sw = _source_word_counts(docs, group_col, text_col).withColumnRenamed("c_sw", "c")
     a = with_log2_q12(sw, "c", "lg").agg(
         F.sum(F.col("c") * F.col("lg")).cast("long").alias("a"),
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
@@ -1404,16 +1470,11 @@ def heaps_law_fit(
     strata-sized relation."""
     from ..functions.fixedpoint import ONE_Q12, with_log2_q12
 
-    words = docs.where(F.col(text_col).isNotNull()).select(
-        F.coalesce(F.col(group_col), F.lit("")).alias("src"),
-        F.explode(F.filter(F.split(F.col(text_col), " "), lambda w: w != "")).alias("w"),
-    )
     per_s = (
-        words.groupBy("src", "w")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        _source_word_counts(docs, group_col, text_col)
         .groupBy("src")
         .agg(
-            F.sum("c").cast("long").alias("n_s"),
+            F.sum("c_sw").cast("long").alias("n_s"),
             F.count(F.lit(1)).cast("long").alias("v_s"),
         )
     )

@@ -5508,11 +5508,14 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import hash_bucket
 
     docs = load_table(spark, sf_dir, "documents")
-    from ..operators.dedup import _shingle_expr
+    from ..operators.dedup import _shingle_expr, _split_col
 
     toks = docs.select(
         (hash_bucket("doc_id") / F.lit(1000)).cast("long").alias("decile"),
-        F.explode(F.expr(_shingle_expr("text", 2))).alias("tok"),
+        _split_col("text").alias("__ws"),
+    ).select(
+        "decile",
+        F.explode(F.expr(_shingle_expr("__ws", 2, pre_split=True))).alias("tok"),
     )
     first = toks.groupBy("tok").agg(F.min("decile").alias("first_decile"))
     hist = first.groupBy("first_decile").agg(F.count(F.lit(1)).alias("new_tokens"))
@@ -6418,11 +6421,11 @@ FROM __sc
     "per the cross-engine float rule.",
 )
 def doc_fluency_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import _shingle_expr
+    from ..operators.dedup import _shingle_expr, _split_col
 
     docs = load_table(spark, sf_dir, "documents")
-    bg = docs.select(
-        "doc_id", F.explode(F.expr(_shingle_expr("text", 2))).alias("bg")
+    bg = docs.select("doc_id", _split_col("text").alias("__ws")).select(
+        "doc_id", F.explode(F.expr(_shingle_expr("__ws", 2, pre_split=True))).alias("bg")
     )
     top = (
         bg.groupBy("bg")
