@@ -34,7 +34,14 @@ from typing import Callable, Hashable
 
 from pyspark.sql import DataFrame
 
-DEFAULT_MAX_ENTRIES = 12
+#: Raised 12 → 24 in round 11: the optimization pass pinned more
+#: shared family frames (source-word counts, simhash pair set, kmeans
+#: codebooks per parameter set), and at 12 a full-registry sweep
+#: evicted and rebuilt family frames mid-family.  Every pinned frame
+#: is model-/pair-set-/codebook-sized (≪ fact scale), so the cap's
+#: 100 TB memory argument is unchanged — it bounds the count of small
+#: frames, not corpus bytes.
+DEFAULT_MAX_ENTRIES = 24
 
 max_entries: int = DEFAULT_MAX_ENTRIES
 

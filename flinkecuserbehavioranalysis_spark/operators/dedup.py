@@ -102,16 +102,33 @@ def minhash_signatures(
     no bigint conversion is needed (and the oracle matches
     byte-for-byte).  Shingles stay non-distinct: min is
     duplicate-insensitive, so shingling runs map-side and the only
-    shuffle is this aggregation's partial/final split on *id_col*."""
-    sh = shingles(docs, id_col, text_col, n, distinct=False)
-    digests = {
-        j: F.md5(F.concat(F.lit(f"{j}|"), F.col("sh"))) for j in range((k + 3) // 4)
-    }
-    aggs = [
-        F.min(F.substring(digests[i // 4], (i % 4) * 8 + 1, 8)).alias(f"h{i}")
-        for i in range(k)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    shuffle is this aggregation's partial/final split on *id_col*.
+
+    The signature relation (one row per doc, k 8-hex-char strings) is
+    PINNED in the session frame cache: it is the shared base of the
+    whole MinHash family (candidates → LSH/verified pairs, the
+    estimate pass reads it TWICE — directly and through candidates —
+    and the incremental band index derives from it), and the md5 pass
+    over the non-distinct shingle stream is the family's dominant cost
+    (round-11 optimization)."""
+    from .. import cache as _frame_cache
+
+    def build() -> DataFrame:
+        sh = shingles(docs, id_col, text_col, n, distinct=False)
+        digests = {
+            j: F.md5(F.concat(F.lit(f"{j}|"), F.col("sh"))) for j in range((k + 3) // 4)
+        }
+        aggs = [
+            F.min(F.substring(digests[i // 4], (i % 4) * 8 + 1, 8)).alias(f"h{i}")
+            for i in range(k)
+        ]
+        return sh.groupBy(id_col).agg(*aggs).persist()
+
+    app = docs.sparkSession.sparkContext.applicationId
+    return _frame_cache.pin(
+        (app, "minhash_signatures", docs.semanticHash(), id_col, text_col, n, k),
+        build,
+    )
 
 
 def minhash_candidates(
@@ -795,7 +812,14 @@ def simhash_hamming_pairs(
     whose bucket sizes are the skew knob (64-bit signatures and more
     bands at corpus scale), then a constant-cost XOR-popcount per
     candidate.  *max_hamming* must be < *bands* for the pigeonhole
-    recall guarantee (asserted)."""
+    recall guarantee (asserted).
+
+    The verified pair set is PINNED in the session frame cache (the
+    ``_doc_lsh_pairs`` discipline): two registry queries consume the
+    same bits=32 pair relation (the pair report and the method-
+    agreement meta-evaluation), and without the pin each re-ran the
+    corpus-scale signature pass + band self-join per call.  Pair-set
+    sized; keyed on the input plan hash + every parameter."""
     if max_hamming >= bands:
         raise ValueError(
             f"max_hamming ({max_hamming}) must be < bands ({bands}) for "
@@ -804,43 +828,63 @@ def simhash_hamming_pairs(
     if bits % bands:
         raise ValueError(f"bits ({bits}) must divide evenly into bands ({bands})")
     width = bits // bands
-    # integer signature: the per-candidate verify is ONE xor + popcount
-    # (bit_count), not a bits-long character comparison — the hot loop
-    # at candidate volume
-    sig = simhash(docs, id_col, text_col, bits).select(
-        F.col(id_col), F.conv("simhash", 2, 10).cast("long").alias("sig_int")
-    )
-    band_cols = [
-        F.shiftrightunsigned(F.col("sig_int"), b * width)
-        .bitwiseAND(F.lit((1 << width) - 1))
-        .alias(f"b{b}")
-        for b in range(bands)
-    ]
-    long = sig.select(F.col(id_col), "sig_int", *band_cols).select(
-        F.col(id_col),
-        "sig_int",
-        F.expr(
-            "stack({}, {}) as (band_idx, band_bits)".format(
-                bands, ", ".join(f"{b}, b{b}" for b in range(bands))
+
+    def build() -> DataFrame:
+        # integer signature: the per-candidate verify is ONE xor + popcount
+        # (bit_count), not a bits-long character comparison — the hot loop
+        # at candidate volume
+        sig = simhash(docs, id_col, text_col, bits).select(
+            F.col(id_col), F.conv("simhash", 2, 10).cast("long").alias("sig_int")
+        )
+        band_cols = [
+            F.shiftrightunsigned(F.col("sig_int"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias(f"b{b}")
+            for b in range(bands)
+        ]
+        long = sig.select(F.col(id_col), "sig_int", *band_cols).select(
+            F.col(id_col),
+            "sig_int",
+            F.expr(
+                "stack({}, {}) as (band_idx, band_bits)".format(
+                    bands, ", ".join(f"{b}, b{b}" for b in range(bands))
+                )
+            ),
+        )
+        a, b = long.alias("a"), long.alias("b")
+        ham = F.bit_count(F.col("a.sig_int").bitwiseXOR(F.col("b.sig_int")))
+        return (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_bits") == F.col("b.band_bits"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
             )
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+                ham.cast("int").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+            .persist()
+        )
+
+    from .. import cache as _frame_cache
+
+    app = docs.sparkSession.sparkContext.applicationId
+    return _frame_cache.pin(
+        (
+            app,
+            "simhash_hamming_pairs",
+            docs.semanticHash(),
+            id_col,
+            text_col,
+            bits,
+            bands,
+            max_hamming,
         ),
-    )
-    a, b = long.alias("a"), long.alias("b")
-    ham = F.bit_count(F.col("a.sig_int").bitwiseXOR(F.col("b.sig_int")))
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_bits") == F.col("b.band_bits"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            ham.cast("int").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        build,
     )
 
 

@@ -518,7 +518,45 @@ def kmeans_fit(
     of corpus size.  *train_fraction* < 1 trains on a deterministic
     ``hash_sample``: the 100 TB posture, since a quantizer needs a
     representative sample, not the corpus.  Returns (seed_id, s_vec,
-    s_norm)."""
+    s_norm).
+
+    The trained codebook (n_cells rows) is PINNED in the session frame
+    cache keyed on (input plan hash, every training parameter): the
+    training is deterministic, so two queries training the same
+    quantizer share one Lloyd unroll per session instead of replaying
+    the full loop each (round-11 optimization — the ANN coarse-
+    quantizer memo generalized to every kmeans_fit consumer)."""
+    from .. import cache as _frame_cache
+
+    app = vectors.sparkSession.sparkContext.applicationId
+    key = (
+        app,
+        "kmeans_seeds",
+        vectors.semanticHash(),
+        id_col,
+        vec_col,
+        n_cells,
+        train_iters,
+        train_fraction,
+        tol,
+    )
+    return _frame_cache.pin(
+        key,
+        lambda: _kmeans_fit_impl(
+            vectors, id_col, vec_col, n_cells, train_iters, train_fraction, tol
+        ).persist(),
+    )
+
+
+def _kmeans_fit_impl(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    train_iters: int,
+    train_fraction: float,
+    tol: float | None,
+) -> DataFrame:
     vectors = _drop_null_vec(vectors, vec_col)
     if train_fraction < 1.0:
         from .sampling import hash_sample

@@ -193,15 +193,24 @@ def test_disjunctive_predicates_push_to_both_scans(spark):
 
 
 def test_profile_is_single_pass(spark):
-    """orders_profile computes every column's metrics in ONE aggregation
-    over ONE scan (the oracle's UNION ALL re-scans; the engine must
-    not) — k exact distincts ride one Expand, not k scans."""
+    """orders_profile computes the count/null/distinct/numeric metrics
+    in ONE Expand aggregation (the oracle's UNION ALL re-scans per
+    column; the engine must not — k exact distincts ride one Expand,
+    not k scans).  String min/max rides ONE extra column-pruned scan:
+    folded into the multi-distinct aggregate, its non-hash-aggregable
+    string buffer demoted the whole Expand pipeline to SortAggregate —
+    a Sort of the k-way-expanded stream (measured 2.8 s → 1.25 s warm
+    at sf0.1, round-11 optimization).  Guard all three properties: one
+    Expand, at most two scans, and NO Sort node anywhere (the string
+    pass is a global aggregate, sortless)."""
     import re
 
     plan = _explain(spark, "orders_profile")
     # formatted explain names each physical node once in the detail
     # section as "(n) Scan parquet" — count node ids, not mentions
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2, plan
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1, plan
+    assert not re.findall(r"\(\d+\) Sort\b", plan), plan
 
 
 def test_runtime_bloom_filter_join_pruning(spark):
