@@ -152,3 +152,49 @@ def test_daily_purchase_spine_empty_events(spark, tmp_path):
         "n_big_purchases",
         "is_gap",
     ]
+
+
+def test_load_table_plan_memo_and_invalidation(spark, tmp_path):
+    """round-11 optimization: load_table memoizes the LOGICAL reader
+    plan per (app, path, mtime, size) — repeated calls in one session
+    return the same DataFrame handle (no re-listing / footer re-read),
+    and REWRITING the file invalidates the memo (a stale file index
+    would silently read the old snapshot)."""
+    import time as _time
+
+    from flinkecuserbehavioranalysis_spark.io import load_table
+
+    a = load_table(spark, SF_DIR, "nation")
+    b = load_table(spark, SF_DIR, "nation")
+    assert a is b  # memo hit: same plan handle
+    # rewritten file (different path→fresh key; same path→mtime key)
+    p = tmp_path / "nation.parquet"
+    a.limit(3).write.parquet(str(p))
+    c1 = load_table(spark, str(tmp_path), "nation")
+    n1 = c1.count()
+    _time.sleep(0.01)
+    import shutil
+
+    shutil.rmtree(p)
+    a.limit(5).write.parquet(str(p))
+    c2 = load_table(spark, str(tmp_path), "nation")
+    assert c2 is not c1  # mtime/size changed → fresh reader plan
+    assert (n1, c2.count()) == (3, 5)
+
+
+def test_kmeans_codebook_pinned_per_params(spark):
+    """round-11 optimization: kmeans_fit pins the trained codebook per
+    (input hash, params) — same call twice returns the same pinned
+    frame (one Lloyd unroll per session), different params train
+    separately."""
+    from flinkecuserbehavioranalysis_spark.operators.similarity import kmeans_fit
+
+    clear_cache()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    s1 = kmeans_fit(emb, n_cells=4, train_iters=2)
+    s2 = kmeans_fit(emb, n_cells=4, train_iters=2)
+    assert s1 is s2
+    s3 = kmeans_fit(emb, n_cells=8, train_iters=2)
+    assert s3 is not s1
+    assert s1.count() <= 4 and s3.count() <= 8
+    clear_cache()

@@ -432,3 +432,15 @@ def test_bpe_fertility_vocab_join_broadcasts(spark):
     # the corpus word stream; the corpus side must never shuffle to join
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tokenization_runs_once_per_row(spark):
+    """round-11 optimization guard: an array expression referenced
+    INSIDE a higher-order-function lambda re-evaluates once per
+    ELEMENT — with the split inline, n-gram assembly re-tokenized the
+    document once per position (O(n²)).  top_ngrams and the shingle
+    explode must therefore project split() to a column first: the
+    physical plan carries exactly ONE split() occurrence."""
+    for name in ("text_top_bigrams", "dedup_minhash_lsh", "vocab_growth_curve"):
+        plan = _explain(spark, name)
+        assert plan.count("split(") == 1, (name, plan.count("split("))
