@@ -122,7 +122,7 @@ def minhash_signatures(
             F.min(F.substring(digests[i // 4], (i % 4) * 8 + 1, 8)).alias(f"h{i}")
             for i in range(k)
         ]
-        return sh.groupBy(id_col).agg(*aggs).persist()
+        return sh.groupBy(id_col).agg(*aggs).localCheckpoint(eager=False)
 
     app = docs.sparkSession.sparkContext.applicationId
     return _frame_cache.pin(
@@ -867,7 +867,7 @@ def simhash_hamming_pairs(
             )
             .filter(F.col("hamming") <= max_hamming)
             .distinct()
-            .persist()
+            .localCheckpoint(eager=False)
         )
 
     from .. import cache as _frame_cache
@@ -1087,7 +1087,7 @@ def prefix_filter_pairs(
             text_col,
             n,
         ),
-        lambda: sh_plan.persist(),
+        lambda: sh_plan.localCheckpoint(eager=False),
     )
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))

@@ -525,7 +525,14 @@ def kmeans_fit(
     training is deterministic, so two queries training the same
     quantizer share one Lloyd unroll per session instead of replaying
     the full loop each (round-11 optimization — the ANN coarse-
-    quantizer memo generalized to every kmeans_fit consumer)."""
+    quantizer memo generalized to every kmeans_fit consumer).  The pin
+    is a LAZY localCheckpoint, not a .persist(): consumers broadcast
+    the codebook 2-4× per query, and under persist every reference
+    re-embedded the whole Lloyd-unroll logical plan into the consumer
+    (measured r11: ~0.7-1.3 s of warm driver-side plan analysis per
+    ANN query).  The checkpoint truncates that to an n_cells-row
+    LogicalRDD; laziness keeps the build deferred to the first
+    action."""
     from .. import cache as _frame_cache
 
     app = vectors.sparkSession.sparkContext.applicationId
@@ -544,7 +551,7 @@ def kmeans_fit(
         key,
         lambda: _kmeans_fit_impl(
             vectors, id_col, vec_col, n_cells, train_iters, train_fraction, tol
-        ).persist(),
+        ).localCheckpoint(eager=False),
     )
 
 

@@ -749,7 +749,14 @@ def _remapped_doc_bigrams(
             ).alias("b"),
         ).select(id_col, F.col("b.prev").alias("prev"), F.col("b.cur").alias("cur"))
         return (
-            bg.groupBy(id_col, "prev", "cur").agg(F.count(F.lit(1)).alias("k")).persist()
+            bg.groupBy(id_col, "prev", "cur")
+            .agg(F.count(F.lit(1)).alias("k"))
+            # lazy localCheckpoint, not persist: the LM family builds
+            # multi-branch plans over this relation, and persist left
+            # every branch re-embedding (and the driver re-analyzing)
+            # the corpus-explode lineage — checkpoint truncates it to a
+            # model-sized LogicalRDD (r11 optimization)
+            .localCheckpoint(eager=False)
         )
 
     doc_bg = _frame_cache.pin((app, "bigram_doc_bg", in_key), build_doc_bg)
@@ -791,7 +798,7 @@ def _remapped_doc_bigrams(
                 F.col("k"),
             )
         )
-        return remapped.persist()
+        return remapped.localCheckpoint(eager=False)
 
     return _frame_cache.pin(
         (app, "bigram_doc_bg_remapped", in_key, min_count, unk), build_remapped
@@ -1093,7 +1100,7 @@ def dsir_weights(
             toks.select(F.col(id_col), F.col("__is_t"), bucket.alias("b"))
             .groupBy(id_col, "__is_t", "b")
             .agg(F.count(F.lit(1)).cast("long").alias("k"))
-            .persist()
+            .localCheckpoint(eager=False)
         )
 
     db = _frame_cache.pin(
@@ -1215,7 +1222,7 @@ def _source_word_counts(
         return (
             words.groupBy("src", "w")
             .agg(F.count(F.lit(1)).cast("long").alias("c_sw"))
-            .persist()
+            .localCheckpoint(eager=False)
         )
 
     return _frame_cache.pin(

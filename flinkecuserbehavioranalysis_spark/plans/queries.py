@@ -1090,7 +1090,7 @@ def _doc_pair_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         return _pair_intersections(
             load_table(spark, sf_dir, "documents"), "doc_id", "text", 3, 64
-        ).persist()
+        ).localCheckpoint(eager=False)
 
     return _cached_canon(spark, sf_dir, "docs_pair_intersections_64", build)
 
@@ -1217,7 +1217,7 @@ def _emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         return cosine_lsh_pairs(
             load_table(spark, sf_dir, "embeddings"), threshold=0.4
-        ).persist()
+        ).localCheckpoint(eager=False)
 
     return _cached_canon(spark, sf_dir, "emb_srp_04_pairs", build)
 
@@ -1879,10 +1879,20 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The MinHash-LSH verified pair set at threshold 0.5, persisted and
-    memoized per (session, sf_dir) — returned by dedup_lsh_verified and
-    consumed by the canonical-mapping family, so the LSH pipeline runs
-    once per session."""
+    """The MinHash-LSH verified pair set at threshold 0.5, materialized
+    (lazy localCheckpoint) and memoized per (session, sf_dir) —
+    returned by dedup_lsh_verified and consumed by the canonical-
+    mapping family, so the LSH pipeline runs once per session.
+
+    localCheckpoint (not .persist()) because the pair set feeds
+    MULTI-REFERENCE consumers — pagerank's 3-round unroll references it
+    7×, triangle_stats 3× — and under .persist() every reference
+    re-embedded the whole LSH logical plan, so those consumers spent
+    more driver time re-analyzing lineage than executing (r11
+    measurement: dedup_pagerank warm build 1.8 s over a plan with
+    hundreds of Exchange nodes).  The checkpoint truncates the plan to
+    a pair-set-sized LogicalRDD; eager=False keeps the contract lazy
+    (first action materializes, later consumers reuse the blocks)."""
 
     def build() -> DataFrame:
         return lsh_verified_pairs(
@@ -1890,7 +1900,7 @@ def _doc_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=_MINHASH_K,
             bands=_MINHASH_BANDS,
             threshold=0.5,
-        ).persist()
+        ).localCheckpoint(eager=False)
 
     return _cached_canon(spark, sf_dir, "docs_lsh_05_pairs", build)
 
@@ -2739,7 +2749,7 @@ def _lang_id_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         return lang_id_ngram(
             load_table(spark, sf_dir, "documents"), profile_fraction=0.5
-        ).persist()
+        ).localCheckpoint(eager=False)
 
     return _cached_canon(spark, sf_dir, "lang_id_ngram_05", build)
 
@@ -3681,12 +3691,14 @@ def _ivf_shared_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import _drop_null_vec, kmeans_fit
 
     def build() -> DataFrame:
+        # kmeans_fit already pins + localCheckpoints the codebook per
+        # (input hash, params); no extra persist layer needed here
         return kmeans_fit(
             _drop_null_vec(load_table(spark, sf_dir, "embeddings"), "embedding"),
             n_cells=8,
             train_iters=2,
             train_fraction=0.5,
-        ).persist()
+        )
 
     return _cached_canon(spark, sf_dir, "ivf_seeds_8x2_05", build)
 
@@ -3700,6 +3712,9 @@ def _pq_shared_book(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_fit
 
     def build() -> DataFrame:
+        # lazy localCheckpoint: truncates the Lloyd/mapInPandas training
+        # lineage to an m×k-row LogicalRDD so the two broadcast
+        # consumers per query (encode + LUT) stop re-analyzing it
         return pq_fit(
             load_table(spark, sf_dir, "embeddings"),
             dim=64,
@@ -3707,7 +3722,7 @@ def _pq_shared_book(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=32,
             train_iters=2,
             train_fraction=0.5,
-        ).persist()
+        ).localCheckpoint(eager=False)
 
     return _cached_canon(spark, sf_dir, "pq_book_32x32_05", build)
 
@@ -3925,7 +3940,9 @@ def _hashed_doc_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice; round-6 bench attribution)."""
     return _cached_canon(
         spark, sf_dir, "hashed_vec_16",
-        lambda: hashed_vectorize(load_table(spark, sf_dir, "documents"), dim=16).persist(),
+        lambda: hashed_vectorize(
+            load_table(spark, sf_dir, "documents"), dim=16
+        ).localCheckpoint(eager=False),
     )
 
 
@@ -4423,9 +4440,27 @@ FROM __tot t LEFT JOIN __dup d USING (doc_id)
     "span-level boilerplate profile suffix-array dedup pipelines threshold on.",
 )
 def dedup_repeated_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import repeated_gram_stats
+    return _repeated_gram_shares(spark, sf_dir)
 
-    return repeated_gram_stats(load_table(spark, sf_dir, "documents"), w=_GRAM_W)
+
+def _repeated_gram_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc repeated-8-gram profile (doc_id, n_grams, n_dup_grams,
+    dup_share), memoized per (session, sf_dir) — dedup_repeated_grams
+    returns it directly and corpus_keep_verdict joins it, so the
+    corpus-scale windowed-gram explode runs once per session instead of
+    once per consumer.  Doc-level narrow rows (the lang-ID scored-frame
+    precedent: corpus-cardinality but 4 scalar columns); the lazy
+    localCheckpoint also truncates the explode lineage out of consumer
+    plans (r11)."""
+
+    def build() -> DataFrame:
+        from ..operators.dedup import repeated_gram_stats
+
+        return repeated_gram_stats(
+            load_table(spark, sf_dir, "documents"), w=_GRAM_W
+        ).localCheckpoint(eager=False)
+
+    return _cached_canon(spark, sf_dir, f"repeated_gram_shares_{_GRAM_W}", build)
 
 
 @_q(
@@ -5143,15 +5178,13 @@ LEFT JOIN __dup g ON g.doc_id = d.doc_id
 def corpus_keep_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..operators.dedup import repeated_gram_stats
-
     docs = load_table(spark, sf_dir, "documents")
     keep = docs.select(
         "doc_id",
         F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("keep_id"),
     )
     canon = _doc_canonical_map(spark, sf_dir).select("doc_id", "canonical_id")
-    grams = repeated_gram_stats(docs, w=_GRAM_W).select("doc_id", "dup_share")
+    grams = _repeated_gram_shares(spark, sf_dir).select("doc_id", "dup_share")
     return (
         keep.join(canon, "doc_id", "left")
         .join(grams, "doc_id")
@@ -6571,7 +6604,12 @@ def _emb_cov_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     notes.  PERSISTED + MEMOIZED per (session, sf_dir) like the
     canonical map: the covariance / correlation / principal-component
     family shares one fact-scale pass."""
-    return _cached_canon(spark, sf_dir, "emb_cov_cells", lambda: _emb_cov_build(spark, sf_dir).persist())
+    return _cached_canon(
+        spark,
+        sf_dir,
+        "emb_cov_cells",
+        lambda: _emb_cov_build(spark, sf_dir).localCheckpoint(eager=False),
+    )
 
 
 def _emb_cov_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8042,18 +8080,13 @@ FROM __m m JOIN (SELECT canon, count(*) AS n FROM __m GROUP BY canon) c USING (c
     "step of tokenizer/vocab hygiene.  Eager by contract (iterative star contraction).",
 )
 def fuzzy_token_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import duplicate_components
-
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
         .where((F.col("token") != "") & ascii_only("token"))
         .distinct()
     )
-    pairs = fuzzy_self_pairs(toks, "token", max_dist=2)
-    comp = duplicate_components(pairs, "token_a", "token_b", deep=True).select(
-        F.col("v").alias("token"), F.col("label")
-    )
+    comp = _fuzzy_token_components(spark, sf_dir, toks)
     mapping = toks.join(F.broadcast(comp), "token", "left").select(
         "token", F.coalesce(F.col("label"), F.col("token")).alias("canon_token")
     )
@@ -8061,6 +8094,29 @@ def fuzzy_token_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapping.join(F.broadcast(sizes), "canon_token").select(
         "token", "canon_token", "cluster_size"
     )
+
+
+def _fuzzy_token_components(
+    spark: SparkSession, sf_dir: str, toks: DataFrame
+) -> DataFrame:
+    """The (token, label) component mapping over the edit-distance-2
+    vocabulary graph, memoized per (session, sf_dir) — the star-
+    contraction loop is EAGER BY CONTRACT (per-round localCheckpoint +
+    convergence probes are Spark actions), so without the memo every
+    fuzzy_token_clusters call re-ran the whole iterative contraction
+    (~2.5 s of driver-coordinated rounds at sf0.1; the standard
+    ``_cached_canon`` discipline every other eager family already
+    follows).  Vocabulary-bounded rows."""
+
+    def build() -> DataFrame:
+        from ..operators.dedup import duplicate_components
+
+        pairs = fuzzy_self_pairs(toks, "token", max_dist=2)
+        return duplicate_components(pairs, "token_a", "token_b", deep=True).select(
+            F.col("v").alias("token"), F.col("label")
+        )
+
+    return _cached_canon(spark, sf_dir, "fuzzy_token_components_2", build)
 
 
 @_q(

@@ -109,8 +109,23 @@ def test_lang_id_ngram_scoring_is_map_only(spark):
     a broadcast of the packed profile into a projection, with no
     SortMergeJoin anywhere and no shuffle proportional to raw trigram
     volume.  The only exchanges allowed are the ones building the
-    sampled profile (distinct, df count, window, pack)."""
-    plan = _explain(spark, "text_lang_id_ngram")
+    sampled profile (distinct, df count, window, pack).
+
+    The registered query's memoized frame is localCheckpoint-truncated
+    (r11), so the plan shape under guard lives in the OPERATOR graph —
+    inspect lang_id_ngram directly (exactly what the memo's build
+    lambda wraps)."""
+    import contextlib
+    import io
+
+    from flinkecuserbehavioranalysis_spark.io import load_table
+    from flinkecuserbehavioranalysis_spark.operators.text import lang_id_ngram
+
+    df = lang_id_ngram(load_table(spark, SF_DIR, "documents"), profile_fraction=0.5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row packed profile
     # profile branch reads the hash-sampled relation: the md5-bucket
@@ -441,6 +456,21 @@ def test_tokenization_runs_once_per_row(spark):
     document once per position (O(n²)).  top_ngrams and the shingle
     explode must therefore project split() to a column first: the
     physical plan carries exactly ONE split() occurrence."""
-    for name in ("text_top_bigrams", "dedup_minhash_lsh", "vocab_growth_curve"):
+    import contextlib
+    import io
+
+    from flinkecuserbehavioranalysis_spark.io import load_table
+    from flinkecuserbehavioranalysis_spark.operators.dedup import shingles
+
+    for name in ("text_top_bigrams", "vocab_growth_curve"):
         plan = _explain(spark, name)
         assert plan.count("split(") == 1, (name, plan.count("split("))
+    # the MinHash family's tokenization lives in the signature build,
+    # which the session memo localCheckpoint-truncates out of the
+    # registered query's plan (r11) — guard the operator graph directly
+    df = shingles(load_table(spark, SF_DIR, "documents"), "doc_id", "text", 3, distinct=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("split(") == 1, ("minhash shingles", plan.count("split("))
