@@ -29,23 +29,34 @@ the same cap, released asynchronously.
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 from typing import Callable, Hashable
 
 from pyspark.sql import DataFrame
 
-#: Raised 12 → 24 in round 11: the optimization pass pinned more
+#: Raised 12 → 24 → 40 in round 11: the optimization pass pinned more
 #: shared family frames (source-word counts, simhash pair set, kmeans
-#: codebooks per parameter set), and at 12 a full-registry sweep
-#: evicted and rebuilt family frames mid-family.  Every pinned frame
-#: is model-/pair-set-/codebook-sized (≪ fact scale), so the cap's
-#: 100 TB memory argument is unchanged — it bounds the count of small
-#: frames, not corpus bytes.
-DEFAULT_MAX_ENTRIES = 24
+#: codebooks per parameter set, and — second pass — the ANN index
+#: relations: IVF postings, PQ codes, int8 codes, the A-priori pair
+#: stats, repeated-gram shares, fuzzy-token components), and at the
+#: old cap a full-registry sweep evicted and rebuilt family frames
+#: mid-family.  Every pinned frame is model-/pair-set-/codebook-/
+#: index-sized (≪ fact scale), so the cap's 100 TB memory argument is
+#: unchanged — it bounds the count of small frames, not corpus bytes.
+DEFAULT_MAX_ENTRIES = 40
 
 max_entries: int = DEFAULT_MAX_ENTRIES
 
 _entries: "OrderedDict[Hashable, DataFrame]" = OrderedDict()
+
+#: pin()/clear_cache() may be called from driver thread pools that
+#: overlap independent jobs (guide §2.6 — e.g. the RFM ntile passes);
+#: the registry mutations are guarded so concurrent registration can't
+#: corrupt the LRU order.  Builds run OUTSIDE the lock (they submit
+#: Spark jobs); a racing duplicate build registers once, the loser is
+#: released.
+_lock = threading.Lock()
 
 
 def _release(obj) -> None:
@@ -65,13 +76,25 @@ def pin(key: Hashable, build: Callable[[], DataFrame]) -> DataFrame:
     """Return the memoized frame for *key*, building (and registering)
     it on first use.  A hit refreshes LRU recency; an insert past the
     cap evicts + unpersists the least-recently-used entry."""
-    if key in _entries:
-        _entries.move_to_end(key)
-        return _entries[key]
+    with _lock:
+        if key in _entries:
+            _entries.move_to_end(key)
+            return _entries[key]
     df = build()
-    _entries[key] = df
-    while len(_entries) > max_entries:
-        _, old = _entries.popitem(last=False)
+    evicted = []
+    with _lock:
+        if key in _entries:  # a racing thread built the same key first
+            _entries.move_to_end(key)
+            winner = _entries[key]
+            if winner is not df:
+                evicted.append(df)
+            df = winner
+        else:
+            _entries[key] = df
+        while len(_entries) > max_entries:
+            _, old = _entries.popitem(last=False)
+            evicted.append(old)
+    for old in evicted:
         _release(old)
     return df
 
@@ -83,10 +106,15 @@ def clear_cache(spark=None) -> int:
     entries released."""
     app = spark.sparkContext.applicationId if spark is not None else None
     released = 0
-    for k in list(_entries):
-        if app is not None and not (isinstance(k, tuple) and k and k[0] == app):
-            continue
-        _release(_entries.pop(k))
+    with _lock:
+        doomed = [
+            k
+            for k in _entries
+            if app is None or (isinstance(k, tuple) and k and k[0] == app)
+        ]
+        frames = [_entries.pop(k) for k in doomed]
+    for f in frames:
+        _release(f)
         released += 1
     return released
 

@@ -13,6 +13,66 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pair_stats(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+) -> DataFrame:
+    """The shared A-priori pair-level statistics relation
+    (item_a, item_b, support, __fa, __fb, __n) with item_a < item_b and
+    support >= *min_support* — the common core of :func:`frequent_pairs`
+    and :func:`association_rules`, which otherwise each re-ran the
+    basket self-join + three aggregations.  PINNED in the session frame
+    cache keyed on (input plan hash, columns, min_support) via a lazy
+    localCheckpoint: the relation is the frequent-pair set (the
+    artifact A-priori materializes by design — min_support-filtered,
+    far below the basket-item stream), and the checkpoint also
+    truncates the self-join lineage out of consumer plans (r11)."""
+
+    def build() -> DataFrame:
+        # null items/baskets would silently vanish in the self-join
+        # (null never equals null) — drop them explicitly so the
+        # contract is visible
+        bi = (
+            baskets.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+            .filter(F.col("__b").isNotNull() & F.col("__i").isNotNull())
+            .distinct()
+        )
+        n_baskets = bi.select(F.countDistinct("__b").alias("__n"))
+        freq = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__f"))
+        a, b = bi.alias("a"), bi.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.__b") == F.col("b.__b")) & (F.col("a.__i") < F.col("b.__i")),
+            )
+            .groupBy(F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b"))
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= min_support)
+        )
+        return (
+            pairs.join(
+                freq.select(F.col("__i").alias("item_a"), F.col("__f").alias("__fa")),
+                "item_a",
+            )
+            .join(
+                freq.select(F.col("__i").alias("item_b"), F.col("__f").alias("__fb")),
+                "item_b",
+            )
+            .crossJoin(F.broadcast(n_baskets))
+            .localCheckpoint(eager=False)
+        )
+
+    from .. import cache as _frame_cache
+
+    app = baskets.sparkSession.sparkContext.applicationId
+    return _frame_cache.pin(
+        (app, "apriori_pair_stats", baskets.semanticHash(), basket_col, item_col, min_support),
+        build,
+    )
+
+
 def frequent_pairs(
     baskets: DataFrame,
     basket_col: str,
@@ -37,27 +97,9 @@ def frequent_pairs(
     total rides a broadcast scalar.  Skewed mega-baskets (a crawler
     "session" with 10⁵ items) should be capped upstream — cost is
     Σ|basket|², the A-priori literature's standard caveat."""
-    # null items/baskets would silently vanish in the self-join (null
-    # never equals null) — drop them explicitly so the contract is visible
-    bi = (
-        baskets.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
-        .filter(F.col("__b").isNotNull() & F.col("__i").isNotNull())
-        .distinct()
-    )
-    n_baskets = bi.select(F.countDistinct("__b").alias("__n"))
-    freq = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__f"))
-    a, b = bi.alias("a"), bi.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.__b") == F.col("b.__b")) & (F.col("a.__i") < F.col("b.__i")))
-        .groupBy(F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= min_support)
-    )
+    stats = _pair_stats(baskets, basket_col, item_col, min_support)
     out = (
-        pairs.join(freq.select(F.col("__i").alias("item_a"), F.col("__f").alias("__fa")), "item_a")
-        .join(freq.select(F.col("__i").alias("item_b"), F.col("__f").alias("__fb")), "item_b")
-        .crossJoin(F.broadcast(n_baskets))
-        .select(
+        stats.select(
             "item_a",
             "item_b",
             "support",
@@ -89,25 +131,7 @@ def association_rules(
     tiebroken, deterministic in any engine.  Same scale shape as
     :func:`frequent_pairs` (the directional expansion is a map over
     the pair-level relation, two rows per pair)."""
-    bi = (
-        baskets.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
-        .filter(F.col("__b").isNotNull() & F.col("__i").isNotNull())
-        .distinct()
-    )
-    n_baskets = bi.select(F.countDistinct("__b").alias("__n"))
-    freq = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__f"))
-    a, b = bi.alias("a"), bi.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.__b") == F.col("b.__b")) & (F.col("a.__i") < F.col("b.__i")))
-        .groupBy(F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= min_support)
-    )
-    stats = (
-        pairs.join(freq.select(F.col("__i").alias("item_a"), F.col("__f").alias("__fa")), "item_a")
-        .join(freq.select(F.col("__i").alias("item_b"), F.col("__f").alias("__fb")), "item_b")
-        .crossJoin(F.broadcast(n_baskets))
-    )
+    stats = _pair_stats(baskets, basket_col, item_col, min_support)
     lift = F.round(F.col("support") * F.col("__n") / (F.col("__fa") * F.col("__fb")), 6)
     fwd = stats.select(
         F.col("item_a").alias("antecedent"),

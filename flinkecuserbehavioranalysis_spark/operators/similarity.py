@@ -865,16 +865,36 @@ def ivf_assign(
     identically on a batch or a STREAMING DataFrame — the transform has
     no shuffle and no state, so incremental index ingest is just this
     projection feeding an append sink partitioned by cell (tested via
-    bounded replay against the batch build)."""
+    bounded replay against the batch build).
+
+    Batch postings are PINNED in the session frame cache keyed on
+    (input plan hash, codebook plan hash, corpus_probes): the three IVF
+    index variants (flat / int8 / PQ) assign the SAME corpus under the
+    SAME shared codebook, and the per-vector top-2 fold over the
+    broadcast seeds was each query's single biggest exec stage
+    (measured r11: ~0.7 s per call at sf0.1).  This is the in-session
+    analog of ``save_ivf_index`` — the index is built once and served;
+    postings are index-sized (probe_factor × corpus vectors).
+    Streaming inputs bypass the pin (checkpointing a streaming frame is
+    illegal and incremental ingest must stay unbounded)."""
     packed = _pack(seeds)
     cell_expr = (
         F.array(_best_cell("v_vec", "v_norm"))
         if corpus_probes == 1
         else _top2_cells("v_vec", "v_norm")
     )
-    return (
+    plan = (
         v.crossJoin(F.broadcast(packed))
         .select("neighbor_id", "v_vec", "v_norm", F.explode(cell_expr).alias("cell"))
+    )
+    if v.isStreaming:
+        return plan
+    from .. import cache as _frame_cache
+
+    app = v.sparkSession.sparkContext.applicationId
+    return _frame_cache.pin(
+        (app, "ivf_postings", v.semanticHash(), seeds.semanticHash(), corpus_probes),
+        lambda: plan.localCheckpoint(eager=False),
     )
 
 
@@ -1009,7 +1029,7 @@ def quantize_embeddings(
     v = _as_double(vec_col)
     maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = (maxabs / F.lit(127.0)).alias("__scale")
-    return vectors.select(F.col(id_col), v.alias("__v"), scale).select(
+    out = vectors.select(F.col(id_col), v.alias("__v"), scale).select(
         F.col(id_col),
         F.round(F.col("__scale"), 9).alias("scale"),
         F.when(
@@ -1020,6 +1040,19 @@ def quantize_embeddings(
         )
         .otherwise(F.transform(F.col("__v"), lambda x: F.lit(0)))
         .alias("q"),
+    )
+    if vectors.isStreaming:
+        return out
+    # r11: the quantized corpus is the INT8 INDEX (ann_quantized_topk
+    # and ann_ivf_quantized_topk both quantize the same vectors) — pin
+    # per input hash so the two higher-order folds run once per session;
+    # index-sized rows (dim ints + a scale per vector)
+    from .. import cache as _frame_cache
+
+    app = vectors.sparkSession.sparkContext.applicationId
+    return _frame_cache.pin(
+        (app, "int8_codes", vectors.semanticHash(), id_col, vec_col),
+        lambda: out.localCheckpoint(eager=False),
     )
 
 
@@ -1139,21 +1172,17 @@ def ivf_quantized_topk(
             train_iters=train_iters,
             train_fraction=train_fraction,
         )
-    packed = _pack(seeds)
     qz = quantize_embeddings(vectors, id_col, vec_col).select(F.col(id_col), F.col("q"))
 
     v = (
         vectors.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v_vec"))
         .withColumn("v_norm", F.sqrt(dot(F.col("v_vec"), F.col("v_vec"))))
     )
-    cell_expr = (
-        F.array(_best_cell("v_vec", "v_norm"))
-        if corpus_probes == 1
-        else _top2_cells("v_vec", "v_norm")
-    )
+    # r11: cell assignment through the shared pinned postings (same
+    # corpus + codebook across the three IVF variants — ivf_assign memo)
     assigned = (
-        v.crossJoin(F.broadcast(packed))
-        .select("neighbor_id", F.explode(cell_expr).alias("cell"))
+        ivf_assign(v, seeds, corpus_probes=corpus_probes)
+        .select("neighbor_id", "cell")
         .join(qz.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
         .withColumnRenamed("q", "v_q")
         .withColumn("v_n", F.sqrt(idot(F.col("v_q"), F.col("v_q")).cast("double")))
@@ -1475,7 +1504,21 @@ def pq_encode(
     out = vectors.select(
         F.col(id_col).alias("__oid"), _as_double(vec_col).alias("__v")
     ).mapInPandas(encode, "__oid long, codes array<int>, xn2 long")
-    return out.withColumnRenamed("__oid", id_col)
+    out = out.withColumnRenamed("__oid", id_col)
+    if vectors.isStreaming:
+        return out
+    # r11: the encoded corpus is the PQ INDEX — ann_pq_topk and
+    # ann_ivf_pq_topk encode the same vectors under the same shared
+    # book, so pin the codes per (input hash, book hash, dim, m) and
+    # run the mapInPandas encode once per session (index-sized rows:
+    # m ints + one long per vector)
+    from .. import cache as _frame_cache
+
+    app = vectors.sparkSession.sparkContext.applicationId
+    return _frame_cache.pin(
+        (app, "pq_codes", vectors.semanticHash(), codebook.semanticHash(), dim, m),
+        lambda: out.localCheckpoint(eager=False),
+    )
 
 
 def _pq_queries(
@@ -1672,14 +1715,11 @@ def ivf_pq_topk(
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("v_vec")
     ).withColumn("v_norm", F.sqrt(dot(F.col("v_vec"), F.col("v_vec"))))
-    cell_expr = (
-        F.array(_best_cell("v_vec", "v_norm"))
-        if corpus_probes == 1
-        else _top2_cells("v_vec", "v_norm")
-    )
+    # r11: cell assignment through the shared pinned postings (same
+    # corpus + codebook across the three IVF variants — ivf_assign memo)
     assigned = (
-        v.crossJoin(F.broadcast(coarse_packed))
-        .select("neighbor_id", F.explode(cell_expr).alias("cell"))
+        ivf_assign(v, seeds, corpus_probes=corpus_probes)
+        .select("neighbor_id", "cell")
         .join(enc.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
     )
     q = (

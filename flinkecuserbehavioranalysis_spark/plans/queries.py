@@ -4673,21 +4673,45 @@ GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
     "decorrelation, no per-row subquery re-scan.  Fully tiebroken top-20.",
 )
 def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     l, o, s = (load_table(spark, sf_dir, t) for t in ("lineitem", "orders", "supplier"))
-    late = (
-        F.col("l_shipdate").cast("long") > F.col("o_orderdate").cast("long") + 30 * DAY
-    ).cast("int")
-    l1 = (
-        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(late).alias("late"))
+    # r11: aggregate lineitem to (orderkey, suppkey, max shipdate) BEFORE
+    # the orders join (guide §2.3 "aggregate before you shuffle") — the
+    # join then carries one row per order-supplier instead of every
+    # line.  late = max(ship) > orderdate+30d ≡ max over lines of
+    # (ship > orderdate+30d): o_orderdate is constant per order and
+    # cast-to-long is monotone, so the flag is unchanged (NULL ships
+    # are skipped by max in both forms).
+    ls = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("l_shipdate").cast("long")).alias("__max_ship")
     )
-    per_o = l1.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    l1 = ls.join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("__max_ship") > F.col("o_orderdate").cast("long") + 30 * DAY)
+        .cast("int")
+        .alias("late"),
     )
+    # r11: the order-level (n_supp, n_late) counts as a window over the
+    # SAME l_orderkey key instead of a groupBy + self-join — one keyed
+    # shuffle instead of an aggregate exchange plus a join back
+    # (guide §2.4 "window partitioned like the aggregation needs no
+    # second shuffle").  Counts are integers — order-insensitive,
+    # result-identical.
+    w = Window.partitionBy("l_orderkey")
     sole = (
-        l1.filter(F.col("late") == 1)
-        .join(per_o.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)), "l_orderkey")
+        l1.select(
+            "l_orderkey",
+            "l_suppkey",
+            "late",
+            F.count(F.lit(1)).over(w).alias("n_supp"),
+            F.sum("late").over(w).alias("n_late"),
+        )
+        .filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
     return (
         sole.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -6177,6 +6201,8 @@ FROM __n GROUP BY 1, 2, 3
     "ties included.",
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.ranking import global_ntile
 
     o = load_table(spark, sf_dir, "orders")
@@ -6187,21 +6213,43 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(_dec("o_totalprice")).alias("monetary"),
     )
-    for dim, colname in (
-        ("recency_day", "r"),
-        ("frequency", "f"),
-        ("monetary", "m"),
-    ):
-        c = global_ntile(
-            c,
+    # r11: the three quartile codings were CHAINED (each global_ntile
+    # pass re-ranked the previous pass's output), serializing three
+    # eager range-shuffle + offsets-collect rounds and nesting their
+    # lineage.  Each bucket depends only on c's ordering by its OWN
+    # dimension, so the passes are independent: materialize the
+    # customer aggregate once (localCheckpoint — customer-level rows),
+    # compute the three (custkey, bucket) mappings over 2-column
+    # projections, and overlap their eager phases with a small driver
+    # thread pool (guide §2.6 — jobs back-fill each other's tails).
+    # Bucket values are unchanged: same input ordering per dimension,
+    # same NTILE arithmetic; the joins below are keyed on the customer.
+    c = c.localCheckpoint(eager=True)
+
+    def bucketize(dim: str, colname: str) -> DataFrame:
+        return global_ntile(
+            c.select("o_custkey", dim),
             [F.col(dim).desc(), F.col("o_custkey").asc()],
             4,
             bucket_col=colname,
             shards=32,
+        ).select("o_custkey", colname)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        br, bf, bm = pool.map(
+            lambda args: bucketize(*args),
+            (("recency_day", "r"), ("frequency", "f"), ("monetary", "m")),
         )
-    return c.groupBy("r", "f", "m").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.sum("monetary").cast("double").alias("segment_revenue"),
+    return (
+        c.select("o_custkey", "monetary")
+        .join(br, "o_custkey")
+        .join(bf, "o_custkey")
+        .join(bm, "o_custkey")
+        .groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").cast("double").alias("segment_revenue"),
+        )
     )
 
 

@@ -137,6 +137,46 @@ def test_prefix_filter_shingles_memo_managed(spark):
     clear_cache()
 
 
+def test_ann_index_relations_memo_managed(spark):
+    """r11 guard: the ANN index relations (IVF postings, PQ codes, int8
+    codes) pin per (input hash, codebook hash, params) — a repeat call
+    over the same corpus + codebook is a memo HIT (same frame, no new
+    cache entries), and distinct params miss.  Streaming inputs must
+    bypass the pin entirely (checkpointing a stream is illegal)."""
+    from pyspark.sql import functions as F
+
+    from flinkecuserbehavioranalysis_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_fit,
+        quantize_embeddings,
+    )
+
+    clear_cache()
+    emb = load_table(spark, SF_DIR, "embeddings")
+    seeds = kmeans_fit(emb, n_cells=4, train_iters=1)
+    v = (
+        emb.where(F.col("embedding").isNotNull())
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").cast("array<double>").alias("v_vec"))
+        .withColumn(
+            "v_norm",
+            F.sqrt(F.aggregate(F.transform("v_vec", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+        )
+    )
+    before = cache.stats()["entries"]
+    a1 = ivf_assign(v, seeds, corpus_probes=2)
+    a1.count()
+    grew = cache.stats()["entries"] - before
+    a2 = ivf_assign(v, seeds, corpus_probes=2)
+    assert a2 is a1  # memo hit: the pinned postings frame itself
+    assert cache.stats()["entries"] - before == grew
+    a3 = ivf_assign(v, seeds, corpus_probes=1)  # different params → miss
+    assert a3 is not a1
+    q1 = quantize_embeddings(emb)
+    q2 = quantize_embeddings(emb)
+    assert q2 is q1
+    clear_cache()
+
+
 def test_daily_purchase_spine_empty_events(spark, tmp_path):
     """An empty events table must yield an empty spine (typed schema),
     not an AnalysisException from CAST(None AS LONG) interpolation."""

@@ -1519,6 +1519,22 @@ def test_prefix_filter_planted_duplicates_full_recall(spark):
     assert not capped
 
 
+def test_prefix_filter_positional_filter_keeps_exact_boundary_pair(spark):
+    """r11 guard for the ppjoin positional filter: a pair whose Jaccard
+    is EXACTLY the threshold (overlap 6, sizes 7/7 → 6/8 = 0.75) sits on
+    the tight edge of the integer inequality ubound·(num+den) ≥ num·S —
+    the lossless-pruning proof's worst case.  It must survive pruning
+    and verify at jaccard == 0.75 precisely."""
+    from flinkecuserbehavioranalysis_spark.operators.dedup import prefix_filter_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "a b c d e f g h X")],
+        "doc_id long, text string",
+    )
+    rows = prefix_filter_pairs(df, threshold=0.75).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in rows] == [(1, 2, 0.75)]
+
+
 @given(
     st.lists(
         st.tuples(st.integers(0, 6), st.integers(0, 9)),
