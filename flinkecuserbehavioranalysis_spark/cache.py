@@ -99,6 +99,32 @@ def pin(key: Hashable, build: Callable[[], DataFrame]) -> DataFrame:
     return df
 
 
+#: Lifecycle-only registrations (global_rank's per-call shard persists)
+#: have UNIQUE keys — they are never re-hit, only released.  Routing
+#: them through the LRU made every ranked query flush real memos out of
+#: the shared registry (measured r11: a full-registry sweep evicted the
+#: minhash family mid-sweep, dedup_incremental_flags 1.9 → 3.5 s).
+#: They get their own small FIFO instead: same eviction-unpersists +
+#: clear_cache() lifecycle, zero pressure on the memo LRU.
+TRANSIENT_MAX_ENTRIES = 8
+
+_transients: "OrderedDict[Hashable, DataFrame]" = OrderedDict()
+
+
+def pin_transient(key: Hashable, df: DataFrame) -> DataFrame:
+    """Register a per-call materialized frame for lifecycle management
+    only (FIFO-capped, released by clear_cache) — no memoization."""
+    evicted = []
+    with _lock:
+        _transients[key] = df
+        while len(_transients) > TRANSIENT_MAX_ENTRIES:
+            _, old = _transients.popitem(last=False)
+            evicted.append(old)
+    for old in evicted:
+        _release(old)
+    return df
+
+
 def clear_cache(spark=None) -> int:
     """Unpersist and drop every registered frame; with *spark* given,
     only frames whose key belongs to that application (keys are tuples
@@ -107,12 +133,14 @@ def clear_cache(spark=None) -> int:
     app = spark.sparkContext.applicationId if spark is not None else None
     released = 0
     with _lock:
-        doomed = [
-            k
-            for k in _entries
-            if app is None or (isinstance(k, tuple) and k and k[0] == app)
-        ]
-        frames = [_entries.pop(k) for k in doomed]
+        frames = []
+        for reg in (_entries, _transients):
+            doomed = [
+                k
+                for k in reg
+                if app is None or (isinstance(k, tuple) and k and k[0] == app)
+            ]
+            frames.extend(reg.pop(k) for k in doomed)
     for f in frames:
         _release(f)
         released += 1
@@ -120,4 +148,8 @@ def clear_cache(spark=None) -> int:
 
 
 def stats() -> dict:
-    return {"entries": len(_entries), "max_entries": max_entries}
+    return {
+        "entries": len(_entries),
+        "max_entries": max_entries,
+        "transients": len(_transients),
+    }

@@ -54,11 +54,13 @@ def global_rank(
     # Register the persisted shard with the session cache registry so
     # chained callers (three ntile passes over a fact-scale relation)
     # can't accumulate cached partitions for the whole session: the
-    # LRU cap evicts old shards, and clear_cache() releases them all.
-    # Keys are unique per call — this is lifecycle, not memoization.
-    _frame_cache.pin(
+    # transient FIFO evicts old shards, and clear_cache() releases them
+    # all.  Keys are unique per call — this is lifecycle, not
+    # memoization, so it must NOT ride the memo LRU (r11: unique shard
+    # keys flushed real family memos out mid-sweep).
+    _frame_cache.pin_transient(
         (df.sparkSession.sparkContext.applicationId, "__global_rank", id(part)),
-        lambda: part,
+        part,
     )
     offs = {
         r["__pid"]: r["n"]

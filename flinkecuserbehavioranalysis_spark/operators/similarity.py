@@ -579,19 +579,21 @@ def _kmeans_fit_impl(
         # Each Lloyd round re-reads the training frame; without a persist
         # a lazy upstream (the hashed text vectorizer, an expensive UDF
         # chain) re-executes PER ROUND.  Register the persist with the
-        # session cache registry (LRU + clear_cache lifecycle, like
-        # global_rank's shards) — measured 6.4 s -> 4.7 s on
-        # text_topic_clusters at sf0.1 (cache-cleared attribution).
+        # session cache registry's TRANSIENT FIFO (clear_cache
+        # lifecycle, like global_rank's shards) — per-call unique keys
+        # must not flush real memos out of the LRU (r11).  Measured
+        # 6.4 s -> 4.7 s on text_topic_clusters at sf0.1
+        # (cache-cleared attribution).
         from .. import cache as _frame_cache
 
         vt = vt.persist()
-        _frame_cache.pin(
+        _frame_cache.pin_transient(
             (
                 vectors.sparkSession.sparkContext.applicationId,
                 "__kmeans_train_frame",
                 id(vt),
             ),
-            lambda: vt,
+            vt,
         )
     seeds = (
         train_vectors.orderBy(F.col(id_col))

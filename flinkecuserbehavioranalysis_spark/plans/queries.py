@@ -897,6 +897,22 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _order_line_rollup(l) -> DataFrame:
+    """Per-order lineitem rollup (l_orderkey, rev_d DECIMAL, n_items) —
+    guide §2.3 "aggregate before you shuffle" applied to the revenue
+    tier (r11): the order/customer/nation joins group by ORDER-LEVEL
+    attributes, so summing line revenue per order FIRST cuts the join
+    input ~4x (one row per order instead of one per line) and the
+    partial aggregation runs map-side before the first exchange.
+    DECIMAL addition is exact and associative, so re-associating the
+    sum through the order level is bit-identical; n_items re-sums to
+    the same line count.  NULL l_orderkey groups never match the inner
+    join, exactly like the NULL lines they came from."""
+    return l.groupBy("l_orderkey").agg(
+        F.sum(_revenue()).alias("__rev_d"), F.count(F.lit(1)).alias("__n_items")
+    )
+
+
 @_q(
     "region_revenue",
     f"""
@@ -915,13 +931,15 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, t) for t in ("lineitem", "orders", "customer", "nation", "region")
     )
     joined = (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        _order_line_rollup(l)
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
     )
     return joined.groupBy("r_name").agg(
-        F.sum(_revenue()).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items")
+        F.sum("__rev_d").cast("double").alias("revenue"),
+        F.sum("__n_items").alias("n_items"),
     )
 
 
@@ -942,10 +960,11 @@ FROM __rev ORDER BY rev_d DESC, c_custkey LIMIT 10
 def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l, o, c = (load_table(spark, sf_dir, t) for t in ("lineitem", "orders", "customer"))
     rev = (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        _order_line_rollup(l)
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
-        .agg(F.sum(_revenue()).alias("rev_d"))
+        .agg(F.sum("__rev_d").alias("rev_d"))
     )
     return (
         rev.orderBy(F.col("rev_d").desc(), F.col("c_custkey"))
@@ -1785,13 +1804,14 @@ def region_nation_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, t) for t in ("lineitem", "orders", "customer", "nation", "region")
     )
     joined = (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        _order_line_rollup(l)
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
     )
     pre = joined.groupBy("r_name", "n_name").agg(
-        F.sum(_revenue()).alias("rev_d"), F.count(F.lit(1)).alias("n_items")
+        F.sum("__rev_d").alias("rev_d"), F.sum("__n_items").alias("n_items")
     )
     return pre.rollup("r_name", "n_name").agg(
         F.sum("rev_d").cast("double").alias("revenue"), F.sum("n_items").alias("n_items")
@@ -2609,16 +2629,22 @@ def nation_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, t) for t in ("lineitem", "orders", "customer", "nation")
     )
     j = (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        _order_line_rollup(l)
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
     )
+    # the nation predicate is an ORDER-level attribute (via the
+    # customer), so conditioning the pre-summed per-order revenue is
+    # exact: sum(when(n, rev_line)) == sum(when(n, rev_order))
     target = F.sum(
-        F.when(F.col("n_name") == "NATION_7", _revenue()).otherwise(F.lit(0).cast("decimal(18,2)"))
+        F.when(F.col("n_name") == "NATION_7", F.col("__rev_d")).otherwise(
+            F.lit(0).cast("decimal(28,2)")
+        )
     )
     return j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
-        (target.cast("double") / F.sum(_revenue()).cast("double")).alias("mkt_share"),
-        F.count(F.lit(1)).alias("n_items"),
+        (target.cast("double") / F.sum("__rev_d").cast("double")).alias("mkt_share"),
+        F.sum("__n_items").alias("n_items"),
     )
 
 
@@ -5131,11 +5157,12 @@ def nation_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, t) for t in ("lineitem", "orders", "customer", "nation")
     )
     cr = (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        _order_line_rollup(l)
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", "c_custkey")
-        .agg(F.sum(_revenue()).cast("double").alias("rev"))
+        .agg(F.sum("__rev_d").cast("double").alias("rev"))
     )
     w = Window.partitionBy("n_name").orderBy(F.desc("rev"), F.asc("c_custkey"))
     rk = cr.withColumn("pr", F.percent_rank().over(w))
