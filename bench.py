@@ -172,6 +172,14 @@ def main() -> None:
         out["no_memo"] = True
     if names is not None:
         out["subset"] = "driver50" if names is DRIVER50 else "only"
+    # insurance against stdout truncation (round-11: BENCH_r10 was lost
+    # mid-JSON in capture) — additive, the printed contract is unchanged
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LAST.json"), "w") as fh:
+            json.dump(out, fh)
+    except OSError:
+        pass
     print(json.dumps(out))
 
 

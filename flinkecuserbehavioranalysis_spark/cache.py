@@ -62,6 +62,19 @@ _lock = threading.Lock()
 def _release(obj) -> None:
     # composite memo values (e.g. the BPE (merges, final, curve) triple)
     # release every DataFrame member
+    #
+    # Lifecycle caveats (r12, ADVICE):
+    # - localCheckpoint blocks are NOT freed by DataFrame.unpersist();
+    #   dropping the registry reference here lets ContextCleaner GC them
+    #   asynchronously (bounded by the caps, released lazily).  On a
+    #   real cluster, lineage-truncated frames whose executor blocks are
+    #   lost FAIL instead of recomputing — prefer reliable checkpoint()
+    #   + setCheckpointDir there; acceptable for this container.
+    # - INVARIANT for pin() builders: builds must not rely on
+    #   CacheManager-level persist() — Spark keys cached plans by
+    #   semantic equality, so unpersisting a losing duplicate build
+    #   would also uncache the winner's identical plan.  Every pin build
+    #   uses localCheckpoint (distinct LogicalRDDs), which is immune.
     if isinstance(obj, (tuple, list)):
         for o in obj:
             _release(o)

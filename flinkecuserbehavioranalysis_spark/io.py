@@ -49,10 +49,24 @@ _TABLE_PLAN_MEMO: dict[tuple, DataFrame] = {}
 _TABLE_PLAN_MEMO_CAP = 256
 
 
+#: applicationIds whose session confs are already pinned — every
+#: conf.set is a py4j round-trip, and load_table runs 1–5x per query
+#: (r12 driver-floor shave: ~7 round-trips per call → once per session).
+#: Runtime confs are never changed back by the engine, so once-per-app
+#: is equivalent; a new session (new applicationId) re-pins.
+_CONFS_PINNED: set[str] = set()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one driver testdata table (S1 analog)."""
-    apply_runtime_confs(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    app = spark.sparkContext.applicationId
+    if app not in _CONFS_PINNED:
+        apply_runtime_confs(spark)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _CONFS_PINNED.add(app)
+        if len(_CONFS_PINNED) > 64:  # pathological many-session guard
+            _CONFS_PINNED.clear()
+            _CONFS_PINNED.add(app)
     path = os.path.join(sf_dir, f"{name}.parquet")
     key: tuple | None
     try:

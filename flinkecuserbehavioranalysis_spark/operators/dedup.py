@@ -381,14 +381,28 @@ def _star_components(
       center's smaller fringe into one star.
 
     Both emissions keep a < b by construction (m is a minimum), so the
-    canonical form is preserved without re-sorting.  A fixpoint is
-    exactly the star forest rooted at each component min; convergence
-    is detected by edge-set equality (count + one exceptAll probe on
-    the checkpointed frontier).  Same eager-by-contract semantics as
-    the hash-min path: per-round localCheckpoint + scalar probes are
-    actions.
+    canonical form is preserved without re-sorting.  Per-neighborhood
+    minima ride a ``min() OVER (PARTITION BY u)`` window instead of a
+    groupBy + join back (r12, guide §2.4: same key, one exchange —
+    drops two join shuffles per round; values identical).
+
+    Convergence (r12): a canonical edge set is a round fixpoint IFF it
+    is a star forest — every member has exactly ONE root edge and no
+    node is both a root and a member.  (⇐: centers that are roots have
+    m = u, member centers see only their smaller root, so both phases
+    re-emit the set unchanged.  ⇒: the paper's fixpoint structure.)
+    The old loop detected this by running one extra FULL round and
+    comparing edge sets (count + exceptAll); the star-forest test runs
+    as ONE aggregation on the just-materialized frontier — per-node
+    (is-root, #root-edges) flags, violated rows counted — so the loop
+    stops one whole round earlier with the identical final edge set
+    (the skipped round provably re-emits its input).  Same
+    eager-by-contract semantics: per-round localCheckpoint + the scalar
+    probe are actions.
 
     Returns (v, label) with the same schema/values as hash-min."""
+    from pyspark.sql import Window
+
     edges = (
         pairs.select(
             F.least(F.col(a_col), F.col(b_col)).alias("a"),
@@ -398,46 +412,58 @@ def _star_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # nodes is a lazy view over the checkpointed edges (single consumer,
+    # the final left join) — its old eager checkpoint was one more
+    # driver-blocking job per call for no reuse (r12, guide §5)
     nodes = (
         edges.select(F.col("a").alias("v"))
         .union(edges.select(F.col("b").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+
+    def _is_star_forest(e: DataFrame) -> bool:
+        # one action: per node, whether it appears as a root (a) and how
+        # many member edges (b) it carries; a star forest has no node in
+        # both roles and no member with 2+ root edges
+        roles = e.select(F.col("a").alias("n"), F.lit(1).alias("ia"), F.lit(0).alias("ib")).union(
+            e.select(F.col("b").alias("n"), F.lit(0), F.lit(1))
+        )
+        bad = (
+            roles.groupBy("n")
+            .agg(F.max("ia").alias("ia"), F.sum("ib").alias("nb"))
+            .filter((F.col("nb") > 1) | ((F.col("ia") == 1) & (F.col("nb") >= 1)))
+            .limit(1)
+            .count()
+        )
+        return bad == 0
+
+    # no pre-loop probe: real pair graphs are never already star forests
+    # (they'd need every dup cluster to arrive pre-rooted), so the probe
+    # would be one wasted job per call; the first round is harmless on a
+    # star forest anyway (it re-emits its input — the fixpoint proof)
     cur = edges
-    n_cur = cur.count()
     for _ in range(max_iter):
-        # large-star over the symmetric view
+        # large-star over the symmetric view; window min per center
         sym = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
             cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
-        mins = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("__mn"))
-            .select("u", F.least(F.col("__mn"), F.col("u")).alias("m"))
-        )
+        wu = Window.partitionBy("u")
         ls = (
-            sym.filter(F.col("v") > F.col("u"))
-            .join(mins, "u")
-            .filter(F.col("m") != F.col("v"))
+            sym.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
+            .filter((F.col("v") > F.col("u")) & (F.col("m") != F.col("v")))
             .select(F.col("m").alias("a"), F.col("v").alias("b"))
             .distinct()
         )
         # small-star: center = larger endpoint, fringe = smaller
         sym2 = ls.select(F.col("b").alias("u"), F.col("a").alias("v"))
-        mins2 = sym2.groupBy("u").agg(F.min("v").alias("m"))
-        ss_fringe = (
-            sym2.join(mins2, "u")
-            .filter(F.col("v") != F.col("m"))
-            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+        s2 = sym2.withColumn("m", F.min("v").over(wu))
+        ss_fringe = s2.filter(F.col("v") != F.col("m")).select(
+            F.col("m").alias("a"), F.col("v").alias("b")
         )
-        ss_center = mins2.select(F.col("m").alias("a"), F.col("u").alias("b"))
-        new = ss_fringe.union(ss_center).distinct().localCheckpoint(eager=True)
-        n_new = new.count()
-        if n_new == n_cur and new.exceptAll(cur).limit(1).count() == 0:
-            cur = new
+        ss_center = s2.select(F.col("m").alias("a"), F.col("u").alias("b"))
+        cur = ss_fringe.union(ss_center).distinct().localCheckpoint(eager=True)
+        if _is_star_forest(cur):
             break
-        cur, n_cur = new, n_new
     # at fixpoint each member has exactly one root edge; groupBy-min is a
     # safety net for a max_iter cutoff short of convergence
     member = (
@@ -1117,6 +1143,15 @@ def prefix_filter_pairs(
     # pairs 70.7k → the verified tail, the verify joins' input cut
     # proportionally.
     t_num, t_den = float(threshold).as_integer_ratio()
+    # r12 (ADVICE): the int64 inequality is only wrap-safe when the
+    # threshold's exact denominator is small (binary-exact contract:
+    # 0.5, 0.75, …).  A non-dyadic threshold (0.8 → den ≈ 2^52) would
+    # overflow ubound·(num+den) silently in non-ANSI mode and DROP true
+    # pairs — so the positional filter simply turns off there (the
+    # prefix join and exact verify stay lossless without it).  Bound:
+    # den ≤ 2^20 keeps sz·2·den ≤ 2^41 ≪ int64 for any corpus whose
+    # shingle-set sizes fit an int (they must — sz counts one doc).
+    positional_safe = t_den <= (1 << 20)
     ubound = F.lit(1) + F.least(
         F.col("a.sz") - F.col("a.__rn"), F.col("b.sz") - F.col("b.__rn")
     )
@@ -1132,8 +1167,12 @@ def prefix_filter_pairs(
             >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
         )
         .filter(
-            ubound * F.lit(t_num + t_den)
-            >= F.lit(t_num) * (F.col("a.sz") + F.col("b.sz"))
+            (
+                ubound * F.lit(t_num + t_den)
+                >= F.lit(t_num) * (F.col("a.sz") + F.col("b.sz"))
+            )
+            if positional_safe
+            else F.lit(True)
         )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")

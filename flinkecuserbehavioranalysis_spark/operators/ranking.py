@@ -35,22 +35,38 @@ def global_rank(
     df: DataFrame,
     order: list[Column],
     rank_col: str = "rank",
-    shards: int = 64,
+    shards: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Exact global ``row_number() OVER (ORDER BY *order*)`` as *rank_col*
     (long, 1-based), plus the total row count (free from the offsets
     collect).  Ties broken by the order list itself — pass a unique
     tiebreak column last for determinism, exactly as a single-partition
-    ``row_number`` would require."""
+    ``row_number`` would require.
+
+    ``shards=None`` (default, round-12) range-partitions WITHOUT a fixed
+    count: the exchange starts at ``spark.sql.shuffle.partitions`` (env/
+    conf-driven, never a local constant) and AQE's partition coalescing
+    merges ADJACENT range partitions by advisory size — tiny post-scan
+    relations collapse to a handful of tasks instead of 64 near-empty
+    ones (guide §2.2; round-11 PERF showed 32 cores *slower* than 8 on
+    this family from exactly that overhead), while at 100 TB bytes/
+    parallelism dominates and the exchange keeps full fan-out.  AQE
+    coalescing only merges CONTIGUOUS reducer ranges (never splits one —
+    skew-splitting applies to joins/rebalance, not user repartitions),
+    so the shard total order that makes offset+local-rank a global rank
+    is preserved; the offsets collect reads whatever partitioning
+    materialized.  Pass an explicit ``shards`` to pin the layout (tests
+    assert shard-count invariance with it)."""
     from pyspark.sql import Window
 
     from .. import cache as _frame_cache
 
-    part = (
+    ranged = (
         df.repartitionByRange(shards, *order)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        if shards is not None
+        else df.repartitionByRange(*order)
     )
+    part = ranged.withColumn("__pid", F.spark_partition_id()).persist()
     # Register the persisted shard with the session cache registry so
     # chained callers (three ntile passes over a fact-scale relation)
     # can't accumulate cached partitions for the whole session: the
@@ -90,7 +106,7 @@ def centered_rows_agg(
     preceding: int = 3,
     following: int = 3,
     rank_col: str = "__crw_rank",
-    shards: int = 64,
+    shards: int | None = None,
 ) -> DataFrame:
     """Exact ``<agg> OVER (ORDER BY *order* ROWS BETWEEN p PRECEDING AND
     f FOLLOWING)`` WITHOUT the single-partition WindowExec a keyless
@@ -132,7 +148,7 @@ def global_ntile(
     order: list[Column],
     n: int,
     bucket_col: str = "bucket",
-    shards: int = 64,
+    shards: int | None = None,
 ) -> DataFrame:
     """SQL ``NTILE(n) OVER (ORDER BY *order*)`` without the
     single-partition window: global rank via :func:`global_rank`, then

@@ -878,7 +878,20 @@ def ivf_assign(
     analog of ``save_ivf_index`` — the index is built once and served;
     postings are index-sized (probe_factor × corpus vectors).
     Streaming inputs bypass the pin (checkpointing a streaming frame is
-    illegal and incremental ingest must stay unbounded)."""
+    illegal and incremental ingest must stay unbounded).
+
+    Memory honesty (r12, ADVICE): unlike the genuinely compressed int8
+    and PQ-code pins, FLAT postings carry the raw double v_vec + v_norm
+    per (vector × probe) — VECTOR-scale bytes, probe_factor × the
+    embedding table, not "index ≪ fact" like the other pins.  At crawl
+    scale the flat variant should persist through ``save_ivf_index``
+    (cell-partitioned on disk) instead of a session pin; the session
+    pin is sized for the bench-scale corpus and is FIFO/LRU-evictable
+    like every other entry.  Pinning only (neighbor_id, cell) and
+    re-joining vectors per query was considered and declined: the
+    re-join is a corpus-wide shuffle per ANN call — exactly the cost
+    the pin removes — trading bounded storage for repeated network
+    passes."""
     packed = _pack(seeds)
     cell_expr = (
         F.array(_best_cell("v_vec", "v_norm"))

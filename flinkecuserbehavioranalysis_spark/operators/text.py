@@ -403,7 +403,7 @@ def build_vocab(
     max_size: int = 1000,
     min_count: int = 1,
     single_stage_cap: int = 1_000_000,
-    shards: int = 64,
+    shards: int | None = None,
 ) -> DataFrame:
     """Vocabulary construction: global token counts → contiguous ids —
     the tokenizer-training front half of an LLM data pipeline.

@@ -2108,10 +2108,17 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
     l = lineitem.filter(F.col("l_shipdate") >= cutoff)
     o = orders.filter(F.col("o_orderdate") < cutoff)
+    # r12: every group key besides l_orderkey is an ORDER attribute, so
+    # the (ship-date-filtered) line revenue rolls up per order BEFORE
+    # the join (guide §2.3, the §12 pattern) — fewer join rows, map-side
+    # partial agg; DECIMAL re-association exact.  The outer groupBy
+    # stays: it re-sums the per-order rollup exactly as it re-summed the
+    # lines (bit-identical even under duplicate order rows).
     agg = (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        _order_line_rollup(l)
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_revenue()).alias("rev_d"))
+        .agg(F.sum("__rev_d").alias("rev_d"))
     )
     return (
         agg.orderBy(F.col("rev_d").desc(), F.col("l_orderkey").asc())
@@ -4385,10 +4392,17 @@ def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL order dates have no week (and would sit at opposite ends of
     # the lag window on the two engines)
     o = o.where(F.col("o_orderdate").isNotNull())
+    # r12: the week is an ORDER-level attribute, so line revenue rolls
+    # up to the order BEFORE the join (guide §2.3, the §12/_order_line_
+    # rollup pattern) — ~4x fewer join rows, map-side partial agg before
+    # the first exchange; DECIMAL re-association is exact, and rollup
+    # rows whose order is filtered (NULL date) or absent drop in the
+    # inner join exactly as their lines did.
     wk = (
-        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        _order_line_rollup(l)
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"))
-        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .agg(F.sum("__rev_d").cast("double").alias("revenue"))
     )
     w = Window.orderBy("week_start")
     prev = F.lag("revenue").over(w)
@@ -5303,15 +5317,20 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l, o, c, n = (
         load_table(spark, sf_dir, t) for t in ("lineitem", "orders", "customer", "nation")
     )
+    # r12: the group keys are all ORDER-level (customer/nation via
+    # o_custkey), so the returnflag-filtered line revenue rolls up per
+    # order BEFORE the join chain (guide §2.3, the §12 pattern); the
+    # final agg re-sums the per-order DECIMAL sums (exact re-association)
+    # and re-sums the per-order line counts to the same totals.
     rev = (
-        l.filter(F.col("l_returnflag") == "R")
+        _order_line_rollup(l.filter(F.col("l_returnflag") == "R"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.sum(_revenue()).cast("double").alias("lost_revenue"),
-            F.count(F.lit(1)).alias("n_returned_items"),
+            F.sum("__rev_d").cast("double").alias("lost_revenue"),
+            F.sum("__n_items").alias("n_returned_items"),
         )
     )
     return (
@@ -5722,7 +5741,6 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("rev").desc(), F.col("o_custkey").asc()],
         10,
         bucket_col="decile",
-        shards=32,
     )
     return d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -6251,7 +6269,13 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # thread pool (guide §2.6 — jobs back-fill each other's tails).
     # Bucket values are unchanged: same input ordering per dimension,
     # same NTILE arithmetic; the joins below are keyed on the customer.
+    # r12 (ADVICE): the eager checkpoint registers in the transient FIFO
+    # so clear_cache()/eviction governs its blocks' lifetime instead of
+    # waiting on GC + ContextCleaner (unique key — lifecycle, not memo).
     c = c.localCheckpoint(eager=True)
+    _frame_cache.pin_transient(
+        (spark.sparkContext.applicationId, "__rfm_cust_agg", id(c)), c
+    )
 
     def bucketize(dim: str, colname: str) -> DataFrame:
         return global_ntile(
@@ -6259,7 +6283,6 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             [F.col(dim).desc(), F.col("o_custkey").asc()],
             4,
             bucket_col=colname,
-            shards=32,
         ).select("o_custkey", colname)
 
     with ThreadPoolExecutor(max_workers=3) as pool:
@@ -6594,7 +6617,6 @@ def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("value").asc(), F.col("event_id").asc()],
         10,
         bucket_col="bucket",
-        shards=32,
     )
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),
@@ -7026,7 +7048,6 @@ def fluency_quality_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("fluency").desc(), F.col("doc_id").asc()],
         5,
         bucket_col="bucket",
-        shards=16,
     )
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -7273,7 +7294,7 @@ def user_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     b = global_ntile(
-        u, [F.col("n").desc(), F.col("user_id").asc()], 100, bucket_col="pct", shards=16
+        u, [F.col("n").desc(), F.col("user_id").asc()], 100, bucket_col="pct"
     )
     return b.agg(
         F.count(F.lit(1)).alias("n_users"),
@@ -8161,7 +8182,18 @@ def fuzzy_token_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("token") != "") & ascii_only("token"))
         .distinct()
     )
-    comp = _fuzzy_token_components(spark, sf_dir, toks)
+    # r12 (verdict #6): the per-(session, sf_dir) memo of the component
+    # mapping was single-consumer median-shaping — reps 2-3 of THIS
+    # query were the only beneficiaries.  Dropped in favor of a real
+    # fix: duplicate_components' star loop now uses window-min rounds
+    # and a one-action star-forest fixpoint probe (operators/dedup.py),
+    # ~30% cheaper per eager call for EVERY consumer, memoized or not.
+    from ..operators.dedup import duplicate_components
+
+    pairs = fuzzy_self_pairs(toks, "token", max_dist=2)
+    comp = duplicate_components(pairs, "token_a", "token_b", deep=True).select(
+        F.col("v").alias("token"), F.col("label")
+    )
     mapping = toks.join(F.broadcast(comp), "token", "left").select(
         "token", F.coalesce(F.col("label"), F.col("token")).alias("canon_token")
     )
@@ -8169,29 +8201,6 @@ def fuzzy_token_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapping.join(F.broadcast(sizes), "canon_token").select(
         "token", "canon_token", "cluster_size"
     )
-
-
-def _fuzzy_token_components(
-    spark: SparkSession, sf_dir: str, toks: DataFrame
-) -> DataFrame:
-    """The (token, label) component mapping over the edit-distance-2
-    vocabulary graph, memoized per (session, sf_dir) — the star-
-    contraction loop is EAGER BY CONTRACT (per-round localCheckpoint +
-    convergence probes are Spark actions), so without the memo every
-    fuzzy_token_clusters call re-ran the whole iterative contraction
-    (~2.5 s of driver-coordinated rounds at sf0.1; the standard
-    ``_cached_canon`` discipline every other eager family already
-    follows).  Vocabulary-bounded rows."""
-
-    def build() -> DataFrame:
-        from ..operators.dedup import duplicate_components
-
-        pairs = fuzzy_self_pairs(toks, "token", max_dist=2)
-        return duplicate_components(pairs, "token_a", "token_b", deep=True).select(
-            F.col("v").alias("token"), F.col("label")
-        )
-
-    return _cached_canon(spark, sf_dir, "fuzzy_token_components_2", build)
 
 
 @_q(

@@ -59,6 +59,49 @@ from flinkecuserbehavioranalysis_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+#: Soak-tier representatives that stay in the DEFAULT run (round-11
+#: verdict #1): one per soak-only test family, so a plain
+#: ``pytest tests/`` still exercises every family's plumbing while the
+#: full soak sweep (440 tests, ~25 min) is opt-in via SPARK_GRAFT_SOAK=1
+#: or an explicit ``-m soak`` selection.  The oracle sweep keeps its
+#: existing fast tier (FAST_ORACLE_SUBSET, one per extension family)
+#: and scripts/verify.py still runs ALL oracles before every record.
+_SOAK_REPRESENTATIVES = (
+    "test_queries_oracle.py::test_query_matches_oracle[weekly_revenue_wow]",
+    "test_streaming.py::test_streaming_windowed_count_matches_batch",
+    "test_properties.py::test_sessionize_matches_naive",
+    "test_degenerate_inputs.py::test_null_injected_matches_oracle[top_urls]",
+    "test_state_soak.py::test_order_timeout_state_evicted_by_watermark",
+    "test_scale_utilities.py::test_bench_contract_single_json_line",
+    "test_bpe.py::test_bpe_matches_classic[word_freqs0]",
+    "test_multimodal.py::test_decode_meta_is_deterministic_function_of_payload",
+    "test_heavy_hitters.py::test_two_pass_equals_naive_under_any_partitioning",
+    "test_corpus_quality.py::test_stratified_quota_invariants_property",
+    "test_operator_semantics.py::test_triangle_stats_known_graph",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default run = fast tier + one representative per soak family.
+
+    The FULL soak sweep still runs with SPARK_GRAFT_SOAK=1 (the
+    pre-record gate) or any explicit ``-m`` expression naming soak; a
+    bare ``pytest tests/`` stays well inside the driver's kill window
+    (round-11 verdict #1: the 32–40 min full suite was killed at ~96%,
+    reading as a red gate despite zero failures)."""
+    if os.environ.get("SPARK_GRAFT_SOAK", "") not in ("", "0"):
+        return
+    if "soak" in (config.getoption("-m") or ""):
+        return
+    skip = pytest.mark.skip(
+        reason="soak tier is opt-in: set SPARK_GRAFT_SOAK=1 (or -m soak)"
+    )
+    for item in items:
+        if "soak" in item.keywords and not any(
+            item.nodeid.endswith(rep) for rep in _SOAK_REPRESENTATIVES
+        ):
+            item.add_marker(skip)
+
 
 @pytest.fixture(scope="session")
 def spark():

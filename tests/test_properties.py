@@ -1535,6 +1535,26 @@ def test_prefix_filter_positional_filter_keeps_exact_boundary_pair(spark):
     assert [(r.doc_a, r.doc_b, r.jaccard) for r in rows] == [(1, 2, 0.75)]
 
 
+def test_prefix_filter_non_dyadic_threshold_disables_positional_filter(spark):
+    """r12 guard (ADVICE): a NON-binary-exact threshold (0.8 →
+    as_integer_ratio denominator ≈ 2^52) must not run the int64
+    positional inequality — ubound·(num+den) would wrap silently in
+    non-ANSI mode and DROP true pairs.  The operator falls back to the
+    length-filter-only path, which stays lossless: the boundary pair
+    (overlap 8, union 10 → J = 0.8) must still come out exactly."""
+    from flinkecuserbehavioranalysis_spark.operators.dedup import prefix_filter_pairs
+
+    # changing only the LAST of 11 tokens flips exactly ONE of the 9
+    # trigram shingles: sizes 9/9, common 8, union 10 → J = 0.8 exactly
+    # — the boundary pair for the fallback path
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k"), (2, "a b c d e f g h i j Z")],
+        "doc_id long, text string",
+    )
+    rows = prefix_filter_pairs(df, threshold=0.8).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in rows] == [(1, 2, 0.8)]
+
+
 @given(
     st.lists(
         st.tuples(st.integers(0, 6), st.integers(0, 9)),
