@@ -79,7 +79,7 @@ def log2_q12_py(x: int) -> int:
     return e * ONE_Q12 + acc
 
 
-def _fold_chain(e: F.Column, m: F.Column) -> F.Column:
+def _fold_chain_sql(e_sql: str, m_sql: str) -> str:
     """12-step square-and-shift chain as ONE fold expression over a
     12-element sequence — a runtime loop with a constant-size expression
     tree, replacing the former per-step ``withColumn`` chain (round-11
@@ -87,24 +87,27 @@ def _fold_chain(e: F.Column, m: F.Column) -> F.Column:
     growing plan — measured ~1.5 s of driver-side build time per
     perplexity query at sf0.1).  Arithmetic is unchanged step for step:
     sq = (m*m) >> Q; bit = sq >= 2^29; m' = bit ? sq >> 1 : sq;
-    acc' = acc*2 + bit — exact int64, same integer out."""
+    acc' = acc*2 + bit — exact int64, same integer out.
 
-    def step(acc: F.Column, _i: F.Column) -> F.Column:
-        sq = F.shiftright(acc["m"] * acc["m"], Q)
-        hi = sq >= _RENORM
-        return F.struct(
-            F.when(hi, F.shiftright(sq, 1)).otherwise(sq).alias("m"),
-            (acc["a"] * 2 + F.when(hi, 1).otherwise(0)).alias("a"),
-            acc["e"].alias("e"),
-        )
-
-    return F.aggregate(
-        F.sequence(F.lit(1), F.lit(FRAC_BITS)),
-        F.struct(
-            m.alias("m"), F.lit(0).cast("long").alias("a"), e.alias("e")
-        ),
-        step,
-        lambda acc: acc["e"] * ONE_Q12 + acc["a"],
+    r12 (guide §5, verdict #4): emitted as ONE SQL text parsed by a
+    single ``F.expr`` — the Column-API construction of the same fold
+    cost ~650 py4j round-trips (~130 ms) PER log2 call, and the LM
+    queries call it 2–4x; SQL parsing builds the identical Catalyst
+    ``aggregate(sequence(...), struct(...), lambda, lambda)`` tree in
+    the JVM in one hop.  ``e_sql``/``m_sql`` are inlined textually
+    (duplicated where referenced twice), exactly as the Column version
+    duplicated their subtrees — codegen subexpression elimination sees
+    the same shapes."""
+    sq = f"shiftright(acc.m * acc.m, {Q})"
+    return (
+        f"aggregate(sequence(1, {FRAC_BITS}), "
+        f"struct(CAST({m_sql} AS BIGINT) AS m, CAST(0 AS BIGINT) AS a, "
+        f"CAST({e_sql} AS BIGINT) AS e), "
+        f"(acc, i) -> struct("
+        f"CASE WHEN {sq} >= {_RENORM} THEN shiftright({sq}, 1) ELSE {sq} END AS m, "
+        f"acc.a * 2 + (CASE WHEN {sq} >= {_RENORM} THEN 1 ELSE 0 END) AS a, "
+        f"acc.e AS e), "
+        f"acc -> acc.e * {ONE_Q12} + acc.a)"
     )
 
 
@@ -122,40 +125,42 @@ def with_log2_q12(df: DataFrame, src: str, out: str, wide: bool = False) -> Data
     the non-negative int64 domain (x * 2^k == x << k and
     x div 2^k == x >> k for x >= 0; every power the old code cast
     through a double was a power of two, hence exact, so the shift
-    rewrite changes no value)."""
+    rewrite changes no value).
 
-    def shl(x: F.Column, k: F.Column) -> F.Column:
-        return F.call_function("shiftleft", x, k.cast("int"))
-
-    def shr(x: F.Column, k: F.Column) -> F.Column:
-        return F.call_function("shiftright", x, k.cast("int"))
-
+    r12: the whole column is ONE ``F.expr`` SQL text (see
+    ``_fold_chain_sql``) — the Column-API assembly of the identical
+    expression tree was ~650 py4j round-trips per call."""
     if not wide:
-        e = (F.length(F.bin(F.col(src))) - 1).cast("long")
-        m = F.when(e <= Q, shl(F.col(src), F.lit(Q) - e)).otherwise(
-            shr(F.col(src), e - F.lit(Q))
+        e = f"(length(bin(`{src}`)) - 1)"
+        m = (
+            f"CASE WHEN {e} <= {Q} "
+            f"THEN shiftleft(`{src}`, CAST({Q} - {e} AS INT)) "
+            f"ELSE shiftright(`{src}`, CAST({e} - {Q} AS INT)) END"
         )
-        return df.withColumn(out, _fold_chain(e, m))
+        return df.withColumn(out, F.expr(_fold_chain_sql(e, m)))
     # wide: split on a STRING-literal power of two (exact; a pow(2.0,62)
-    # double-cast divisor is only exact to 17 significant digits)
+    # double-cast divisor is only exact to 17 significant digits).  The
+    # halves stay materialized columns (each is referenced up to 4x in
+    # e/m — inlining would duplicate the decimal div/mod work).
     h_col, l_col = f"__{out}_h", f"__{out}_l"
     p62 = f"CAST('{1 << _SPLIT}' AS DECIMAL(38,0))"
-    df = df.withColumn(h_col, F.expr(f"CAST({src} div {p62} AS BIGINT)"))
-    df = df.withColumn(l_col, F.expr(f"CAST({src} % {p62} AS BIGINT)"))
-    h, l = F.col(h_col), F.col(l_col)
-    e = F.when(h > 0, (F.length(F.bin(h)) - 1 + _SPLIT).cast("long")).otherwise(
-        (F.length(F.bin(l)) - 1).cast("long")
+    df = df.withColumn(h_col, F.expr(f"CAST(`{src}` div {p62} AS BIGINT)"))
+    df = df.withColumn(l_col, F.expr(f"CAST(`{src}` % {p62} AS BIGINT)"))
+    e = (
+        f"(CASE WHEN `{h_col}` > 0 THEN length(bin(`{h_col}`)) - 1 + {_SPLIT} "
+        f"ELSE length(bin(`{l_col}`)) - 1 END)"
     )
     # m = x >> (e-28), recovered from the halves without wide arithmetic:
     #   e <= 28      : h = 0, m = l << (28-e)                 (exact lift)
     #   e >= 62+28=90: m = h >> (e-90)    (l's bits all fall below m)
     #   28 < e < 90  : m = h << (90-e) | l >> (e-28)
     m = (
-        F.when(e <= Q, shl(l, F.lit(Q) - e))
-        .when(e >= _SPLIT + Q, shr(h, e - F.lit(_SPLIT + Q)))
-        .otherwise(shl(h, F.lit(_SPLIT + Q) - e) + shr(l, e - F.lit(Q)))
+        f"CASE WHEN {e} <= {Q} THEN shiftleft(`{l_col}`, CAST({Q} - {e} AS INT)) "
+        f"WHEN {e} >= {_SPLIT + Q} THEN shiftright(`{h_col}`, CAST({e} - {_SPLIT + Q} AS INT)) "
+        f"ELSE shiftleft(`{h_col}`, CAST({_SPLIT + Q} - {e} AS INT)) "
+        f"+ shiftright(`{l_col}`, CAST({e} - {Q} AS INT)) END"
     )
-    return df.withColumn(out, _fold_chain(e, m)).drop(h_col, l_col)
+    return df.withColumn(out, F.expr(_fold_chain_sql(e, m))).drop(h_col, l_col)
 
 
 def log2_q12_sql_ctes(

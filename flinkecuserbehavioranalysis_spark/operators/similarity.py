@@ -892,24 +892,28 @@ def ivf_assign(
     re-join is a corpus-wide shuffle per ANN call — exactly the cost
     the pin removes — trading bounded storage for repeated network
     passes."""
-    packed = _pack(seeds)
-    cell_expr = (
-        F.array(_best_cell("v_vec", "v_norm"))
-        if corpus_probes == 1
-        else _top2_cells("v_vec", "v_norm")
-    )
-    plan = (
-        v.crossJoin(F.broadcast(packed))
-        .select("neighbor_id", "v_vec", "v_norm", F.explode(cell_expr).alias("cell"))
-    )
+    # r12 (guide §5): plan construction deferred into the builder — the
+    # cell expressions are hundreds of py4j calls (~0.2 s) that a pin
+    # HIT used to pay for nothing
+    def _postings_plan() -> DataFrame:
+        packed = _pack(seeds)
+        cell_expr = (
+            F.array(_best_cell("v_vec", "v_norm"))
+            if corpus_probes == 1
+            else _top2_cells("v_vec", "v_norm")
+        )
+        return v.crossJoin(F.broadcast(packed)).select(
+            "neighbor_id", "v_vec", "v_norm", F.explode(cell_expr).alias("cell")
+        )
+
     if v.isStreaming:
-        return plan
+        return _postings_plan()
     from .. import cache as _frame_cache
 
     app = v.sparkSession.sparkContext.applicationId
     return _frame_cache.pin(
         (app, "ivf_postings", v.semanticHash(), seeds.semanticHash(), corpus_probes),
-        lambda: plan.localCheckpoint(eager=False),
+        lambda: _postings_plan().localCheckpoint(eager=False),
     )
 
 
@@ -1041,23 +1045,28 @@ def quantize_embeddings(
     division).  Returns (id, scale rounded 9dp for display, q
     array<int>)."""
     vectors = _drop_null_vec(vectors, vec_col)
-    v = _as_double(vec_col)
-    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = (maxabs / F.lit(127.0)).alias("__scale")
-    out = vectors.select(F.col(id_col), v.alias("__v"), scale).select(
-        F.col(id_col),
-        F.round(F.col("__scale"), 9).alias("scale"),
-        F.when(
-            F.col("__scale") > 0,
-            F.transform(
-                F.col("__v"), lambda x: F.round(x / F.col("__scale")).cast("int")
-            ),
+
+    # r12 (guide §5): assembly deferred into the builder so a pin HIT
+    # skips the higher-order-fold py4j construction entirely
+    def _quantized_plan() -> DataFrame:
+        v = _as_double(vec_col)
+        maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+        scale = (maxabs / F.lit(127.0)).alias("__scale")
+        return vectors.select(F.col(id_col), v.alias("__v"), scale).select(
+            F.col(id_col),
+            F.round(F.col("__scale"), 9).alias("scale"),
+            F.when(
+                F.col("__scale") > 0,
+                F.transform(
+                    F.col("__v"), lambda x: F.round(x / F.col("__scale")).cast("int")
+                ),
+            )
+            .otherwise(F.transform(F.col("__v"), lambda x: F.lit(0)))
+            .alias("q"),
         )
-        .otherwise(F.transform(F.col("__v"), lambda x: F.lit(0)))
-        .alias("q"),
-    )
+
     if vectors.isStreaming:
-        return out
+        return _quantized_plan()
     # r11: the quantized corpus is the INT8 INDEX (ann_quantized_topk
     # and ann_ivf_quantized_topk both quantize the same vectors) — pin
     # per input hash so the two higher-order folds run once per session;
@@ -1067,7 +1076,7 @@ def quantize_embeddings(
     app = vectors.sparkSession.sparkContext.applicationId
     return _frame_cache.pin(
         (app, "int8_codes", vectors.semanticHash(), id_col, vec_col),
-        lambda: out.localCheckpoint(eager=False),
+        lambda: _quantized_plan().localCheckpoint(eager=False),
     )
 
 
@@ -1485,43 +1494,49 @@ def pq_encode(
     by position.  EAGER to the extent of the codebook collect.
     Returns (id, codes array<int> 1-based, xn2 long)."""
     vectors = _drop_null_vec(vectors, vec_col)
-    book = _pq_collect_book(codebook.collect(), m)
     w_sub = dim // m
-    # an empty codebook (possible when the training sample is empty on a
-    # degenerate corpus) can encode nothing: yield no rows, the same
-    # empty-result shape the SQL oracle's cross join with empty seeds has
-    book_empty = all(len(codes) == 0 for codes, _, _ in book.values())
 
-    def encode(batches):
-        import numpy as np
-        import pandas as pdl
+    # r12 (guide §5): the codebook COLLECT (a Spark action) and the
+    # mapInPandas assembly happen inside the builder — a pin HIT used to
+    # re-run the collect per call for nothing
+    def _encoded_plan() -> DataFrame:
+        book = _pq_collect_book(codebook.collect(), m)
+        # an empty codebook (possible when the training sample is empty
+        # on a degenerate corpus) can encode nothing: yield no rows, the
+        # same empty-result shape the SQL oracle's empty cross join has
+        book_empty = all(len(codes) == 0 for codes, _, _ in book.values())
 
-        for pdf in batches:
-            if not len(pdf) or book_empty:
-                continue
-            V = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
-            n = len(pdf)
-            codes = np.empty((n, m), dtype=np.int32)
-            xn2 = np.zeros(n, dtype=np.int64)
-            for mi in range(m):
-                _, C, c6 = book[mi]
-                picks = _pq_assign_np(V[:, mi * w_sub : (mi + 1) * w_sub], C, c6)
-                codes[:, mi] = picks + 1  # dense 1-based rank
-                xn2 += c6[picks]
-            yield pdl.DataFrame(
-                {
-                    "__oid": pdf["__oid"],
-                    "codes": codes.tolist(),
-                    "xn2": xn2,
-                }
-            )
+        def encode(batches):
+            import numpy as np
+            import pandas as pdl
 
-    out = vectors.select(
-        F.col(id_col).alias("__oid"), _as_double(vec_col).alias("__v")
-    ).mapInPandas(encode, "__oid long, codes array<int>, xn2 long")
-    out = out.withColumnRenamed("__oid", id_col)
+            for pdf in batches:
+                if not len(pdf) or book_empty:
+                    continue
+                V = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+                n = len(pdf)
+                codes = np.empty((n, m), dtype=np.int32)
+                xn2 = np.zeros(n, dtype=np.int64)
+                for mi in range(m):
+                    _, C, c6 = book[mi]
+                    picks = _pq_assign_np(V[:, mi * w_sub : (mi + 1) * w_sub], C, c6)
+                    codes[:, mi] = picks + 1  # dense 1-based rank
+                    xn2 += c6[picks]
+                yield pdl.DataFrame(
+                    {
+                        "__oid": pdf["__oid"],
+                        "codes": codes.tolist(),
+                        "xn2": xn2,
+                    }
+                )
+
+        out = vectors.select(
+            F.col(id_col).alias("__oid"), _as_double(vec_col).alias("__v")
+        ).mapInPandas(encode, "__oid long, codes array<int>, xn2 long")
+        return out.withColumnRenamed("__oid", id_col)
+
     if vectors.isStreaming:
-        return out
+        return _encoded_plan()
     # r11: the encoded corpus is the PQ INDEX — ann_pq_topk and
     # ann_ivf_pq_topk encode the same vectors under the same shared
     # book, so pin the codes per (input hash, book hash, dim, m) and
@@ -1532,7 +1547,7 @@ def pq_encode(
     app = vectors.sparkSession.sparkContext.applicationId
     return _frame_cache.pin(
         (app, "pq_codes", vectors.semanticHash(), codebook.semanticHash(), dim, m),
-        lambda: out.localCheckpoint(eager=False),
+        lambda: _encoded_plan().localCheckpoint(eager=False),
     )
 
 
